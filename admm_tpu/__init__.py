@@ -1,0 +1,33 @@
+"""admm_tpu: a TPU-native ADMM convex-optimization framework.
+
+Brand-new JAX/XLA implementation of the full capability surface of the
+MATLAB reference library PeterSutor/ADMM-Project (see SURVEY.md): a generic
+scaled-dual ADMM engine (vanilla / relaxed / fast / accelerated-with-restart
+/ adaptive-rho, Boyd + H-norm stopping, built-in divergence monitor), a
+registry of proximal-operator problem definitions (model, lasso, basis
+pursuit, total variation, LAD, Huber fitting, LP, QP, covariance selection,
+linear SVM with hinge and 0-1 loss via unwrapped ADMM), and distributed
+execution (consensus ADMM, sliced proximal updates, transpose reduction)
+over a jax.sharding Mesh with psum/pmean collectives.
+"""
+
+from .config import ADMMConfig
+from .engine import Constraint, Hooks, admm, make_admm_runner
+from .linop import DenseOp, DiffOp, FnOp, ScaledIdentityOp, as_linop
+from .results import ADMMResults
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ADMMConfig",
+    "ADMMResults",
+    "Constraint",
+    "Hooks",
+    "admm",
+    "make_admm_runner",
+    "DenseOp",
+    "DiffOp",
+    "FnOp",
+    "ScaledIdentityOp",
+    "as_linop",
+]

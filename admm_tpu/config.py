@@ -1,0 +1,98 @@
+"""ADMM engine configuration.
+
+A frozen dataclass mirroring the reference's ``options`` struct / ``setopt``
+resolution (reference: admm.m:51-76 for the reads, admm.m:780-971 for the
+per-option documentation and defaults).  Every option name and default below
+matches the reference unless noted.
+
+Unlike the reference (which resolves options dynamically each call), the
+config is *static*: it selects which branches get traced into the compiled
+XLA program, so e.g. ``fast=True`` compiles a different (momentum-carrying)
+loop body rather than branching at runtime.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class ADMMConfig:
+    """Static configuration for the ADMM engine.
+
+    Mirrors reference admm.m options (defaults at admm.m:51-76):
+
+    - ``rho``: dual step size (admm.m:57; under ``adaptive`` this is the
+      initial rho).
+    - ``maxiters``: iteration cap N (admm.m:58).
+    - ``domaxiters``: run all N iterations even if converged (admm.m:59).
+    - ``relax``: over/under-relaxation parameter; != 1 enables relaxation in
+      the z- and u-updates (admm.m:60, 515-532).
+    - ``fast`` / ``fasttype``: Goldstein fast ('strong') / accelerated with
+      restart ('weak', default) ADMM (admm.m:63-64, 264-298, 563-600).
+    - ``restart``: accelerated-ADMM restart fraction (admm.m:282-287).
+    - ``dvaltol``: accelerated-ADMM d-value stop tolerance (admm.m:290).
+    - ``abstol`` / ``reltol``: Boyd stopping tolerances (admm.m:71-72).
+    - ``hnormtol``: H-norm stopping tolerance (admm.m:73).
+    - ``convtest`` / ``convtol``: divergence monitor on monotone H-norm
+      decrease (admm.m:67-68, 686-703).
+    - ``stopcond``: 'standard' | 'hnorm' | 'both' (admm.m:69, 705-722).
+    - ``nodualerror``: skip the dual half of the standard stop (admm.m:70).
+    - ``adaptive``: experimental adaptive rho (admm.m:51, 724-741).
+    - ``objevals``: record the objective each iteration (admm.m:66, 602-605).
+
+    TPU-specific additions (no reference equivalent):
+
+    - ``record_iterates``: also record full per-iteration x/z/u traces
+      (the reference records these unconditionally, admm.m:607-610; here
+      they are opt-in because a (maxiters, n) buffer is HBM-expensive).
+    - ``unroll``: lax.while_loop body unroll factor hint.
+    """
+
+    rho: float = 1.0
+    maxiters: int = 1000
+    domaxiters: bool = False
+    relax: float = 1.0
+    fast: bool = False
+    fasttype: str = "weak"  # 'weak' -> accelerated+restart, 'strong' -> fast
+    restart: float = 0.999
+    dvaltol: float = 1e-8
+    abstol: float = 1e-5
+    reltol: float = 1e-3
+    hnormtol: float = 1e-6
+    convtest: bool = False
+    convtol: float = 1e-10
+    stopcond: str = "standard"  # 'standard' | 'hnorm' | 'both'
+    nodualerror: bool = False
+    adaptive: bool = False
+    objevals: bool = False
+    quiet: bool = True
+    record_iterates: bool = False
+    jit: bool = True
+
+    def __post_init__(self):
+        if self.stopcond not in ("standard", "hnorm", "both"):
+            raise ValueError(f"stopcond must be standard|hnorm|both, got {self.stopcond!r}")
+        if self.fasttype not in ("weak", "strong"):
+            raise ValueError(f"fasttype must be weak|strong, got {self.fasttype!r}")
+        if self.maxiters <= 0:
+            raise ValueError("maxiters must be positive")
+        # Reference clamps a bad restart fraction back to the default
+        # (admm.m:285-287).
+        if self.fast and self.fasttype == "weak" and not (0.0 < self.restart < 1.0):
+            object.__setattr__(self, "restart", 0.999)
+
+    @property
+    def alg(self) -> int:
+        """Algorithm id, matching the reference's ``alg`` variable
+        (admm.m:262-298): 0 = standard, 1 = fast (strong convexity),
+        2 = accelerated with restart (weak convexity)."""
+        if not self.fast:
+            return 0
+        return 1 if self.fasttype == "strong" else 2
+
+    @property
+    def needs_hnorm(self) -> bool:
+        """Whether the H-norm machinery must be traced (admm.m:302-313)."""
+        return self.convtest or self.stopcond in ("hnorm", "both")

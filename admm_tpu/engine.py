@@ -1,0 +1,440 @@
+"""The core ADMM engine: a single jitted ``lax.while_loop`` program.
+
+TPU-native re-design of the reference's interpreted main loop
+(reference: admm.m:496-743).  The whole solve — x-prox, relaxation, z-prox,
+dual update, fast/accelerated momentum + restart, residual norms, Boyd and
+H-norm stopping rules, divergence monitor, adaptive rho — is traced once and
+compiled to one XLA program.  Per-iteration history (pnorm/dnorm/perr/derr/
+objective/H-norm/d-values/restarts, reference admm.m:596-658) is recorded
+into fixed-size preallocated buffers written by iteration index.
+
+Semantics preserved from the reference:
+  * update order and momentum algebra for alg 0/1/2 (admm.m:501-600)
+  * Boyd stopping:  pnorm < perr  and (nodualerror or dnorm < derr)
+    with perr = sqrt(M1)*ABSTOL + RELTOL*max(||Ax||,||Bz||,||c||),
+    derr = sqrt(M2)*ABSTOL + RELTOL*||rho*At(u)|| (admm.m:639-658, 705-715)
+  * H-norm squared H(wdiff) = rho*||B(dz)||^2 + rho*||d(rho*u)||^2 over
+    w = [x; z; rho*u], stop when Hnormsq <= HNORMTOL at i > 2
+    (admm.m:302-313, 676-682, 719-722).  As in the reference, the rho used
+    *inside* H is captured at setup time (MATLAB closures capture by value),
+    while the rho scaling u inside w is the current one.
+  * divergence monitor: abort when H-norms stop decreasing to relative
+    tolerance convtol (admm.m:686-703) — surfaced as ``results.diverged``
+  * accelerated restart rule d >= restart*dprev, restart state rollback,
+    d-value stop |d - dprev| <= dvaltol*dprev (admm.m:570-599, 706-707)
+  * experimental adaptive rho with growth clamp 5 (admm.m:724-741)
+  * hooks: altu (admm.m:553-560), specialnorms (admm.m:612-616),
+    obj/objevals (admm.m:602-605).
+
+TPU-first details:
+  * Every state update is masked by the per-lane ``done`` flag, so the loop
+    is correct under ``jax.vmap`` over problem instances (batched solves run
+    until all lanes converge; finished lanes freeze).
+  * No data-dependent Python control flow: alg / relax / stopcond /
+    hooks select traced branches at *trace* time from the static config.
+  * Histories use ``.at[k].set`` (in-place dynamic-update-slice under XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .config import ADMMConfig
+from .linop import as_linop
+from .results import ADMMResults
+
+
+def _fro2(v):
+    """Squared Frobenius norm of an arbitrary-shape array."""
+    return jnp.sum(jnp.real(v * jnp.conj(v))) if jnp.iscomplexobj(v) else jnp.sum(v * v)
+
+
+def _fro(v):
+    return jnp.sqrt(_fro2(v))
+
+
+class Constraint(NamedTuple):
+    """The constraint A x + B z = c (reference admm.m:79-245)."""
+
+    A: Any  # LinOp
+    B: Any  # LinOp
+    c: Any  # array, same shape as A@x
+
+
+class Hooks(NamedTuple):
+    """Optional user hooks (reference admm.m:473-476, 553-560, 602-616)."""
+
+    obj: Optional[Callable] = None          # obj(x, z) -> scalar
+    altu: Optional[Callable] = None         # altu(u, Ax, Bz, c) -> u
+    specialnorms: Optional[Callable] = None  # f(x,z,u,rho) -> (pnorm, dnorm)
+    preprocess: Optional[Callable] = None   # run once host-side before solve
+
+
+class _Carry(NamedTuple):
+    k: Any            # int32: completed iterations (== reference's i at exit)
+    x: Any
+    z: Any
+    u: Any
+    rho: Any
+    # fast / accelerated state (zeros/dummies when alg == 0)
+    v: Any
+    uhat: Any
+    a: Any
+    d: Any
+    # H-norm machinery: previous w's z-part and (rho*u)-part + previous Hsq
+    wz: Any
+    wu: Any
+    Hprev: Any
+    # flags
+    done: Any
+    diverged: Any
+    hist: Any
+
+
+class _Hist(NamedTuple):
+    pnorm: Any
+    dnorm: Any
+    perr: Any
+    derr: Any
+    objvals: Any
+    Hnormsq: Any
+    dvals: Any
+    avals: Any
+    restarted: Any
+    xvals: Any  # () placeholder unless record_iterates
+    zvals: Any
+    uvals: Any
+
+
+def admm(
+    prox_f: Callable,
+    prox_g: Callable,
+    config: ADMMConfig = ADMMConfig(),
+    *,
+    A=1.0,
+    B=-1.0,
+    c=0.0,
+    m: Optional[int] = None,
+    nA: Optional[int] = None,
+    nB: Optional[int] = None,
+    shape_x=None,
+    shape_z=None,
+    x0=None,
+    z0=None,
+    u0=None,
+    hooks: Hooks = Hooks(),
+    dtype=None,
+) -> ADMMResults:
+    """Solve min f(x) + g(z) s.t. A x + B z = c with scaled-dual ADMM.
+
+    ``prox_f(xhat, z, u, rho) -> x`` and ``prox_g(xhat, z, u, rho) -> z``
+    are the user proximal operators (reference admm.m:24-31).  Under
+    relaxation (config.relax != 1) ``prox_g``'s first argument is the
+    relaxed Axhat, exactly as in the reference (admm.m:515-532).
+
+    ``shape_x`` / ``shape_z`` generalize nA/nB to matrix-valued iterates
+    (covariance selection; reference admm.m:478-492).
+    """
+    A = as_linop(A)
+    B = as_linop(B)
+
+    # --- shape/initial-state resolution (reference admm.m:79-259).
+    # For scaled-identity A/B the variable size equals m (the reference
+    # requires explicit nA/nB there, admm.m:145-148; we infer).
+    from .linop import ScaledIdentityOp
+
+    if nA is None and isinstance(A, ScaledIdentityOp) and m is not None:
+        nA = m
+    if nB is None and isinstance(B, ScaledIdentityOp) and m is not None:
+        nB = m
+    if shape_x is None:
+        if nA is None and x0 is None:
+            raise ValueError("must provide nA, shape_x, or x0")
+        shape_x = (nA,) if x0 is None else jnp.shape(x0)
+    if shape_z is None:
+        if nB is None and z0 is None:
+            raise ValueError("must provide nB, shape_z, or z0")
+        shape_z = (nB,) if z0 is None else jnp.shape(z0)
+
+    if dtype is None:
+        for cand in (x0, z0, u0, c):
+            if cand is not None and hasattr(cand, "dtype"):
+                dtype = jnp.asarray(cand).dtype
+                break
+        else:
+            dtype = jnp.zeros(0).dtype  # follow jax default (f64 under x64)
+
+    x0 = jnp.zeros(shape_x, dtype) if x0 is None else jnp.asarray(x0, dtype)
+    z0 = jnp.zeros(shape_z, dtype) if z0 is None else jnp.asarray(z0, dtype)
+
+    # c: scalar 0 means zeros of the constraint-output shape (admm.m:99-110)
+    c_arr = jnp.asarray(c, dtype)
+    if c_arr.ndim == 0:
+        shape_c = A.out_shape(shape_x)
+        if shape_c is None:
+            if m is None:
+                raise ValueError("c is scalar and A is matrix-free: provide m")
+            shape_c = (m,)
+        c_arr = jnp.broadcast_to(c_arr, shape_c)
+    u0 = jnp.zeros(c_arr.shape, dtype) if u0 is None else jnp.asarray(u0, dtype)
+
+    if hooks.preprocess is not None:
+        hooks.preprocess()
+
+    runner = _build_runner(prox_f, prox_g, config, A, B, hooks, dtype)
+    if config.jit:
+        runner = jax.jit(runner)
+    out = runner(x0, z0, u0, c_arr)
+    return ADMMResults.from_raw(out, config, x0=x0, z0=z0, u0=u0)
+
+
+def make_admm_runner(prox_f, prox_g, config, A, B, hooks=Hooks(), dtype=None):
+    """Functional core for advanced use (vmap over instances, shard_map).
+
+    Returns ``run(x0, z0, u0, c) -> raw dict``; data must flow through the
+    prox closures or be closed over by the caller.
+    """
+    A = as_linop(A)
+    B = as_linop(B)
+    return _build_runner(prox_f, prox_g, config, A, B, hooks, dtype)
+
+
+def _build_runner(prox_f, prox_g, cfg: ADMMConfig, A, B, hooks: Hooks, dtype):
+    alg = cfg.alg
+    N = int(cfg.maxiters)
+    relax = float(cfg.relax)
+    use_relax = relax != 1.0
+    needs_h = cfg.needs_hnorm
+    std_stop = cfg.stopcond in ("standard", "both")
+    h_stop = cfg.stopcond in ("hnorm", "both")
+
+    def run(x0, z0, u0, c):
+        rdtype = x0.dtype
+        rho0 = jnp.asarray(cfg.rho, rdtype)
+        eps = jnp.finfo(rdtype).eps
+        cnorm = _fro(c)
+        # Static element counts M1/M2 for Boyd errors (admm.m:644-645).
+        M1 = float(c.size)
+
+        sc = lambda v=jnp.nan: jnp.asarray(v, rdtype)
+        zeros = lambda: jnp.full((N,), jnp.nan, rdtype)
+
+        hist = _Hist(
+            pnorm=zeros(), dnorm=zeros(), perr=zeros(), derr=zeros(),
+            objvals=zeros() if (cfg.objevals and hooks.obj is not None) else (),
+            Hnormsq=zeros() if needs_h else (),
+            dvals=zeros() if alg == 2 else (),
+            avals=zeros() if alg in (1, 2) else (),
+            restarted=jnp.zeros((N,), jnp.int32) if alg == 2 else (),
+            xvals=jnp.zeros((N,) + x0.shape, rdtype) if cfg.record_iterates else (),
+            zvals=jnp.zeros((N,) + z0.shape, rdtype) if cfg.record_iterates else (),
+            uvals=jnp.zeros((N,) + u0.shape, rdtype) if cfg.record_iterates else (),
+        )
+
+        carry0 = _Carry(
+            k=jnp.asarray(0, jnp.int32),
+            x=x0, z=z0, u=u0, rho=rho0,
+            v=z0 if alg else (), uhat=u0 if alg else (),
+            a=sc(1.0) if alg else (),
+            d=sc(jnp.inf) if alg == 2 else (),
+            wz=z0 if needs_h else (), wu=rho0 * u0 if needs_h else (),
+            Hprev=sc(jnp.inf) if needs_h else (),
+            done=jnp.asarray(False), diverged=jnp.asarray(False),
+            hist=hist,
+        )
+
+        def cond(carry: _Carry):
+            return jnp.logical_and(carry.k < N, jnp.logical_not(carry.done))
+
+        def body(carry: _Carry):
+            k = carry.k            # 0-based index of this iteration
+            i = k + 1              # reference's 1-based iteration counter
+            rho = carry.rho
+            x, z, u = carry.x, carry.z, carry.u
+            zprev = z
+
+            # ---- x-update (admm.m:501-511) ------------------------------
+            if alg == 0:
+                x = prox_f(x, z, u, rho)
+                uhat = u
+                dprev = ()
+            else:
+                aprev = carry.a
+                uprev = u
+                uhat = carry.uhat
+                x = prox_f(x, carry.v, uhat, rho)
+                dprev = carry.d if alg == 2 else ()
+
+            # ---- relaxation + z-update (admm.m:515-532) ------------------
+            Ax_for_g = x
+            Axhat = None
+            if use_relax:
+                Axhat = relax * A.mv(x) - (1.0 - relax) * (B.mv(zprev) - c)
+                Ax_for_g = Axhat
+            u_for_g = u if alg == 0 else uhat
+            z = prox_g(Ax_for_g, z, u_for_g, rho)
+
+            Ax = A.mv(x)
+            Bz = B.mv(z)
+            Axr = Axhat if use_relax else Ax
+
+            # ---- dual update (admm.m:538-560) ----------------------------
+            if hooks.altu is not None:
+                u = hooks.altu(u, Axr, Bz, c)
+            else:
+                base = u if alg == 0 else uhat
+                u = base + (Axr + Bz - c)
+
+            # ---- fast / accelerated updates (admm.m:563-600) -------------
+            v_new, uhat_new, a_new = carry.v, carry.uhat, carry.a
+            d_new = carry.d
+            restarted_i = ()
+            if alg == 1:
+                a_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * aprev**2))
+                mom = (aprev - 1.0) / a_new
+                v_new = z + mom * (z - zprev)
+                uhat_new = u + mom * (u - uprev)
+            elif alg == 2:
+                dval = (1.0 / rho) * _fro2(u - uhat) + rho * _fro2(B.mv(z - carry.v))
+                no_restart = dval < cfg.restart * dprev
+                a_nr = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * aprev**2))
+                mom = (aprev - 1.0) / a_nr
+                v_nr = z + mom * (z - zprev)
+                uhat_nr = u + mom * (u - uprev)
+                a_new = jnp.where(no_restart, a_nr, 1.0)
+                v_new = jnp.where(no_restart, v_nr, zprev)
+                uhat_new = jnp.where(no_restart, uhat_nr, uprev)
+                d_new = jnp.where(no_restart, dval, dprev / cfg.restart)
+                restarted_i = jnp.where(no_restart, 0, 1).astype(jnp.int32)
+
+            # ---- norms (admm.m:612-637) ----------------------------------
+            if hooks.specialnorms is not None:
+                pnorm, dnorm = hooks.specialnorms(x, z, u, rho)
+            else:
+                pnorm = _fro(Ax + Bz - c)
+                if cfg.nodualerror:
+                    dnorm = sc(jnp.nan)
+                elif alg == 1:
+                    dnorm = rho * _fro(A.rmv(B.mv(z - v_new)))
+                else:  # alg 0 (and alg 2, recorded for observability)
+                    dnorm = _fro(rho * A.rmv(B.mv(z - zprev)))
+
+            # ---- Boyd errors (admm.m:639-658) ----------------------------
+            M2 = float(Bz.size)
+            perr = jnp.sqrt(M1) * cfg.abstol + cfg.reltol * jnp.maximum(
+                jnp.maximum(_fro(Ax), _fro(Bz)), cnorm
+            )
+            if cfg.nodualerror:
+                derr = sc(jnp.nan)
+            else:
+                derr = jnp.sqrt(M2) * cfg.abstol + cfg.reltol * _fro(rho * A.rmv(u))
+
+            # ---- H-norm / divergence monitor (admm.m:676-703) ------------
+            Hsq = ()
+            diverged_i = jnp.asarray(False)
+            if needs_h:
+                wz_new, wu_new = z, rho * u
+                # H uses the setup-time rho (MATLAB closure capture,
+                # admm.m:305-306), while w itself carries the current rho.
+                Hsq = rho0 * _fro2(B.mv(carry.wz - wz_new)) + rho0 * _fro2(carry.wu - wu_new)
+                if cfg.convtest and alg == 0:
+                    H1, H2 = carry.Hprev, Hsq
+                    diverged_i = (
+                        (i >= 2) & (H1 > eps) & (H2 > H1) & ((H2 - H1) > H1 * cfg.convtol)
+                    )
+            else:
+                wz_new = wu_new = ()
+
+            # ---- stopping (admm.m:705-722) --------------------------------
+            stop = jnp.asarray(False)
+            if alg == 2:
+                stop = (i >= 2) & (jnp.abs(d_new - dprev) <= cfg.dvaltol * dprev)
+            elif std_stop and not cfg.domaxiters:
+                dual_ok = (
+                    jnp.asarray(True) if cfg.nodualerror else (dnorm < derr)
+                )
+                stop = (pnorm < perr) & dual_ok
+            if h_stop and not cfg.domaxiters and needs_h:
+                stop = stop | ((i > 2) & (Hsq <= cfg.hnormtol))
+            done = stop | diverged_i
+
+            # ---- adaptive rho (admm.m:724-741) ----------------------------
+            rho_new = rho
+            if cfg.adaptive and cfg.convtest and needs_h:
+                wdiff = carry.Hprev - Hsq
+                rhoprev = rho
+                safe = jnp.abs(wdiff) > eps
+                rho_c = jnp.where(safe, rho * rhoprev / jnp.where(safe, wdiff, 1.0), rho)
+                rhodiff = jnp.abs(rho_c - rhoprev)
+                growth = 5.0
+                rho_c = jnp.where(rhodiff >= rhoprev * growth, rho_c / growth, rho_c)
+                rho_c = jnp.where(rhodiff <= rhoprev / growth, rho_c * growth, rho_c)
+                do_adapt = (i > 2) & jnp.logical_not(done)
+                rho_new = jnp.where(do_adapt, rho_c, rho)
+
+            # ---- history (admm.m:596-610) ---------------------------------
+            h = carry.hist
+            h = h._replace(
+                pnorm=h.pnorm.at[k].set(pnorm),
+                dnorm=h.dnorm.at[k].set(dnorm),
+                perr=h.perr.at[k].set(perr),
+                derr=h.derr.at[k].set(derr),
+            )
+            if cfg.objevals and hooks.obj is not None:
+                h = h._replace(objvals=h.objvals.at[k].set(hooks.obj(x, z)))
+            if needs_h:
+                h = h._replace(Hnormsq=h.Hnormsq.at[k].set(Hsq))
+            if alg == 2:
+                h = h._replace(
+                    dvals=h.dvals.at[k].set(d_new),
+                    restarted=h.restarted.at[k].set(restarted_i),
+                )
+            if alg in (1, 2):
+                h = h._replace(avals=h.avals.at[k].set(a_new))
+            if cfg.record_iterates:
+                h = h._replace(
+                    xvals=h.xvals.at[k].set(x),
+                    zvals=h.zvals.at[k].set(z),
+                    uvals=h.uvals.at[k].set(u),
+                )
+
+            new = _Carry(
+                k=k + 1,
+                x=x, z=z, u=u, rho=rho_new,
+                v=v_new if alg else (), uhat=uhat_new if alg else (),
+                a=a_new if alg else (), d=d_new if alg == 2 else (),
+                wz=wz_new if needs_h else (), wu=wu_new if needs_h else (),
+                Hprev=Hsq if needs_h else (),
+                done=done,
+                diverged=carry.diverged | diverged_i,
+                hist=h,
+            )
+            # Freeze finished lanes: keeps vmapped batches correct when some
+            # instances converge before others.
+            frozen = carry.done
+            return jax.tree_util.tree_map(
+                lambda old, upd: lax.select(
+                    jnp.broadcast_to(frozen, jnp.shape(upd)), old, upd
+                ) if not isinstance(upd, tuple) else upd,
+                carry, new,
+                is_leaf=lambda t: isinstance(t, tuple) and t == (),
+            )
+
+        final = lax.while_loop(cond, body, carry0)
+        return {
+            "steps": final.k,
+            "xopt": final.x,
+            "zopt": final.z,
+            "uopt": final.u,
+            "rho_final": final.rho,
+            "diverged": final.diverged,
+            "hist": final.hist._asdict(),
+            "objopt": hooks.obj(final.x, final.z) if hooks.obj is not None else (),
+        }
+
+    return run

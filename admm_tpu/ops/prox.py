@@ -1,0 +1,80 @@
+"""Elementwise proximal operators (VPU-friendly, fully fusable by XLA).
+
+Each function cites the reference construction it reproduces.  All are pure
+jnp; a fused Pallas variant of the hot soft-threshold + dual-update path
+lives in ops/kernels.py and is used by the engine's performance mode.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def soft_threshold(v, t):
+    """sign(v) * max(|v| - t, 0).
+
+    The reference's zminSoftThresholding (getProxOps.m:933-938), shared by
+    basis pursuit, TV, lasso, covariance selection and LAD.  Written as a
+    single where-free expression so XLA fuses it into neighbouring ops.
+    """
+    return jnp.sign(v) * jnp.maximum(jnp.abs(v) - t, 0.0)
+
+
+def hinge_prox(Dx_plus_u, ell, C, rho):
+    """Hinge-loss z-prox for the linear SVM.
+
+    z = (Dx+u) + ell * max(min(1 - ell*(Dx+u), C/rho), 0)
+    (reference zminLinearSVM, getProxOps.m:1084-1103).
+    """
+    v = ell * Dx_plus_u
+    return Dx_plus_u + ell * jnp.maximum(jnp.minimum(1.0 - v, C / rho), 0.0)
+
+
+def zero_one_prox(Dx_plus_u, ell, C, rho):
+    """0-1-loss z-prox for unwrapped-ADMM linear SVM.
+
+    y_i = s_i where s_i >= 1 or s_i < 1 - sqrt(2/t) (t = rho/C), else 1;
+    returns ell * y for s = ell*(Dx+u)
+    (reference minz01, getProxOps.m:1158-1180 via zminLinearSVM:1100).
+    Note: nonconvex; valid only with the transpose-reduction x-update.
+    """
+    s = ell * Dx_plus_u
+    t = rho / C
+    keep = (s >= 1.0) | (s < 1.0 - jnp.sqrt(2.0 / t))
+    y = jnp.where(keep, s, 1.0)
+    return ell * y
+
+
+def huber_prox(Ax, u, s, rho):
+    """Huber-fitting z-prox.
+
+    z = 1/(1+rho) * (rho*v + S(v, 1 + 1/rho)), v = Ax + u - s
+    (reference zminHuberSoftThresholding, getProxOps.m:1529-1539).
+    """
+    v = Ax + u - s
+    return (rho * v + soft_threshold(v, 1.0 + 1.0 / rho)) / (1.0 + rho)
+
+
+def project_nonneg(v):
+    """Projection onto the nonnegative orthant — LP/QP-standard z-prox
+    (reference zminLinearProgram, getProxOps.m:1378-1382)."""
+    return jnp.maximum(v, 0.0)
+
+
+def project_box(v, lb, ub):
+    """Projection onto {lb <= z <= ub} — bounded-QP z-prox
+    (reference zminQuadraticProgramBounded, getProxOps.m:1470-1474)."""
+    return jnp.minimum(ub, jnp.maximum(lb, v))
+
+
+def covsel_eig_prox(ZU_minus_S_scaled, rho):
+    """Covariance-selection x-prox.
+
+    Given W = rho*(Z - U) - S, eigendecompose W = Q diag(e) Q^T and return
+    X = Q diag((e + sqrt(e^2 + 4 rho)) / (2 rho)) Q^T
+    (reference xminCovarianceSelection, getProxOps.m:1487-1496).
+    Uses symmetric eigh — batched-friendly and differentiable.
+    """
+    e, Q = jnp.linalg.eigh(ZU_minus_S_scaled)
+    diag = (e + jnp.sqrt(e * e + 4.0 * rho)) / (2.0 * rho)
+    return (Q * diag[..., None, :]) @ jnp.swapaxes(Q, -1, -2)

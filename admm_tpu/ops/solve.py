@@ -1,0 +1,163 @@
+"""rho-parameterized linear-solve caches.
+
+The reference caches Cholesky/LU factorizations keyed on "has rho changed"
+(getProxOps.m:968-971 model; 1400-1405, 1444-1453 QP; solvers/lasso.m:160-177)
+and lazily re-factorizes inside the iteration.  Under jit that pattern is
+hostile (data-dependent refactorization, triangular solves serialize badly on
+TPU).  The TPU-native design folds rho analytically:
+
+    (M + rho I)^{-1} b  =  V ((V^T b) / (w + rho)),   M = V diag(w) V^T
+
+with the symmetric eigendecomposition computed ONCE at setup.  Each
+per-iteration application is two dense matmuls (MXU systolic work) plus an
+elementwise scale (VPU), is valid for *any* runtime rho (so adaptive-rho
+needs no refactorization), batches under vmap, and shards cleanly.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+class SymShiftSolver:
+    """Solves (M + rho*I) x = b for symmetric PSD M via cached eigh."""
+
+    def __init__(self, V, w):
+        self.V = V
+        self.w = w
+
+    @classmethod
+    def from_matrix(cls, M) -> "SymShiftSolver":
+        M = jnp.asarray(M)
+        M = 0.5 * (M + M.T)  # enforce symmetry for eigh stability
+        w, V = jnp.linalg.eigh(M)
+        return cls(V, w)
+
+    def solve(self, b, rho):
+        y = self.V.T @ b
+        y = y / (self.w + rho)
+        return self.V @ y
+
+    def solve_shifted(self, b, shift):
+        """(M + shift*I)^{-1} b with arbitrary scalar shift."""
+        return self.solve(b, shift)
+
+    def materialize_inverse(self, rho):
+        """Dense (M + rho I)^{-1} for the static-rho fast path: one GEMV per
+        iteration instead of two (used when config.adaptive is False)."""
+        return (self.V / (self.w + rho)[None, :]) @ self.V.T
+
+    def tree_flatten(self):
+        return (self.V, self.w), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+class WoodburySolver:
+    """Fat-matrix solve of (D^T D + rho I) x = b via the matrix-inversion
+    lemma, matching the reference's fat-lasso branch
+    (solvers/lasso.m:169-172; xminLASSO getProxOps.m:1198-1205):
+
+        x = b/rho - (1/rho^2) D^T (D D^T/rho + I)^{-1} D b
+
+    with the m-by-m Gram D D^T eigendecomposed once.
+    """
+
+    def __init__(self, D, V, w):
+        self.D = D
+        self.V = V  # eigvectors of D D^T
+        self.w = w  # eigvalues of D D^T
+
+    @classmethod
+    def from_matrix(cls, D) -> "WoodburySolver":
+        D = jnp.asarray(D)
+        G = D @ D.T
+        G = 0.5 * (G + G.T)
+        w, V = jnp.linalg.eigh(G)
+        return cls(D, V, w)
+
+    def solve(self, b, rho):
+        Db = self.D @ b
+        # (D D^T / rho + I)^{-1} Db  ==  V ((V^T Db) / (w/rho + 1))
+        y = self.V.T @ Db
+        y = y / (self.w / rho + 1.0)
+        y = self.V @ y
+        return b / rho - (self.D.T @ y) / (rho * rho)
+
+    def tree_flatten(self):
+        return (self.D, self.V, self.w), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+class kkt_eq_solver:
+    """Equality-constrained quadratic KKT solve via Schur complement.
+
+    Solves   [ P + rho*I  D^T ] [x]   [ b1 ]
+             [     D       0  ] [y] = [ b2 ]
+    returning x — the LP/QP-standard x-prox system
+    (reference xminLinearProgram getProxOps.m:1357-1365 with P = 0,
+    xminQuadraticProgramStandard getProxOps.m:1397-1412).
+
+    Instead of assembling and LU-factoring the (n+m)^2 KKT matrix per rho
+    change like the reference, eliminate x:
+
+        x = Minv (b1 - D^T y),  Minv = (P + rho I)^{-1}  (eigh of P, cached)
+        S(rho) y = D Minv b1 - b2,  S(rho) = D Minv D^T
+
+    With G = D V cached, S(rho) = G diag(1/(w+rho)) G^T is formed by one
+    m-by-n matmul pair (MXU) and factorized with an m-by-m Cholesky per
+    call.  For LP (P = 0), S(rho) = (D D^T)/... still depends on rho only
+    elementwise through diag, so the same path applies.
+    """
+
+    def __init__(self, D, V, w, G):
+        self.D = D
+        self.V = V  # eigvectors of P (or I basis columns when P=0)
+        self.w = w  # eigvalues of P (zeros for LP)
+        self.G = G  # D @ V
+
+    @classmethod
+    def from_matrices(cls, D, P=None) -> "kkt_eq_solver":
+        D = jnp.asarray(D)
+        n = D.shape[1]
+        if P is None:
+            # LP: P = 0 -> V = I, w = 0; G = D. Avoids an n^3 eigh.
+            V = jnp.eye(n, dtype=D.dtype)
+            w = jnp.zeros((n,), dtype=D.dtype)
+            G = D
+        else:
+            P = jnp.asarray(P)
+            P = 0.5 * (P + P.T)
+            w, V = jnp.linalg.eigh(P)
+            G = D @ V
+        return cls(D, V, w, G)
+
+    def solve(self, b1, b2, rho):
+        inv_diag = 1.0 / (self.w + rho)
+        # Minv b1 in the eigenbasis.
+        t1 = inv_diag * (self.V.T @ b1)
+        rhs = self.G @ t1 - b2
+        S = (self.G * inv_diag[None, :]) @ self.G.T
+        S = 0.5 * (S + S.T)
+        cf = jax.scipy.linalg.cho_factor(S)
+        y = jax.scipy.linalg.cho_solve(cf, rhs)
+        x = self.V @ (t1 - inv_diag * (self.G.T @ y))
+        return x
+
+    def tree_flatten(self):
+        return (self.D, self.V, self.w, self.G), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
