@@ -15,6 +15,20 @@ from .config import ADMMConfig
 from .engine import Constraint, Hooks, admm, make_admm_runner
 from .linop import DenseOp, DiffOp, FnOp, ScaledIdentityOp, as_linop
 from .results import ADMMResults
+from .models import (
+    basispursuit,
+    covarianceselection,
+    get_prox_ops,
+    huberfit,
+    lad,
+    lasso,
+    linearprogram,
+    linearsvm,
+    model,
+    quadraticprogram,
+    totalvariation,
+    unwrappedadmm,
+)
 
 __version__ = "0.1.0"
 
@@ -30,4 +44,16 @@ __all__ = [
     "FnOp",
     "ScaledIdentityOp",
     "as_linop",
+    "get_prox_ops",
+    "model",
+    "lasso",
+    "basispursuit",
+    "totalvariation",
+    "lad",
+    "huberfit",
+    "linearprogram",
+    "quadraticprogram",
+    "covarianceselection",
+    "linearsvm",
+    "unwrappedadmm",
 ]

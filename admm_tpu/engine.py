@@ -189,8 +189,16 @@ def admm(
     runner = _build_runner(prox_f, prox_g, config, A, B, hooks, dtype)
     if config.jit:
         runner = jax.jit(runner)
-    out = runner(x0, z0, u0, c_arr)
-    return ADMMResults.from_raw(out, config, x0=x0, z0=z0, u0=u0)
+    # Wall-clock for the whole solve, compile excluded on repeat calls
+    # (reference tic/toc around the loop, admm.m:315, 756).
+    import time
+
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(runner(x0, z0, u0, c_arr))
+    runtime = time.perf_counter() - t0
+    res = ADMMResults.from_raw(out, config, x0=x0, z0=z0, u0=u0)
+    res.runtime = runtime
+    return res
 
 
 def make_admm_runner(prox_f, prox_g, config, A, B, hooks=Hooks(), dtype=None):

@@ -6,10 +6,6 @@ getProxOps.m string switch (getProxOps.m:52-917).  Each module exposes
 the reference solver's signature.
 """
 
-from .model import model
-
-__all__ = ["model", "get_prox_ops"]
-
 _REGISTRY = {}
 
 
@@ -25,6 +21,14 @@ def get_prox_ops(problem: str, **args):
     """String-keyed prox-op factory mirroring getproxops(problem, args)
     (reference getProxOps.m:13-31).  Prefer the typed per-module
     ``make_prox_ops`` in new code."""
+    _load_all()
+    key = problem.lower()
+    if key not in _REGISTRY:
+        raise ValueError(f"unknown problem {problem!r}; known: {sorted(_REGISTRY)}")
+    return _REGISTRY[key](**args)
+
+
+def _load_all():
     from . import (  # noqa: F401  (import registers entries)
         basispursuit,
         covarianceselection,
@@ -33,12 +37,36 @@ def get_prox_ops(problem: str, **args):
         lasso,
         linearprogram,
         linearsvm,
-        model as _model,
+        model,
         quadraticprogram,
         totalvariation,
     )
 
-    key = problem.lower()
-    if key not in _REGISTRY:
-        raise ValueError(f"unknown problem {problem!r}; known: {sorted(_REGISTRY)}")
-    return _REGISTRY[key](**args)
+
+from .basispursuit import basispursuit  # noqa: E402
+from .covarianceselection import covarianceselection  # noqa: E402
+from .huberfit import huberfit  # noqa: E402
+from .lad import lad  # noqa: E402
+from .lasso import lasso  # noqa: E402
+from .linearprogram import linearprogram  # noqa: E402
+from .linearsvm import linearsvm  # noqa: E402
+from .model import model  # noqa: E402
+from .quadraticprogram import quadraticprogram  # noqa: E402
+from .totalvariation import totalvariation  # noqa: E402
+from .unwrapped import unwrappedadmm  # noqa: E402
+
+__all__ = [
+    "get_prox_ops",
+    "register",
+    "model",
+    "lasso",
+    "basispursuit",
+    "totalvariation",
+    "lad",
+    "huberfit",
+    "linearprogram",
+    "quadraticprogram",
+    "covarianceselection",
+    "linearsvm",
+    "unwrappedadmm",
+]

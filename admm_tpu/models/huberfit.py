@@ -1,0 +1,81 @@
+"""Huber fitting: min sum huber(D x - s), split as
+
+    f(x) = 0,  g(z) = sum huber(z),   s.t.   D x - z = s
+
+with huber(a) = a^2/2 for |a| <= 1, |a| - 1/2 otherwise.
+
+Reference: solvers/huberfit.m (wrapper, identical shape to lad.m; objective
+huberfit.m:180) and getProxOps.m case 'huberfit' (:814-912) with z-prox
+zminHuberSoftThresholding (getProxOps.m:1529-1539).
+
+x-update:  same as LAD — solve D^T D x = D^T (s + z - u) (f == 0)
+z-update:  z = (rho v + soft_threshold(v, 1 + 1/rho)) / (1 + rho),
+           v = D x + u - s (or Axhat + u - s under relaxation)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import ADMMConfig
+from ..engine import Hooks, admm
+from ..ops.prox import huber_prox
+from ..results import ADMMResults
+from . import register
+from ._common import merge_config, timed_solver
+
+
+def huber_loss(a):
+    """huber(a) = a^2/2 (|a| <= 1), |a| - 1/2 (else) — the penalty whose
+    proximal operator is zminHuberSoftThresholding (getProxOps.m:1529-1539);
+    equals 1/2 * the reference tester's huber() (huberfittest.m:131)."""
+    aa = jnp.abs(a)
+    return jnp.where(aa <= 1.0, 0.5 * a * a, aa - 0.5)
+
+
+def make_prox_ops(D, s, config: ADMMConfig = ADMMConfig()):
+    """Build (prox_f, prox_g, obj) for Huber fitting (getProxOps.m:814-912)."""
+    D = jnp.asarray(D)
+    s = jnp.asarray(s)
+    Dplus = jnp.linalg.solve(D.T @ D, D.T)
+
+    def prox_f(x, z, u, rho):
+        return Dplus @ (s + z - u)
+
+    if config.relax == 1.0:
+
+        def prox_g(x, z, u, rho):
+            return huber_prox(D @ x, u, s, rho)
+
+    else:
+
+        def prox_g(Axhat, z, u, rho):
+            return huber_prox(Axhat, u, s, rho)
+
+    def obj(x, z):
+        return jnp.sum(huber_loss(z))
+
+    return prox_f, prox_g, obj
+
+
+@register("huberfit")
+def _registry_entry(D, s, config=ADMMConfig(), **_):
+    return make_prox_ops(D, s, config)
+
+
+@timed_solver
+def huberfit(D, s, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
+    """Solve Huber fitting (reference solvers/huberfit.m:83).
+
+    Constraint wiring: A = D, B = -1, c = s (same shape as lad.m:140-145).
+    """
+    config = merge_config(config, overrides)
+    D = jnp.asarray(D)
+    s = jnp.asarray(s)
+    m, n = D.shape
+    prox_f, prox_g, obj = make_prox_ops(D, s, config)
+    return admm(
+        prox_f, prox_g, config,
+        A=D, B=-1.0, c=s, m=m, nA=n, nB=m,
+        hooks=Hooks(obj=obj), dtype=D.dtype,
+    )

@@ -1,0 +1,78 @@
+"""Least absolute deviations: min ||D x - s||_1, split as
+
+    f(x) = 0,  g(z) = ||z||_1,   s.t.   D x - z = s.
+
+Reference: solvers/lad.m (wrapper; R = chol(D^T D) at lad.m:134, constraint
+A = D, B = -1, c = s at lad.m:140-145) and getProxOps.m case 'lad'
+(:753-811) with x-prox xminLAD (getProxOps.m:1511-1515).
+
+x-update:  solve D^T D x = D^T (s + z - u)
+z-update:  soft_threshold(D x + u - s, 1/rho)
+           (relaxation-aware variant consumes Axhat directly, selected by
+           config.relax — the reference's args.userelax, lad.m:124-126)
+
+TPU design: the x-update is rho-independent, so the normal-equations
+pseudo-inverse (D^T D)^{-1} D^T is materialized once at setup; every
+x-update then is a single m->n GEMV on the MXU instead of the reference's
+pair of triangular solves per iteration.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import ADMMConfig
+from ..engine import Hooks, admm
+from ..ops.prox import soft_threshold
+from ..results import ADMMResults
+from . import register
+from ._common import merge_config, timed_solver
+
+
+def make_prox_ops(D, s, config: ADMMConfig = ADMMConfig()):
+    """Build (prox_f, prox_g, obj) for LAD (getProxOps.m:753-811)."""
+    D = jnp.asarray(D)
+    s = jnp.asarray(s)
+    Dplus = jnp.linalg.solve(D.T @ D, D.T)  # (D^T D)^{-1} D^T, setup-time
+
+    def prox_f(x, z, u, rho):
+        return Dplus @ (s + z - u)
+
+    if config.relax == 1.0:
+
+        def prox_g(x, z, u, rho):
+            return soft_threshold(D @ x + u - s, 1.0 / rho)
+
+    else:
+        # Relaxed path: the engine hands Axhat as the first argument
+        # (reference relaxation-aware z-prox, getProxOps.m case :753-811).
+        def prox_g(Axhat, z, u, rho):
+            return soft_threshold(Axhat + u - s, 1.0 / rho)
+
+    def obj(x, z):
+        return jnp.sum(jnp.abs(z))
+
+    return prox_f, prox_g, obj
+
+
+@register("lad")
+def _registry_entry(D, s, config=ADMMConfig(), **_):
+    return make_prox_ops(D, s, config)
+
+
+@timed_solver
+def lad(D, s, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
+    """Solve least absolute deviations (reference solvers/lad.m:51).
+
+    Constraint wiring matches lad.m:140-145: A = D, B = -1, c = s.
+    """
+    config = merge_config(config, overrides)
+    D = jnp.asarray(D)
+    s = jnp.asarray(s)
+    m, n = D.shape
+    prox_f, prox_g, obj = make_prox_ops(D, s, config)
+    return admm(
+        prox_f, prox_g, config,
+        A=D, B=-1.0, c=s, m=m, nA=n, nB=m,
+        hooks=Hooks(obj=obj), dtype=D.dtype,
+    )

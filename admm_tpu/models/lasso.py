@@ -1,0 +1,97 @@
+"""LASSO: min 1/2 ||D x - s||^2 + lambda ||z||_1  s.t.  x - z = 0.
+
+Reference: solvers/lasso.m (wrapper; serial precompute at lasso.m:160-177)
+and getProxOps.m case 'lasso' (:313-456) with proxes xminLASSO
+(getProxOps.m:1192-1206) and soft-thresholding z-update (getProxOps.m:455,
+933-938).
+
+x-update:  (D^T D + rho I)^{-1} (D^T s + rho (z - u))
+           fat-matrix (m < n) branch via the matrix-inversion lemma,
+           matching the reference's swapped-roles LU solve
+           (getProxOps.m:1198-1205).
+z-update:  soft_threshold(x + u, lambda / rho)
+
+TPU design: the reference's cached Cholesky + lazy rho refactorization
+becomes a one-time symmetric eigendecomposition whose application is pure
+MXU matmul work and is valid for every runtime rho (ops/solve.py); with
+static rho the inverse is materialized so each x-update is a single GEMV.
+
+The consensus (global-variable) parallel LASSO — the reference's
+parfor-sliced variant (getProxOps.m:367-442, 1217-1343) — is a first-class
+sharded engine in parallel/consensus.py, not a hook here.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import ADMMConfig
+from ..engine import Hooks, admm
+from ..ops.prox import soft_threshold
+from ..ops.solve import SymShiftSolver, WoodburySolver
+from ..results import ADMMResults
+from . import register
+from ._common import merge_config, timed_solver
+
+
+def make_prox_ops(D, s, lam, config: ADMMConfig = ADMMConfig()):
+    """Build (prox_f, prox_g, obj) for LASSO (getProxOps.m:313-456)."""
+    D = jnp.asarray(D)
+    s = jnp.asarray(s)
+    m, n = D.shape
+    Dts = D.T @ s
+
+    if m >= n:
+        # Skinny/square: work with the n-by-n Gram (solvers/lasso.m:164-168).
+        if config.adaptive:
+            sol = SymShiftSolver.from_matrix(D.T @ D)
+
+            def prox_f(x, z, u, rho):
+                return sol.solve(Dts + rho * (z - u), rho)
+
+        else:
+            rho0 = config.rho
+            Minv = SymShiftSolver.from_matrix(D.T @ D).materialize_inverse(rho0)
+
+            def prox_f(x, z, u, rho):
+                return Minv @ (Dts + rho * (z - u))
+
+    else:
+        # Fat: Woodbury through the m-by-m Gram (solvers/lasso.m:169-172;
+        # getProxOps.m:1198-1205).
+        sol = WoodburySolver.from_matrix(D)
+
+        def prox_f(x, z, u, rho):
+            return sol.solve(Dts + rho * (z - u), rho)
+
+    def prox_g(x, z, u, rho):
+        # zminSoftThresholding(u + x, lambda/rho) (getProxOps.m:455, 933-938)
+        return soft_threshold(u + x, lam / rho)
+
+    def obj(x, z):
+        # solvers/lasso.m objective: 1/2||Dx - s||^2 + lambda*||z||_1
+        return 0.5 * jnp.sum((D @ x - s) ** 2) + lam * jnp.sum(jnp.abs(z))
+
+    return prox_f, prox_g, obj
+
+
+@register("lasso")
+def _registry_entry(D, s, lam, config=ADMMConfig(), **_):
+    return make_prox_ops(D, s, lam, config)
+
+
+@timed_solver
+def lasso(D, s, lam, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
+    """Solve LASSO (reference solvers/lasso.m:77).
+
+    Constraint wiring matches lasso.m:226-239: A = 1, B = -1, c = 0 in R^n.
+    """
+    config = merge_config(config, overrides)
+    D = jnp.asarray(D)
+    n = D.shape[1]
+    prox_f, prox_g, obj = make_prox_ops(D, s, lam, config)
+    return admm(
+        prox_f, prox_g, config,
+        A=1.0, B=-1.0, c=0.0, m=n, nA=n, nB=n,
+        hooks=Hooks(obj=obj), dtype=D.dtype,
+    )

@@ -1,0 +1,73 @@
+"""Standard-form linear program:
+
+    min b^T x   s.t.   D x = s,  x >= 0
+
+split as f(x) = b^T x + indicator{Dx = s}, g(z) = indicator{z >= 0},
+x - z = 0.
+
+Reference: solvers/linearprogram.m (wrapper; KKT caches at :146-157) and
+getProxOps.m case 'linearprogram' (:459-542) with proxes xminLinearProgram
+(getProxOps.m:1357-1365) and zminLinearProgram (getProxOps.m:1378-1382).
+
+x-update:  KKT solve [rho I, D^T; D, 0] [x; y] = [rho (z - u) - b; s],
+           keep the x block
+z-update:  max(x + u, 0)
+
+TPU design: instead of LU-factoring the (n+m)^2 KKT matrix per rho change
+(the reference's approach), the Schur-complement solver in ops/solve.py
+eliminates x analytically; per-iteration work is MXU matmuls plus one
+m-by-m Cholesky, valid for any runtime rho.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import ADMMConfig
+from ..engine import Hooks, admm
+from ..ops.prox import project_nonneg
+from ..ops.solve import kkt_eq_solver
+from ..results import ADMMResults
+from . import register
+from ._common import merge_config, timed_solver
+
+
+def make_prox_ops(b, D, s, config: ADMMConfig = ADMMConfig()):
+    """Build (prox_f, prox_g, obj) for the LP (getProxOps.m:459-542)."""
+    b = jnp.asarray(b)
+    D = jnp.asarray(D)
+    s = jnp.asarray(s)
+    kkt = kkt_eq_solver.from_matrices(D, P=None)
+
+    def prox_f(x, z, u, rho):
+        return kkt.solve(rho * (z - u) - b, s, rho)
+
+    def prox_g(x, z, u, rho):
+        return project_nonneg(x + u)
+
+    def obj(x, z):
+        return jnp.dot(b, x)
+
+    return prox_f, prox_g, obj
+
+
+@register("linearprogram")
+def _registry_entry(b, D, s, config=ADMMConfig(), **_):
+    return make_prox_ops(b, D, s, config)
+
+
+@timed_solver
+def linearprogram(b, D, s, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
+    """Solve the standard-form LP (reference solvers/linearprogram.m:81).
+
+    Constraint wiring: A = 1, B = -1, c = 0 in R^n.
+    """
+    config = merge_config(config, overrides)
+    D = jnp.asarray(D)
+    n = D.shape[1]
+    prox_f, prox_g, obj = make_prox_ops(b, D, s, config)
+    return admm(
+        prox_f, prox_g, config,
+        A=1.0, B=-1.0, c=0.0, m=n, nA=n, nB=n,
+        hooks=Hooks(obj=obj), dtype=D.dtype,
+    )

@@ -1,0 +1,84 @@
+"""Linear SVM via unwrapped ADMM with transpose reduction:
+
+    min 1/2 ||x||^2 + C * loss(ell .* (D x))
+
+with hinge loss sum(max(1 - v, 0)) or (nonconvex) 0-1 loss
+sum(max(sign(1 - v), 0)).
+
+Reference: solvers/linearsvm.m (wrapper; objective at linearsvm.m:231-237;
+delegation to unwrappedadmm at :242) and getProxOps.m case 'linearsvm'
+(:202-310) with z-proxes zminLinearSVM (getProxOps.m:1084-1103) and the
+0-1 prox minz01 (getProxOps.m:1158-1180).
+
+z lives in data space (one entry per sample): z_i ~ ell_i * margin_i.
+
+z-update (hinge): z = (Dx + u) + ell .* max(min(1 - v, C/rho), 0),
+                  v = ell .* (Dx + u)
+z-update (0-1):   z = ell .* y,  y_i = s_i where s_i >= 1 or
+                  s_i < 1 - sqrt(2 C / rho), else 1  (s = v)
+
+The distributed variant (row-sharded D with per-shard z/u and psum
+transpose reduction — the reference's parfor path, getProxOps.m:1120-1143
++ unwrappedadmm.m:96-141) lives in parallel/transpose_reduction.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import ADMMConfig
+from ..engine import Hooks
+from ..ops.prox import hinge_prox, zero_one_prox
+from ..results import ADMMResults
+from . import register
+from ._common import merge_config, timed_solver
+from .unwrapped import unwrappedadmm
+
+
+def make_prox_ops(D, ell, C, loss: str = "hinge", config: ADMMConfig = ADMMConfig()):
+    """Build (prox_f, prox_g, obj) for the linear SVM
+    (getProxOps.m:202-310).  prox_f is None — the x-update belongs to the
+    unwrapped-ADMM driver (linearsvm.m:242)."""
+    D = jnp.asarray(D)
+    ell = jnp.asarray(ell)
+    use_01 = str(loss).replace("-", "") in ("01", "zeroone")
+
+    if use_01:
+
+        def prox_g(x, z, u, rho):
+            return zero_one_prox(D @ x + u, ell, C, rho)
+
+        def obj(x, z):
+            v = ell * (D @ x)
+            return 0.5 * jnp.sum(x * x) + C * jnp.sum(jnp.maximum(jnp.sign(1.0 - v), 0.0))
+
+    else:
+
+        def prox_g(x, z, u, rho):
+            return hinge_prox(D @ x + u, ell, C, rho)
+
+        def obj(x, z):
+            v = ell * (D @ x)
+            return 0.5 * jnp.sum(x * x) + C * jnp.sum(jnp.maximum(1.0 - v, 0.0))
+
+    return None, prox_g, obj
+
+
+@register("linearsvm")
+def _registry_entry(D, ell, C, loss="hinge", config=ADMMConfig(), **_):
+    return make_prox_ops(D, ell, C, loss, config)
+
+
+@timed_solver
+def linearsvm(
+    D, ell, C, config: ADMMConfig = ADMMConfig(), *, loss: str = "hinge",
+    seed: int = 0, **overrides,
+) -> ADMMResults:
+    """Train a linear SVM (reference solvers/linearsvm.m:92).
+
+    Delegates to unwrappedadmm(minz, D, ...) exactly as the reference does
+    (linearsvm.m:242); the plain-ADMM path there is dead code.
+    """
+    config = merge_config(config, overrides)
+    _, prox_g, obj = make_prox_ops(D, ell, C, loss, config)
+    return unwrappedadmm(prox_g, D, config, obj=obj, seed=seed)

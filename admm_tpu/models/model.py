@@ -24,6 +24,8 @@ from ..config import ADMMConfig
 from ..engine import Hooks, admm
 from ..ops.solve import SymShiftSolver
 from ..results import ADMMResults
+from . import register
+from ._common import merge_config, timed_solver
 
 
 def make_prox_ops(P, Q, r, s, config: ADMMConfig):
@@ -65,13 +67,18 @@ def make_prox_ops(P, Q, r, s, config: ADMMConfig):
     return prox_f, prox_g, obj
 
 
+@register("model")
+def _registry_entry(P, Q, r, s, config=ADMMConfig(), **_):
+    return make_prox_ops(P, Q, r, s, config)
+
+
+@timed_solver
 def model(P, Q, r, s, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
     """Solve the model problem (reference solvers/model.m:47).
 
     Constraint wiring matches model.m:129-134: A = 1, B = -1, c = 0 in R^n.
     """
-    if overrides:
-        config = ADMMConfig(**{**config.__dict__, **overrides})
+    config = merge_config(config, overrides)
     P = jnp.asarray(P)
     n = P.shape[1]
     prox_f, prox_g, obj = make_prox_ops(P, Q, r, s, config)

@@ -1,0 +1,88 @@
+"""Total variation minimization (1-D denoising):
+
+    min 1/2 ||x - s||^2 + lambda ||z||_1   s.t.   D x - z = 0
+
+with D the bidiagonal difference operator (solvers/totalvariation.m:127).
+
+Reference: solvers/totalvariation.m (wrapper; A = D, B = -1 at :151-156)
+and getProxOps.m case 'totalvariation' (:145-199) with x-prox
+xminTotalVariation (getProxOps.m:1044-1048).
+
+x-update:  (I + rho D^T D)^{-1} (s + rho D^T (z - u))
+z-update:  soft_threshold(u + D x, lambda / rho)
+
+TPU design: D and D^T apply matrix-free in O(n) (linop.DiffOp); the
+tridiagonal system (I + rho D^T D) is diagonalized once at setup (dense
+eigh of the structured Gram), so each x-update is MXU matmul work valid
+for any runtime rho.  The reference instead sparse-backslashes the system
+every iteration (getProxOps.m:1048).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import ADMMConfig
+from ..engine import Hooks, admm
+from ..linop import DiffOp
+from ..ops.prox import soft_threshold
+from ..results import ADMMResults
+from . import register
+from ._common import merge_config, timed_solver
+
+
+def make_prox_ops(s, lam, config: ADMMConfig = ADMMConfig()):
+    """Build (prox_f, prox_g, obj, D) for TV (getProxOps.m:145-199)."""
+    s = jnp.asarray(s)
+    n = s.shape[0]
+    D = DiffOp(n)
+    Dd = D.dense(s.dtype)
+    DtD = Dd.T @ Dd  # dense D^T D (tridiagonal), built once at setup
+    DtD = 0.5 * (DtD + DtD.T)
+    w, V = jnp.linalg.eigh(DtD)
+
+    if config.adaptive:
+
+        def prox_f(x, z, u, rho):
+            b = s + rho * D.rmv(z - u)
+            return V @ ((V.T @ b) / (1.0 + rho * w))
+
+    else:
+        rho0 = config.rho
+        Minv = (V / (1.0 + rho0 * w)[None, :]) @ V.T
+
+        def prox_f(x, z, u, rho):
+            return Minv @ (s + rho * D.rmv(z - u))
+
+    def prox_g(x, z, u, rho):
+        # The engine passes raw x (or Axhat under relaxation); the reference
+        # z-prox computes D*x itself (getProxOps.m case :145-199).
+        Dx = D.mv(x) if config.relax == 1.0 else x
+        return soft_threshold(u + Dx, lam / rho)
+
+    def obj(x, z):
+        return 0.5 * jnp.sum((x - s) ** 2) + lam * jnp.sum(jnp.abs(z))
+
+    return prox_f, prox_g, obj, D
+
+
+@register("totalvariation")
+def _registry_entry(s, lam, config=ADMMConfig(), **_):
+    return make_prox_ops(s, lam, config)[:3]
+
+
+@timed_solver
+def totalvariation(s, lam, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
+    """Solve 1-D TV denoising (reference solvers/totalvariation.m:62).
+
+    Constraint wiring matches totalvariation.m:151-156: A = D, B = -1, c = 0.
+    """
+    config = merge_config(config, overrides)
+    s = jnp.asarray(s)
+    n = s.shape[0]
+    prox_f, prox_g, obj, D = make_prox_ops(s, lam, config)
+    return admm(
+        prox_f, prox_g, config,
+        A=D, B=-1.0, c=0.0, m=n, nA=n, nB=n,
+        hooks=Hooks(obj=obj), dtype=s.dtype,
+    )

@@ -1,0 +1,32 @@
+"""Distributed execution over a jax.sharding Mesh.
+
+TPU-native re-design of the reference's MATLAB Parallel Computing Toolbox
+layer (gcp/parfor; reference admm.m:343-467, getProxOps.m:367-442,
+1217-1343, solvers/unwrappedadmm.m:96-141).  The reference crosses the
+client->worker process boundary twice per prox per iteration (broadcast +
+gather); here each distributed solver is ONE compiled XLA program per
+solve — state lives sharded across devices, and the reference's
+broadcast/gather/all-reduce patterns become psum/pmean collectives over
+ICI (multi-host: DCN via jax.distributed).
+
+Three distributed forms, matching SURVEY.md section 2.7:
+
+- consensus ADMM (global-variable LASSO): `consensus.consensus_lasso`
+- transpose-reduction unwrapped ADMM (SVM): `transpose_reduction`
+- engine-generic sliced proximal updates: `sliced.make_sliced_prox`
+"""
+
+from .mesh import make_mesh, pad_rows, shard_rows
+from .consensus import consensus_lasso
+from .transpose_reduction import unwrapped_admm_sharded, linearsvm_sharded
+from .sliced import make_sliced_prox
+
+__all__ = [
+    "make_mesh",
+    "pad_rows",
+    "shard_rows",
+    "consensus_lasso",
+    "unwrapped_admm_sharded",
+    "linearsvm_sharded",
+    "make_sliced_prox",
+]

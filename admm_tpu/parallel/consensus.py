@@ -1,0 +1,205 @@
+"""Consensus (global-variable) ADMM LASSO over a device mesh.
+
+The reference's parallel LASSO (getProxOps.m:367-442 setup;
+xminParallelLASSO :1217-1260; zminParallelLASSO :1272-1299; altuLASSO
+:1312-1326; lassonorms :1335-1343) shards data rows into N slices, gives
+each worker a local x_i/u_i, and keeps a single global z:
+
+    x_i <- (D_i^T D_i + rho I)^{-1} (D_i^T s_i + rho (z - u_i))   [local]
+    xbar = mean_i x_i,  ubar = mean_i u_i                         [all-reduce]
+    z    <- soft_threshold(xbar + ubar, lambda / (rho N))         [replicated]
+    u_i  <- u_i + x_i - z                                         [local]
+
+with consensus residuals (stored *squared*, exactly as the reference's
+lassonorms feeds them to the engine via specialnorms, admm.m:612-616):
+
+    pnorm = sum_i ||x_i - xbar||^2
+    dnorm = N rho^2 ||xbar - xbar_prev||^2
+
+and Boyd errors computed from the consensus aggregates (the reference's
+engine sees x = xbar, u = ubar via altu; admm.m:639-658).
+
+TPU design: the reference pays a client->worker broadcast + gather per
+prox per iteration (parfor); here the ENTIRE solve is one jitted program
+over sharded state — per-shard solves are local matmuls on each device,
+and the averages are psum/pmean collectives on ICI.  The per-iteration
+collective payload is 2n floats (xbar, ubar) + 2 scalars, independent of
+the data size: weak scaling in the number of rows is essentially free.
+
+Implemented with sharding annotations (GSPMD) rather than shard_map: the
+stacked per-shard arrays carry a NamedSharding over the mesh axis, means
+over the shard axis compile to all-reduces, and the same program runs on
+1..N devices (SURVEY.md section 7 "Distributed layer").
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ADMMConfig
+from ..ops.prox import soft_threshold
+from ..results import ADMMResults
+from .mesh import make_mesh, pad_rows, shard_rows
+
+
+def _build_consensus_runner(cfg: ADMMConfig, W: int, n: int):
+    """Jittable consensus-LASSO loop over stacked per-shard operands.
+
+    Operands:
+      Minv : (W, n, n)  per-shard (D_i^T D_i + rho I)^{-1}
+      Dtsi : (W, n)     per-shard D_i^T s_i
+      lam  : scalar
+    """
+    N = int(cfg.maxiters)
+
+    def run(Minv, Dtsi, lam):
+        rdtype = Dtsi.dtype
+        rho = jnp.asarray(cfg.rho, rdtype)
+        zeros_hist = jnp.full((N,), jnp.nan, rdtype)
+
+        xi0 = jnp.zeros((W, n), rdtype)
+        ui0 = jnp.zeros((W, n), rdtype)
+        z0 = jnp.zeros((n,), rdtype)
+
+        carry0 = (
+            jnp.asarray(0, jnp.int32),
+            xi0, z0, ui0,
+            jnp.zeros((n,), rdtype),  # xbar_prev
+            jnp.asarray(False),
+            (zeros_hist, zeros_hist, zeros_hist, zeros_hist),
+        )
+
+        def cond(c):
+            return jnp.logical_and(c[0] < N, jnp.logical_not(c[5]))
+
+        def body(c):
+            k, xi, z, ui, xbar_prev, done, hist = c
+
+            # Local x-solves (xminParallelLASSO, getProxOps.m:1217-1260):
+            # one batched (sharded) matmul per device.
+            rhs = Dtsi + rho * (z[None, :] - ui)
+            xi = jnp.einsum("wij,wj->wi", Minv, rhs)
+
+            # Consensus aggregates: mean over the shard axis -> all-reduce.
+            xbar = jnp.mean(xi, axis=0)
+            ubar = jnp.mean(ui, axis=0)
+
+            # Global z (zminParallelLASSO, getProxOps.m:1290-1293).
+            z = soft_threshold(xbar + ubar, lam / (rho * W))
+
+            # Immediate per-slice dual update (getProxOps.m:1296-1298).
+            ui = ui + (xi - z[None, :])
+
+            # Consensus residuals, squared (lassonorms, getProxOps.m:1335-1343).
+            pnorm = jnp.sum((xi - xbar[None, :]) ** 2)
+            dnorm = W * rho**2 * jnp.sum((xbar - xbar_prev) ** 2)
+
+            # Boyd errors on the aggregates (engine sees x=xbar, u=ubar
+            # through altu; admm.m:639-658 with A=1, B=-1, c=0).
+            sqn = jnp.sqrt(jnp.asarray(float(n), rdtype))
+            perr = sqn * cfg.abstol + cfg.reltol * jnp.maximum(
+                jnp.linalg.norm(xbar), jnp.linalg.norm(z)
+            )
+            derr = sqn * cfg.abstol + cfg.reltol * rho * jnp.linalg.norm(ubar)
+
+            stop = (pnorm < perr) & (dnorm < derr)
+            if cfg.domaxiters:
+                stop = jnp.asarray(False)
+
+            hp, hd, hpe, hde = hist
+            hist = (
+                hp.at[k].set(pnorm), hd.at[k].set(dnorm),
+                hpe.at[k].set(perr), hde.at[k].set(derr),
+            )
+            return (k + 1, xi, z, ui, xbar, stop, hist)
+
+        k, xi, z, ui, xbar, done, hist = lax.while_loop(cond, body, carry0)
+        ubar = jnp.mean(ui, axis=0)
+        return {
+            "steps": k,
+            "xopt": xbar,        # the reference returns xbar as x (:1260)
+            "zopt": z,
+            "uopt": ubar,
+            "xi": xi,
+            "ui": ui,
+            "rho_final": jnp.asarray(cfg.rho, Dtsi.dtype),
+            "diverged": jnp.asarray(False),
+            "hist": {"pnorm": hist[0], "dnorm": hist[1],
+                     "perr": hist[2], "derr": hist[3]},
+        }
+
+    return run
+
+
+def consensus_lasso(
+    D,
+    s,
+    lam,
+    config: ADMMConfig = ADMMConfig(),
+    *,
+    mesh: Optional[Mesh] = None,
+    nshards: Optional[int] = None,
+) -> ADMMResults:
+    """Solve LASSO by consensus ADMM with data rows sharded over a mesh.
+
+    Mirrors ``lasso(..., options.parallel)`` + the consensus closures
+    (solvers/lasso.m:196-224, getProxOps.m:367-442).  ``nshards`` defaults
+    to the mesh size (the reference defaults slices to the worker count,
+    errorcheck.m:240-265).
+    """
+    t0 = time.perf_counter()
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    W = nshards if nshards is not None else mesh.devices.size
+    if W != mesh.devices.size:
+        # Shard count must equal the mesh extent (static shapes); build a
+        # sub-mesh over the first W devices.
+        mesh = make_mesh(W, axis)
+
+    D = np.asarray(D)
+    s = np.asarray(s)
+    m, n = D.shape
+    Dp, _ = pad_rows(D, W)       # zero rows: exact no-ops for D^T D, D^T s
+    sp, _ = pad_rows(s, W)
+    Di = shard_rows(Dp, W)       # (W, m/W, n)
+    si = shard_rows(sp, W)       # (W, m/W)
+
+    shard_spec = NamedSharding(mesh, P(axis))
+    Di_dev = jax.device_put(jnp.asarray(Di), shard_spec)
+    si_dev = jax.device_put(jnp.asarray(si), shard_spec)
+
+    # Per-shard setup, batched + sharded: Gram, D^T s, and the rho-folded
+    # inverse (the reference's per-slice Cholesky caches,
+    # getProxOps.m:404-442).
+    @partial(jax.jit, out_shardings=(shard_spec, shard_spec))
+    def setup(Di, si):
+        G = jnp.einsum("wij,wik->wjk", Di, Di)
+        G = G + config.rho * jnp.eye(n, dtype=Di.dtype)[None]
+        Minv = jnp.linalg.inv(G)
+        Dtsi = jnp.einsum("wij,wi->wj", Di, si)
+        return Minv, Dtsi
+
+    Minv, Dtsi = setup(Di_dev, si_dev)
+
+    runner = jax.jit(_build_consensus_runner(config, W, n))
+    out = jax.block_until_ready(runner(Minv, Dtsi, jnp.asarray(lam, Dtsi.dtype)))
+    runtime = time.perf_counter() - t0
+
+    res = ADMMResults.from_raw(
+        {k: v for k, v in out.items() if k not in ("xi", "ui")}, config
+    )
+    res.runtime = runtime
+    res.extra["xi"] = out["xi"]
+    res.extra["ui"] = out["ui"]
+    res.extra["nshards"] = W
+    res.extra["mesh"] = mesh
+    return res

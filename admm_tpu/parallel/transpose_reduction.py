@@ -1,0 +1,236 @@
+"""Distributed unwrapped ADMM with transpose reduction.
+
+The reference's clearest multi-node pattern (solvers/unwrappedadmm.m:96-141
++ zminParallelLinearSVM, getProxOps.m:1120-1143): rows of D are sliced
+across workers; each iteration does
+
+    d_i = D_i^T (z_i - u_i)        [local matvec]
+    d   = sum_i d_i                [all-reduce]
+    x   = W^{-1} d,  W = sum_i D_i^T D_i   [replicated solve]
+    z_i = prox_g(D_i x + u_i, ...) [local]
+    u_i = u_i + D_i x - z_i        [local]
+
+TPU design: one jitted XLA program over row-sharded (W, m/W, ...) arrays;
+the reduce-sum is a psum over ICI of an n-vector per iteration, and the
+replicated solve is a single n-by-n GEMV against the precomputed W^{-1}
+(the reference solves W \\ d every iteration, unwrappedadmm.m:139).
+
+Stopping preserved from the unwrapped driver (unwrappedadmm.m:81-92):
+stopcond='both' with nodualerror — primal Boyd test OR H-norm test.
+
+Padding note: rows are zero-padded to equal shards.  Padded rows carry a
+zero mask entry so prox/objective treat them as absent; their z/u start
+at zero and stay zero-coupled (D_i x = 0 on zero rows).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ADMMConfig
+from ..ops.prox import hinge_prox, zero_one_prox
+from ..results import ADMMResults
+from .mesh import make_mesh, pad_rows, shard_rows
+
+
+def unwrapped_admm_sharded(
+    prox_g_shard: Callable,
+    D,
+    config: ADMMConfig = ADMMConfig(),
+    *,
+    aux=None,
+    obj_shard: Optional[Callable] = None,
+    obj_global: Optional[Callable] = None,
+    mesh: Optional[Mesh] = None,
+    nshards: Optional[int] = None,
+    seed: int = 0,
+) -> ADMMResults:
+    """Row-sharded unwrapped ADMM.
+
+    ``prox_g_shard(Dx_i, z_i, u_i, rho, aux_i)`` maps per-shard arrays of
+    shape (W, m/W) -> new z_i.  ``aux`` is a pytree of per-row arrays
+    (shape (m, ...)) sharded alongside D (e.g. labels + pad mask).
+    ``obj_shard(x, Dx_i, z_i, aux_i)`` returns a per-call scalar summed
+    over shards; ``obj_global(x)`` adds the replicated term.
+    """
+    t0 = time.perf_counter()
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    W = nshards if nshards is not None else mesh.devices.size
+    if W != mesh.devices.size:
+        mesh = make_mesh(W, axis)
+
+    D = np.asarray(D)
+    m, n = D.shape
+    Dp, n_pad = pad_rows(D, W)
+    mp = Dp.shape[0]
+    Di = shard_rows(Dp, W)  # (W, m/W, n)
+
+    def _shard_aux(a):
+        ap, _ = pad_rows(np.asarray(a), W)
+        return shard_rows(ap, W)
+
+    aux_i = jax.tree_util.tree_map(_shard_aux, aux) if aux is not None else ()
+
+    shard_spec = NamedSharding(mesh, P(axis))
+    Di_dev = jax.device_put(jnp.asarray(Di), shard_spec)
+    aux_dev = jax.tree_util.tree_map(
+        lambda a: jax.device_put(jnp.asarray(a), shard_spec), aux_i
+    )
+
+    # One-time gram reduction: W_g = sum_i D_i^T D_i (unwrappedadmm.m:96-123)
+    # — psum of per-shard MXU grams — then a replicated inverse.
+    @jax.jit
+    def gram_inv(Di):
+        G = jnp.einsum("wij,wik->jk", Di, Di)
+        return jnp.linalg.inv(0.5 * (G + G.T))
+
+    Winv = gram_inv(Di_dev)
+
+    N = int(config.maxiters)
+    rho0 = config.rho
+    needs_h = config.needs_hnorm
+
+    # Random warm start in the valid region, zeros on padding
+    # (unwrappedadmm.m:89-91).
+    kx, kz, ku = jax.random.split(jax.random.PRNGKey(seed), 3)
+    dtype = Di.dtype
+    x0 = jax.random.uniform(kx, (n,), dtype=dtype)
+    mrow = np.zeros((mp,), dtype=dtype)
+    mrow[:m] = 1.0
+    mask = jax.device_put(jnp.asarray(shard_rows(mrow, W)), shard_spec)
+    z0 = jax.random.uniform(kz, (mp,), dtype=dtype).reshape(W, mp // W)
+    u0 = jax.random.uniform(ku, (mp,), dtype=dtype).reshape(W, mp // W)
+
+    def run(Di, x0, z0, u0, mask, aux_i):
+        rdtype = x0.dtype
+        rho = jnp.asarray(rho0, rdtype)
+        z0 = z0 * mask
+        u0 = u0 * mask
+        nan_hist = jnp.full((N,), jnp.nan, rdtype)
+        M1 = float(m)  # true row count (padding excluded from the error bar)
+
+        carry0 = (
+            jnp.asarray(0, jnp.int32), x0, z0, u0,
+            z0, rho * u0,              # H-norm w-parts (admm.m:302-313)
+            jnp.asarray(jnp.inf, rdtype),
+            jnp.asarray(False),
+            (nan_hist, nan_hist, nan_hist),
+        )
+
+        def cond(c):
+            return jnp.logical_and(c[0] < N, jnp.logical_not(c[7]))
+
+        def body(c):
+            k, x, zi, ui, wz, wu, Hprev, done, hist = c
+            i = k + 1
+
+            # x-update: local matvec + all-reduce + replicated GEMV.
+            di = jnp.einsum("wij,wi->j", Di, zi - ui)
+            x = Winv @ di
+            Dx = jnp.einsum("wij,j->wi", Di, x)
+
+            # z-update: local prox (masked on padded rows).
+            zi = prox_g_shard(Dx, zi, ui, rho, aux_i) * mask
+
+            # u-update (admm.m:547-552 with A=D, B=-1, c=0).
+            r = (Dx - zi) * mask
+            ui = ui + r
+
+            pnorm = jnp.sqrt(jnp.sum(r * r))
+            perr = jnp.sqrt(M1) * config.abstol + config.reltol * jnp.maximum(
+                jnp.sqrt(jnp.sum((Dx * mask) ** 2)), jnp.sqrt(jnp.sum(zi * zi))
+            )
+
+            # H-norm over w = [x; z; rho u] with B = -1 (admm.m:302-313).
+            wz_new, wu_new = zi, rho * ui
+            Hsq = rho * jnp.sum((wz - wz_new) ** 2) + rho * jnp.sum((wu - wu_new) ** 2)
+
+            stop = pnorm < perr
+            if needs_h:
+                stop = stop | ((i > 2) & (Hsq <= config.hnormtol))
+            if config.domaxiters:
+                stop = jnp.asarray(False)
+
+            hp, hpe, hh = hist
+            hist = (hp.at[k].set(pnorm), hpe.at[k].set(perr), hh.at[k].set(Hsq))
+            return (k + 1, x, zi, ui, wz_new, wu_new, Hsq, stop, hist)
+
+        k, x, zi, ui, _, _, _, _, hist = lax.while_loop(cond, body, carry0)
+
+        objopt = ()
+        if obj_shard is not None or obj_global is not None:
+            Dx = jnp.einsum("wij,j->wi", Di, x)
+            objopt = jnp.asarray(0.0, rdtype)
+            if obj_shard is not None:
+                objopt = objopt + obj_shard(x, Dx, zi, aux_i)
+            if obj_global is not None:
+                objopt = objopt + obj_global(x)
+
+        return {
+            "steps": k, "xopt": x, "zopt": zi, "uopt": ui,
+            "rho_final": jnp.asarray(rho0, rdtype),
+            "diverged": jnp.asarray(False),
+            "objopt": objopt,
+            "hist": {"pnorm": hist[0], "perr": hist[1], "Hnormsq": hist[2]},
+        }
+
+    out = jax.block_until_ready(
+        jax.jit(run)(Di_dev, x0, z0, u0, mask, aux_dev)
+    )
+    runtime = time.perf_counter() - t0
+    res = ADMMResults.from_raw(out, config)
+    res.runtime = runtime
+    res.extra["nshards"] = W
+    res.extra["mesh"] = mesh
+    res.extra["n_pad"] = n_pad
+    return res
+
+
+def linearsvm_sharded(
+    D, ell, C, config: ADMMConfig = ADMMConfig(), *, loss: str = "hinge",
+    mesh: Optional[Mesh] = None, nshards: Optional[int] = None, seed: int = 0,
+) -> ADMMResults:
+    """Distributed linear SVM: the reference's parallel path
+    (linearsvm.m:169-206 -> unwrappedadmm parfor branch ->
+    zminParallelLinearSVM, getProxOps.m:1120-1143)."""
+    ell = np.asarray(ell, dtype=np.asarray(D).dtype)
+    use_01 = str(loss).replace("-", "") in ("01", "zeroone")
+    prox = zero_one_prox if use_01 else hinge_prox
+
+    def prox_g_shard(Dx, zi, ui, rho, aux_i):
+        ell_i, mask_i = aux_i
+        return prox(Dx + ui, ell_i, C, rho)
+
+    def obj_shard(x, Dx, zi, aux_i):
+        ell_i, mask_i = aux_i
+        v = ell_i * Dx
+        if use_01:
+            lossv = jnp.maximum(jnp.sign(1.0 - v), 0.0)
+        else:
+            lossv = jnp.maximum(1.0 - v, 0.0)
+        return C * jnp.sum(lossv * mask_i)
+
+    def obj_global(x):
+        return 0.5 * jnp.sum(x * x)
+
+    mask = np.ones_like(ell)
+    cfg = config
+    # stopping defaults preserved from the unwrapped driver
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, stopcond="both", nodualerror=True)
+    return unwrapped_admm_sharded(
+        prox_g_shard, D, cfg,
+        aux=(ell, mask), obj_shard=obj_shard, obj_global=obj_global,
+        mesh=mesh, nshards=nshards, seed=seed,
+    )

@@ -1,0 +1,154 @@
+"""Multi-scale batch correctness/scaling harness.
+
+Mirrors reference testers/solvertester.m:29-263: sweep problem sizes
+2^minscale..2^maxscale x trials random instances per size with per-solver
+default error tolerances (solvertester.m:114-123) and shape presets
+('square' 2^s x 2^s, 'fat' 2^(s-1) x 2^s, 'skinny' 2^s x 2^(s-1);
+solvertester.m:349-363), aggregate a failure matrix and mean runtime per
+scale.  Doubles as the library's benchmark rig (SURVEY.md section 6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..config import ADMMConfig
+from . import problems as _p
+
+# Per-solver default errtol (solvertester.m:114-123).
+_DEFAULT_ERRTOL = {
+    "basispursuit": 1e-10,
+    "linearprogram": 1e-6,   # reference uses 1e-10 with MATLAB backslash
+    "linearsvm": 0.05,
+}
+
+_TESTERS: dict[str, Callable] = {
+    "model": _p.modeltest,
+    "lasso": _p.lassotest,
+    "basispursuit": _p.basispursuittest,
+    "totalvariation": _p.totalvariationtest,
+    "lad": _p.ladtest,
+    "huberfit": _p.huberfittest,
+    "linearprogram": _p.linearprogramtest,
+    "quadraticprogram": _p.quadraticprogramtest,
+    "covarianceselection": _p.covarianceselectiontest,
+    "linearsvm": _p.linearsvmtest,
+}
+
+
+def _shape(solver: str, scale: int, testtype: str):
+    n = 2**scale
+    if solver == "basispursuit":
+        return max(2 ** (scale - 2), 2), n  # must be fat
+    if testtype == "fat":
+        return 2 ** max(scale - 1, 1), n
+    if testtype == "skinny":
+        return n, 2 ** max(scale - 1, 1)
+    return n, n
+
+
+@dataclass
+class SolverTestReport:
+    solver: str
+    scales: list
+    runtimes: np.ndarray          # (n_scales, trials) whole-solve seconds
+    steps: np.ndarray             # (n_scales, trials)
+    failed: np.ndarray            # (n_scales, trials) bool
+    avetimes: np.ndarray = field(init=False)
+    any_failed: bool = field(init=False)
+
+    def __post_init__(self):
+        self.avetimes = np.nanmean(self.runtimes, axis=1)
+        self.any_failed = bool(np.any(self.failed))
+
+    def summary(self) -> str:
+        lines = [f"solvertester: {self.solver} "
+                 f"({'FAILURES' if self.any_failed else 'all passed'})"]
+        for i, sc in enumerate(self.scales):
+            lines.append(
+                f"  scale 2^{sc}: mean runtime {self.avetimes[i]:.4f}s, "
+                f"mean steps {np.nanmean(self.steps[i]):.0f}, "
+                f"failures {int(self.failed[i].sum())}/{self.failed.shape[1]}"
+            )
+        return "\n".join(lines)
+
+
+def solvertester(
+    solver: str,
+    minscale: int = 4,
+    maxscale: int = 6,
+    trials: int = 3,
+    showplots: bool = False,
+    config: ADMMConfig = ADMMConfig(),
+    *,
+    testtype: str = "square",
+    errtol: Optional[float] = None,
+    seed: Optional[int] = None,
+    quiet: bool = True,
+    save_plot: Optional[str] = None,
+    **tester_kwargs,
+) -> SolverTestReport:
+    """Run ``trials`` random instances per scale in 2^minscale..2^maxscale.
+
+    Seeding policy per solvertester.m:108-112/157: a fixed ``seed`` makes
+    the whole sweep deterministic; otherwise per-trial seeds are drawn
+    fresh.
+    """
+    if solver not in _TESTERS:
+        raise ValueError(f"unknown solver {solver!r}; known: {sorted(_TESTERS)}")
+    tester = _TESTERS[solver]
+    errtol = errtol if errtol is not None else _DEFAULT_ERRTOL.get(solver, 1e-3)
+
+    master = np.random.default_rng(seed)
+    scales = list(range(minscale, maxscale + 1))
+    runtimes = np.full((len(scales), trials), np.nan)
+    steps = np.full((len(scales), trials), np.nan)
+    failed = np.zeros((len(scales), trials), dtype=bool)
+
+    for i, sc in enumerate(scales):
+        rows, cols = _shape(solver, sc, testtype)
+        for t in range(trials):
+            trial_seed = int(master.integers(0, 2**31 - 1))
+            if solver == "linearsvm":
+                res, _, test = tester(
+                    seed=trial_seed, mpos=rows, mneg=rows, errtol=errtol,
+                    quiet=True, config=config, **tester_kwargs)
+            else:
+                res, test = tester(
+                    seed=trial_seed, rows=rows, cols=cols, errtol=errtol,
+                    quiet=True, config=config, **tester_kwargs)
+            runtimes[i, t] = res.solverruntime or res.runtime
+            steps[i, t] = res.steps
+            failed[i, t] = bool(test["failed"])
+
+    report = SolverTestReport(solver, scales, runtimes, steps, failed)
+    if not quiet:
+        print(report.summary())
+    if showplots or save_plot:
+        _plot(report, showplots, save_plot)
+    return report
+
+
+def _plot(report: SolverTestReport, show, save):
+    import matplotlib
+
+    if not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.semilogy(report.scales, report.avetimes, "o-")
+    ax.set_xlabel("problem scale (2^s)")
+    ax.set_ylabel("mean solver runtime (s)")
+    ax.set_title(f"{report.solver}: runtime vs scale")
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    if save:
+        fig.savefig(save, dpi=110)
+    if show:
+        plt.show()
+    else:
+        plt.close(fig)

@@ -1,0 +1,85 @@
+"""Benchmark: ADMM iterations/sec/chip on LASSO with dense D (1500 x 5000).
+
+The north-star metric from BASELINE.json ("ADMM iterations/sec/chip at
+lasso n=5000").  The reference publishes no numbers (BASELINE.md), so
+``vs_baseline`` compares against a faithful single-process NumPy
+implementation of the same iteration run on this host — a stand-in for
+the reference's single-process MATLAB loop (admm.m:496-743), which uses
+the same BLAS-bound operations.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "iter/s", "vs_baseline": N}
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _numpy_lasso_iters_per_sec(D, s, lam, rho, iters=50):
+    """The reference's serial fat-lasso iteration in NumPy: Woodbury
+    x-update via cached Cholesky (solvers/lasso.m:169-172,
+    getProxOps.m:1198-1205) + soft-threshold z + dual update."""
+    import scipy.linalg as sla
+
+    m, n = D.shape
+    Dts = D.T @ s
+    G = D @ D.T / rho + np.eye(m)
+    L = sla.cholesky(G, lower=True)
+    x = np.zeros(n)
+    z = np.zeros(n)
+    u = np.zeros(n)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = Dts + rho * (z - u)
+        w = sla.solve_triangular(L.T, sla.solve_triangular(L, D @ y, lower=True))
+        x = y / rho - (D.T @ w) / rho**2
+        v = x + u
+        z = np.sign(v) * np.maximum(np.abs(v) - lam / rho, 0.0)
+        u = u + x - z
+    dt = time.perf_counter() - t0
+    return iters / dt
+
+
+def main(smoke: bool = False):
+    from admm_tpu import ADMMConfig
+    from admm_tpu.models.lasso import lasso
+
+    m, n = (96, 320) if smoke else (1500, 5000)
+    rng = np.random.default_rng(0)
+    testx = rng.standard_normal(n) * (rng.random(n) < 0.1)
+    D = rng.standard_normal((m, n)).astype(np.float32)
+    D = D / np.sqrt(np.sum(D**2, axis=0, keepdims=True))
+    s = (D @ testx + np.sqrt(0.001) * rng.standard_normal(m)).astype(np.float32)
+    lam = float(0.1 * np.max(np.abs(D.T @ s)))
+
+    iters = 100 if smoke else 2000
+    cfg = ADMMConfig(maxiters=iters, domaxiters=True)
+
+    # Warm-up (compile), then the timed run.
+    lasso(D, s, lam, cfg)
+    res = lasso(D, s, lam, cfg)
+    iters_per_sec = iters / res.runtime
+
+    baseline = _numpy_lasso_iters_per_sec(
+        D.astype(np.float64), s.astype(np.float64), lam, cfg.rho,
+        iters=20 if smoke else 50,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "lasso_n5000_admm_iterations_per_sec_per_chip",
+                "value": round(iters_per_sec, 2),
+                "unit": "iter/s",
+                "vs_baseline": round(iters_per_sec / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(smoke="--smoke" in sys.argv)

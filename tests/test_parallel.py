@@ -1,0 +1,179 @@
+"""Distributed-layer tests on the 8-virtual-device CPU mesh — the
+cluster-free analog of the reference's local MATLAB worker pool
+(SURVEY.md section 4 'Multi-worker testing without a cluster')."""
+
+import numpy as np
+import pytest
+
+from admm_tpu import ADMMConfig, lasso, linearsvm
+from admm_tpu.parallel import (
+    consensus_lasso,
+    linearsvm_sharded,
+    make_mesh,
+    make_sliced_prox,
+    pad_rows,
+    shard_rows,
+)
+
+
+def _lasso_instance(seed, rows, cols):
+    rng = np.random.default_rng(seed)
+    testx = rng.standard_normal(cols) * (rng.random(cols) < 0.6)
+    D = rng.standard_normal((rows, cols))
+    D = D / np.sqrt(np.sum(D**2, axis=0, keepdims=True))
+    s = D @ testx + np.sqrt(0.001) * rng.standard_normal(rows)
+    lam = 0.1 * np.max(np.abs(D.T @ s))
+    return D, s, lam, testx
+
+
+def _lasso_obj(D, s, lam, x):
+    return 0.5 * np.sum((D @ x - s) ** 2) + lam * np.sum(np.abs(x))
+
+
+def test_mesh_and_sharding_helpers():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    M = np.arange(20).reshape(10, 2).astype(float)
+    Mp, n_pad = pad_rows(M, 8)
+    assert Mp.shape == (16, 2) and n_pad == 6
+    blocks = shard_rows(Mp, 8)
+    assert blocks.shape == (8, 2, 2)
+    np.testing.assert_array_equal(blocks.reshape(16, 2), Mp)
+
+
+@pytest.mark.parametrize("nshards", [2, 8])
+def test_consensus_lasso_agrees_with_serial(nshards):
+    """Consensus ADMM (getProxOps.m:1217-1343) must reach an objective
+    close to the serial LASSO solution."""
+    D, s, lam, testx = _lasso_instance(0, 512, 32)
+    serial = lasso(D, s, lam, ADMMConfig(maxiters=5000))
+    par = consensus_lasso(
+        D, s, lam, ADMMConfig(maxiters=5000), mesh=make_mesh(), nshards=nshards
+    )
+    assert par.steps < 5000
+    x_serial = np.asarray(serial.xopt)
+    z_par = np.asarray(par.zopt)  # the consensus variable is the solution
+    f_serial = _lasso_obj(D, s, lam, x_serial)
+    f_par = _lasso_obj(D, s, lam, z_par)
+    assert abs(f_par - f_serial) <= 1e-2 * abs(f_serial)
+    # Both beat the planted point.
+    assert f_par < _lasso_obj(D, s, lam, testx)
+
+
+def test_consensus_padding_is_exact():
+    """Row counts not divisible by the shard count must not change the
+    answer (zero-row padding is exact for D^T D and D^T s)."""
+    D, s, lam, _ = _lasso_instance(1, 509, 24)  # 509 % 8 != 0
+    par = consensus_lasso(D, s, lam, ADMMConfig(maxiters=5000), nshards=8)
+    ser = lasso(D, s, lam, ADMMConfig(maxiters=5000))
+    f_par = _lasso_obj(D, s, lam, np.asarray(par.zopt))
+    f_ser = _lasso_obj(D, s, lam, np.asarray(ser.xopt))
+    assert abs(f_par - f_ser) <= 1e-2 * abs(f_ser)
+
+
+def _svm_instance(seed, mpos, mneg, sep):
+    rng = np.random.default_rng(seed)
+    bp = np.linspace(0, 2, mpos)
+    bn = np.linspace(0, 2, mneg)
+    pos = np.stack([bp + rng.random(mpos) - sep * rng.random(mpos),
+                    bp - rng.random(mpos) + sep * rng.random(mpos)], 1)
+    neg = np.stack([bn - rng.random(mneg) + sep * rng.random(mneg),
+                    bn + rng.random(mneg) - sep * rng.random(mneg)], 1)
+    D = np.concatenate([pos, neg])
+    ell = np.concatenate([np.ones(mpos), -np.ones(mneg)])
+    return D, ell
+
+
+@pytest.mark.parametrize("loss", ["hinge", "01"])
+def test_sharded_svm_agrees_with_serial(loss):
+    """Distributed transpose-reduction SVM (unwrappedadmm.m:96-141) must
+    recover the same separator as the serial path."""
+    D, ell = _svm_instance(0, 128, 128, 0.5)
+    C = 1.0
+    res = linearsvm_sharded(D, ell, C, ADMMConfig(maxiters=1000), loss=loss)
+    x = np.asarray(res.xopt)
+    relerror = abs(1.0 - (-x[1] / x[0]))
+    assert relerror <= 0.05, f"slope rel-err {relerror}"
+
+    serial = linearsvm(D, ell, C, ADMMConfig(maxiters=1000), loss=loss)
+    xs = np.asarray(serial.xopt)
+    # Same decision boundary up to tolerance.
+    assert abs((-x[1] / x[0]) - (-xs[1] / xs[0])) <= 0.05
+
+
+def test_sharded_svm_padding():
+    """Row counts not divisible by the shard count (zero-pad + mask)."""
+    D, ell = _svm_instance(0, 100, 101, 0.5)  # 201 rows -> pads to 208
+    res = linearsvm_sharded(D, ell, 1.0, ADMMConfig(maxiters=1000))
+    x = np.asarray(res.xopt)
+    assert abs(1.0 - (-x[1] / x[0])) <= 0.06
+
+
+def test_sliced_prox_matches_direct():
+    """A sliced prox assembled via shard_map must equal the direct
+    computation (the parproxf contract, admm.m:416-436)."""
+    import jax.numpy as jnp
+
+    mesh = make_mesh()
+    n = 64
+    slice_len = n // 8
+
+    def prox_slice(x, z, u, rho, k):
+        lo = k * slice_len
+        seg = jax.lax.dynamic_slice(z - u, (lo,), (slice_len,))
+        return seg * rho
+
+    import jax
+
+    prox = make_sliced_prox(prox_slice, slice_len, mesh)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(n))
+    z = jnp.asarray(rng.standard_normal(n))
+    u = jnp.asarray(rng.standard_normal(n))
+    out = np.asarray(prox(x, z, u, 1.7))
+    np.testing.assert_allclose(out, np.asarray(1.7 * (z - u)), atol=1e-12)
+
+
+def test_sliced_prox_inside_engine():
+    """The sliced prox must compose with the jitted engine: solve the
+    model problem with the x-prox computed slice-parallel."""
+    import jax.numpy as jnp
+
+    from admm_tpu import Hooks, admm
+    from admm_tpu.ops.solve import SymShiftSolver
+
+    rng = np.random.default_rng(3)
+    n = 64
+    P = rng.standard_normal((n, n))
+    Q = rng.standard_normal((n, n))
+    r = rng.standard_normal(n)
+    s = rng.standard_normal(n)
+
+    cfg = ADMMConfig(maxiters=5000)
+    PtPinv = SymShiftSolver.from_matrix(P.T @ P).materialize_inverse(cfg.rho)
+    QtQinv = SymShiftSolver.from_matrix(Q.T @ Q).materialize_inverse(cfg.rho)
+    Ptr = jnp.asarray(P.T @ r)
+    Qts = jnp.asarray(Q.T @ s)
+    PtPinv = jnp.asarray(PtPinv)
+    QtQinv = jnp.asarray(QtQinv)
+
+    slice_len = n // 8
+
+    def prox_f_slice(x, z, u, rho, k):
+        # Each device computes its row-slice of the full solve.
+        rows = jax.lax.dynamic_slice_in_dim(PtPinv, k * slice_len, slice_len, axis=0)
+        return rows @ (Ptr + rho * (z - u))
+
+    import jax
+
+    prox_f = make_sliced_prox(prox_f_slice, slice_len, make_mesh())
+
+    def prox_g(x, z, u, rho):
+        return QtQinv @ (Qts + rho * (x + u))
+
+    res = admm(prox_f, prox_g, cfg, A=1.0, B=-1.0, c=0.0, m=n)
+    truex = np.linalg.solve(P.T @ P + Q.T @ Q, P.T @ r + Q.T @ s)
+    np.testing.assert_allclose(np.asarray(res.xopt), truex, atol=1e-3)
+
+
+import jax  # noqa: E402  (used inside tests)
