@@ -129,6 +129,7 @@ def admm(
     u0=None,
     hooks: Hooks = Hooks(),
     dtype=None,
+    data=None,
 ) -> ADMMResults:
     """Solve min f(x) + g(z) s.t. A x + B z = c with scaled-dual ADMM.
 
@@ -139,6 +140,15 @@ def admm(
 
     ``shape_x`` / ``shape_z`` generalize nA/nB to matrix-valued iterates
     (covariance selection; reference admm.m:478-492).
+
+    TPU-first caching contract: when ``data`` (a pytree of problem
+    operands) is given, every callable — prox_f, prox_g and the hooks —
+    takes it as an extra trailing argument and must be a *module-level
+    function*, not a per-call closure.  The compiled runner is then cached
+    across solves keyed on (functions, config, shapes): repeat solves of
+    the same problem family pay zero retracing (the reference's analog is
+    its per-call closure cache, getProxOps.m:968-971 — but interpreted
+    MATLAB re-dispatches every call; XLA compiles once per family).
     """
     A = as_linop(A)
     B = as_linop(B)
@@ -186,22 +196,36 @@ def admm(
     if hooks.preprocess is not None:
         hooks.preprocess()
 
-    runner = _build_runner(prox_f, prox_g, config, A, B, hooks, dtype)
-    if config.jit:
-        runner = jax.jit(runner)
+    if data is not None:
+        runner = _cached_runner(prox_f, prox_g, config, hooks, bool(config.jit))
+        call = lambda: runner(x0, z0, u0, c_arr, A, B, data)
+    else:
+        runner = _build_runner(prox_f, prox_g, config, hooks, has_data=False)
+        if config.jit:
+            runner = jax.jit(runner)
+        call = lambda: runner(x0, z0, u0, c_arr, A, B, ())
+
     # Wall-clock for the whole solve, compile excluded on repeat calls
     # (reference tic/toc around the loop, admm.m:315, 756).
     import time
 
     t0 = time.perf_counter()
-    out = jax.block_until_ready(runner(x0, z0, u0, c_arr))
+    out = jax.block_until_ready(call())
     runtime = time.perf_counter() - t0
     res = ADMMResults.from_raw(out, config, x0=x0, z0=z0, u0=u0)
     res.runtime = runtime
     return res
 
 
-def make_admm_runner(prox_f, prox_g, config, A, B, hooks=Hooks(), dtype=None):
+@functools.lru_cache(maxsize=128)
+def _cached_runner(prox_f, prox_g, config: ADMMConfig, hooks: Hooks, jit: bool):
+    """Cross-call runner cache (see the caching contract in ``admm``)."""
+    runner = _build_runner(prox_f, prox_g, config, hooks, has_data=True)
+    return jax.jit(runner) if jit else runner
+
+
+def make_admm_runner(prox_f, prox_g, config, A, B, hooks=Hooks(), dtype=None,
+                     has_data=False):
     """Functional core for advanced use (vmap over instances, shard_map).
 
     Returns ``run(x0, z0, u0, c) -> raw dict``; data must flow through the
@@ -209,10 +233,13 @@ def make_admm_runner(prox_f, prox_g, config, A, B, hooks=Hooks(), dtype=None):
     """
     A = as_linop(A)
     B = as_linop(B)
-    return _build_runner(prox_f, prox_g, config, A, B, hooks, dtype)
+    run = _build_runner(prox_f, prox_g, config, hooks, has_data=has_data)
+    if has_data:
+        return lambda x0, z0, u0, c, data: run(x0, z0, u0, c, A, B, data)
+    return lambda x0, z0, u0, c: run(x0, z0, u0, c, A, B, ())
 
 
-def _build_runner(prox_f, prox_g, cfg: ADMMConfig, A, B, hooks: Hooks, dtype):
+def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool):
     alg = cfg.alg
     N = int(cfg.maxiters)
     relax = float(cfg.relax)
@@ -221,7 +248,22 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, A, B, hooks: Hooks, dtype):
     std_stop = cfg.stopcond in ("standard", "both")
     h_stop = cfg.stopcond in ("hnorm", "both")
 
-    def run(x0, z0, u0, c):
+    def run(x0, z0, u0, c, A, B, data):
+        if has_data:
+            pf = lambda *a: prox_f(*a, data)
+            pg = lambda *a: prox_g(*a, data)
+            obj_fn = (lambda x, z: hooks.obj(x, z, data)) if hooks.obj else None
+            altu_fn = (
+                (lambda u, Ax, Bz, cc: hooks.altu(u, Ax, Bz, cc, data))
+                if hooks.altu else None
+            )
+            norms_fn = (
+                (lambda x, z, u, rho: hooks.specialnorms(x, z, u, rho, data))
+                if hooks.specialnorms else None
+            )
+        else:
+            pf, pg = prox_f, prox_g
+            obj_fn, altu_fn, norms_fn = hooks.obj, hooks.altu, hooks.specialnorms
         rdtype = x0.dtype
         rho0 = jnp.asarray(cfg.rho, rdtype)
         eps = jnp.finfo(rdtype).eps
@@ -234,7 +276,7 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, A, B, hooks: Hooks, dtype):
 
         hist = _Hist(
             pnorm=zeros(), dnorm=zeros(), perr=zeros(), derr=zeros(),
-            objvals=zeros() if (cfg.objevals and hooks.obj is not None) else (),
+            objvals=zeros() if (cfg.objevals and obj_fn is not None) else (),
             Hnormsq=zeros() if needs_h else (),
             dvals=zeros() if alg == 2 else (),
             avals=zeros() if alg in (1, 2) else (),
@@ -268,14 +310,14 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, A, B, hooks: Hooks, dtype):
 
             # ---- x-update (admm.m:501-511) ------------------------------
             if alg == 0:
-                x = prox_f(x, z, u, rho)
+                x = pf(x, z, u, rho)
                 uhat = u
                 dprev = ()
             else:
                 aprev = carry.a
                 uprev = u
                 uhat = carry.uhat
-                x = prox_f(x, carry.v, uhat, rho)
+                x = pf(x, carry.v, uhat, rho)
                 dprev = carry.d if alg == 2 else ()
 
             # ---- relaxation + z-update (admm.m:515-532) ------------------
@@ -285,15 +327,15 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, A, B, hooks: Hooks, dtype):
                 Axhat = relax * A.mv(x) - (1.0 - relax) * (B.mv(zprev) - c)
                 Ax_for_g = Axhat
             u_for_g = u if alg == 0 else uhat
-            z = prox_g(Ax_for_g, z, u_for_g, rho)
+            z = pg(Ax_for_g, z, u_for_g, rho)
 
             Ax = A.mv(x)
             Bz = B.mv(z)
             Axr = Axhat if use_relax else Ax
 
             # ---- dual update (admm.m:538-560) ----------------------------
-            if hooks.altu is not None:
-                u = hooks.altu(u, Axr, Bz, c)
+            if altu_fn is not None:
+                u = altu_fn(u, Axr, Bz, c)
             else:
                 base = u if alg == 0 else uhat
                 u = base + (Axr + Bz - c)
@@ -321,8 +363,8 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, A, B, hooks: Hooks, dtype):
                 restarted_i = jnp.where(no_restart, 0, 1).astype(jnp.int32)
 
             # ---- norms (admm.m:612-637) ----------------------------------
-            if hooks.specialnorms is not None:
-                pnorm, dnorm = hooks.specialnorms(x, z, u, rho)
+            if norms_fn is not None:
+                pnorm, dnorm = norms_fn(x, z, u, rho)
             else:
                 pnorm = _fro(Ax + Bz - c)
                 if cfg.nodualerror:
@@ -393,8 +435,8 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, A, B, hooks: Hooks, dtype):
                 perr=h.perr.at[k].set(perr),
                 derr=h.derr.at[k].set(derr),
             )
-            if cfg.objevals and hooks.obj is not None:
-                h = h._replace(objvals=h.objvals.at[k].set(hooks.obj(x, z)))
+            if cfg.objevals and obj_fn is not None:
+                h = h._replace(objvals=h.objvals.at[k].set(obj_fn(x, z)))
             if needs_h:
                 h = h._replace(Hnormsq=h.Hnormsq.at[k].set(Hsq))
             if alg == 2:
@@ -442,7 +484,7 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, A, B, hooks: Hooks, dtype):
             "rho_final": final.rho,
             "diverged": final.diverged,
             "hist": final.hist._asdict(),
-            "objopt": hooks.obj(final.x, final.z) if hooks.obj is not None else (),
+            "objopt": obj_fn(final.x, final.z) if obj_fn is not None else (),
         }
 
     return run

@@ -20,6 +20,18 @@ def merge_config(config: ADMMConfig, overrides: dict) -> ADMMConfig:
     return dataclasses.replace(config, **overrides) if overrides else config
 
 
+def bind_data(prox_f, prox_g, obj, data):
+    """Close data-convention functions over concrete operands, recovering
+    the reference's closure-style prox handles (getproxops returns
+    closures over cached factorizations, getProxOps.m:13-31).  For the
+    string registry / ad-hoc use only — solvers pass ``data`` through the
+    engine so the compiled runner caches across calls."""
+    pf = None if prox_f is None else (lambda x, z, u, rho: prox_f(x, z, u, rho, data))
+    pg = None if prox_g is None else (lambda x, z, u, rho: prox_g(x, z, u, rho, data))
+    ob = None if obj is None else (lambda x, z: obj(x, z, data))
+    return pf, pg, ob
+
+
 def timed_solver(fn):
     """Record whole-solver wall time as ``results.solverruntime``
     (reference: tic/toc around each solver, e.g. solvers/lasso.m:117,243)."""

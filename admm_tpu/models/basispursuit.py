@@ -27,11 +27,24 @@ from ..engine import Hooks, admm
 from ..ops.prox import soft_threshold
 from ..results import ADMMResults
 from . import register
-from ._common import merge_config, timed_solver
+from ._common import bind_data, merge_config, timed_solver
+
+
+def _prox_f(x, z, u, rho, d):
+    return d["P"] @ (z - u) + d["q"]
+
+
+def _prox_g(x, z, u, rho, d):
+    return soft_threshold(u + x, 1.0 / rho)
+
+
+def _obj(x, z, d):
+    return jnp.sum(jnp.abs(z))
 
 
 def make_prox_ops(D, s, config: ADMMConfig = ADMMConfig()):
-    """Build (prox_f, prox_g, obj) for basis pursuit (getProxOps.m:98-142)."""
+    """Build (prox_f, prox_g, obj, data) for basis pursuit
+    (getProxOps.m:98-142)."""
     D = jnp.asarray(D)
     s = jnp.asarray(s)
     m, n = D.shape
@@ -47,22 +60,14 @@ def make_prox_ops(D, s, config: ADMMConfig = ADMMConfig()):
     GinvD = jax.scipy.linalg.cho_solve(cf, D)
     P = jnp.eye(n, dtype=D.dtype) - D.T @ GinvD
     q = D.T @ jax.scipy.linalg.cho_solve(cf, s)
-
-    def prox_f(x, z, u, rho):
-        return P @ (z - u) + q
-
-    def prox_g(x, z, u, rho):
-        return soft_threshold(u + x, 1.0 / rho)
-
-    def obj(x, z):
-        return jnp.sum(jnp.abs(z))
-
-    return prox_f, prox_g, obj
+    data = {"P": P, "q": q}
+    return _prox_f, _prox_g, _obj, data
 
 
 @register("basispursuit")
 def _registry_entry(D, s, config=ADMMConfig(), **_):
-    return make_prox_ops(D, s, config)
+    pf, pg, obj, data = make_prox_ops(D, s, config)
+    return bind_data(pf, pg, obj, data)
 
 
 @timed_solver
@@ -74,9 +79,9 @@ def basispursuit(D, s, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMRe
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     n = D.shape[1]
-    prox_f, prox_g, obj = make_prox_ops(D, s, config)
+    prox_f, prox_g, obj, data = make_prox_ops(D, s, config)
     return admm(
         prox_f, prox_g, config,
         A=1.0, B=-1.0, c=0.0, m=n, nA=n, nB=n,
-        hooks=Hooks(obj=obj), dtype=D.dtype,
+        hooks=Hooks(obj=obj), dtype=D.dtype, data=data,
     )

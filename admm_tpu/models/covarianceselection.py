@@ -29,30 +29,34 @@ from ..engine import Hooks, admm
 from ..ops.prox import covsel_eig_prox, soft_threshold
 from ..results import ADMMResults
 from . import register
-from ._common import merge_config, timed_solver
+from ._common import bind_data, merge_config, timed_solver
+
+
+def _prox_f(X, Z, U, rho, d):
+    return covsel_eig_prox(rho * (Z - U) - d["S"], rho)
+
+
+def _prox_g(X, Z, U, rho, d):
+    return soft_threshold(U + X, d["lam"] / rho)
+
+
+def _obj(X, Z, d):
+    sign, logdet = jnp.linalg.slogdet(X)
+    return jnp.trace(d["S"] @ X) - logdet + d["lam"] * jnp.sum(jnp.abs(Z))
 
 
 def make_prox_ops(S, lam, config: ADMMConfig = ADMMConfig()):
-    """Build (prox_f, prox_g, obj) from the empirical covariance S
+    """Build (prox_f, prox_g, obj, data) from the empirical covariance S
     (getProxOps.m:669-750)."""
     S = jnp.asarray(S)
-
-    def prox_f(X, Z, U, rho):
-        return covsel_eig_prox(rho * (Z - U) - S, rho)
-
-    def prox_g(X, Z, U, rho):
-        return soft_threshold(U + X, lam / rho)
-
-    def obj(X, Z):
-        sign, logdet = jnp.linalg.slogdet(X)
-        return jnp.trace(S @ X) - logdet + lam * jnp.sum(jnp.abs(Z))
-
-    return prox_f, prox_g, obj
+    data = {"S": S, "lam": jnp.asarray(lam, S.dtype)}
+    return _prox_f, _prox_g, _obj, data
 
 
 @register("covarianceselection")
 def _registry_entry(S, lam, config=ADMMConfig(), **_):
-    return make_prox_ops(S, lam, config)
+    pf, pg, obj, data = make_prox_ops(S, lam, config)
+    return bind_data(pf, pg, obj, data)
 
 
 def empirical_covariance(D):
@@ -76,12 +80,12 @@ def covarianceselection(D, lam, config: ADMMConfig = ADMMConfig(), **overrides) 
     D = jnp.asarray(D)
     S = empirical_covariance(D)
     n = S.shape[0]
-    prox_f, prox_g, obj = make_prox_ops(S, lam, config)
+    prox_f, prox_g, obj, data = make_prox_ops(S, lam, config)
     zero = jnp.zeros((n, n), dtype=S.dtype)
     return admm(
         prox_f, prox_g, config,
         A=1.0, B=-1.0, c=0.0,
         shape_x=(n, n), shape_z=(n, n),
         x0=zero, z0=zero, u0=zero,
-        hooks=Hooks(obj=obj), dtype=S.dtype,
+        hooks=Hooks(obj=obj), dtype=S.dtype, data=data,
     )

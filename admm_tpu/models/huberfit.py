@@ -22,7 +22,7 @@ from ..engine import Hooks, admm
 from ..ops.prox import huber_prox
 from ..results import ADMMResults
 from . import register
-from ._common import merge_config, timed_solver
+from ._common import bind_data, merge_config, timed_solver
 
 
 def huber_loss(a):
@@ -33,34 +33,36 @@ def huber_loss(a):
     return jnp.where(aa <= 1.0, 0.5 * a * a, aa - 0.5)
 
 
+def _prox_f(x, z, u, rho, d):
+    return d["Dplus"] @ (d["s"] + z - u)
+
+
+def _prox_g(x, z, u, rho, d):
+    return huber_prox(d["D"] @ x, u, d["s"], rho)
+
+
+def _prox_g_relaxed(Axhat, z, u, rho, d):
+    return huber_prox(Axhat, u, d["s"], rho)
+
+
+def _obj(x, z, d):
+    return jnp.sum(huber_loss(z))
+
+
 def make_prox_ops(D, s, config: ADMMConfig = ADMMConfig()):
-    """Build (prox_f, prox_g, obj) for Huber fitting (getProxOps.m:814-912)."""
+    """Build (prox_f, prox_g, obj, data) for Huber fitting
+    (getProxOps.m:814-912)."""
     D = jnp.asarray(D)
     s = jnp.asarray(s)
-    Dplus = jnp.linalg.solve(D.T @ D, D.T)
-
-    def prox_f(x, z, u, rho):
-        return Dplus @ (s + z - u)
-
-    if config.relax == 1.0:
-
-        def prox_g(x, z, u, rho):
-            return huber_prox(D @ x, u, s, rho)
-
-    else:
-
-        def prox_g(Axhat, z, u, rho):
-            return huber_prox(Axhat, u, s, rho)
-
-    def obj(x, z):
-        return jnp.sum(huber_loss(z))
-
-    return prox_f, prox_g, obj
+    data = {"D": D, "s": s, "Dplus": jnp.linalg.solve(D.T @ D, D.T)}
+    prox_g = _prox_g if config.relax == 1.0 else _prox_g_relaxed
+    return _prox_f, prox_g, _obj, data
 
 
 @register("huberfit")
 def _registry_entry(D, s, config=ADMMConfig(), **_):
-    return make_prox_ops(D, s, config)
+    pf, pg, obj, data = make_prox_ops(D, s, config)
+    return bind_data(pf, pg, obj, data)
 
 
 @timed_solver
@@ -73,9 +75,9 @@ def huberfit(D, s, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResult
     D = jnp.asarray(D)
     s = jnp.asarray(s)
     m, n = D.shape
-    prox_f, prox_g, obj = make_prox_ops(D, s, config)
+    prox_f, prox_g, obj, data = make_prox_ops(D, s, config)
     return admm(
         prox_f, prox_g, config,
         A=D, B=-1.0, c=s, m=m, nA=n, nB=m,
-        hooks=Hooks(obj=obj), dtype=D.dtype,
+        hooks=Hooks(obj=obj), dtype=D.dtype, data=data,
     )

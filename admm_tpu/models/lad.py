@@ -26,38 +26,44 @@ from ..engine import Hooks, admm
 from ..ops.prox import soft_threshold
 from ..results import ADMMResults
 from . import register
-from ._common import merge_config, timed_solver
+from ._common import bind_data, merge_config, timed_solver
+
+
+def _prox_f(x, z, u, rho, d):
+    return d["Dplus"] @ (d["s"] + z - u)
+
+
+def _prox_g(x, z, u, rho, d):
+    return soft_threshold(d["D"] @ x + u - d["s"], 1.0 / rho)
+
+
+def _prox_g_relaxed(Axhat, z, u, rho, d):
+    # Relaxed path: the engine hands Axhat as the first argument
+    # (reference relaxation-aware z-prox, getProxOps.m case :753-811).
+    return soft_threshold(Axhat + u - d["s"], 1.0 / rho)
+
+
+def _obj(x, z, d):
+    return jnp.sum(jnp.abs(z))
 
 
 def make_prox_ops(D, s, config: ADMMConfig = ADMMConfig()):
-    """Build (prox_f, prox_g, obj) for LAD (getProxOps.m:753-811)."""
+    """Build (prox_f, prox_g, obj, data) for LAD (getProxOps.m:753-811)."""
     D = jnp.asarray(D)
     s = jnp.asarray(s)
-    Dplus = jnp.linalg.solve(D.T @ D, D.T)  # (D^T D)^{-1} D^T, setup-time
-
-    def prox_f(x, z, u, rho):
-        return Dplus @ (s + z - u)
-
-    if config.relax == 1.0:
-
-        def prox_g(x, z, u, rho):
-            return soft_threshold(D @ x + u - s, 1.0 / rho)
-
-    else:
-        # Relaxed path: the engine hands Axhat as the first argument
-        # (reference relaxation-aware z-prox, getProxOps.m case :753-811).
-        def prox_g(Axhat, z, u, rho):
-            return soft_threshold(Axhat + u - s, 1.0 / rho)
-
-    def obj(x, z):
-        return jnp.sum(jnp.abs(z))
-
-    return prox_f, prox_g, obj
+    data = {
+        "D": D,
+        "s": s,
+        "Dplus": jnp.linalg.solve(D.T @ D, D.T),  # (D^T D)^{-1} D^T, setup-time
+    }
+    prox_g = _prox_g if config.relax == 1.0 else _prox_g_relaxed
+    return _prox_f, prox_g, _obj, data
 
 
 @register("lad")
 def _registry_entry(D, s, config=ADMMConfig(), **_):
-    return make_prox_ops(D, s, config)
+    pf, pg, obj, data = make_prox_ops(D, s, config)
+    return bind_data(pf, pg, obj, data)
 
 
 @timed_solver
@@ -70,9 +76,9 @@ def lad(D, s, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
     D = jnp.asarray(D)
     s = jnp.asarray(s)
     m, n = D.shape
-    prox_f, prox_g, obj = make_prox_ops(D, s, config)
+    prox_f, prox_g, obj, data = make_prox_ops(D, s, config)
     return admm(
         prox_f, prox_g, config,
         A=D, B=-1.0, c=s, m=m, nA=n, nB=m,
-        hooks=Hooks(obj=obj), dtype=D.dtype,
+        hooks=Hooks(obj=obj), dtype=D.dtype, data=data,
     )

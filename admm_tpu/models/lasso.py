@@ -15,6 +15,8 @@ TPU design: the reference's cached Cholesky + lazy rho refactorization
 becomes a one-time symmetric eigendecomposition whose application is pure
 MXU matmul work and is valid for every runtime rho (ops/solve.py); with
 static rho the inverse is materialized so each x-update is a single GEMV.
+Prox operators are module-level functions over a ``data`` pytree, so the
+compiled solver is cached across calls (engine caching contract).
 
 The consensus (global-variable) parallel LASSO — the reference's
 parfor-sliced variant (getProxOps.m:367-442, 1217-1343) — is a first-class
@@ -31,53 +33,61 @@ from ..ops.prox import soft_threshold
 from ..ops.solve import SymShiftSolver, WoodburySolver
 from ..results import ADMMResults
 from . import register
-from ._common import merge_config, timed_solver
+from ._common import bind_data, merge_config, timed_solver
+
+
+def _prox_f_static(x, z, u, rho, d):
+    return d["Minv"] @ (d["Dts"] + rho * (z - u))
+
+
+def _prox_f_adaptive(x, z, u, rho, d):
+    return d["sol"].solve(d["Dts"] + rho * (z - u), rho)
+
+
+def _prox_f_fat(x, z, u, rho, d):
+    return d["wood"].solve(d["Dts"] + rho * (z - u), rho)
+
+
+def _prox_g(x, z, u, rho, d):
+    # zminSoftThresholding(u + x, lambda/rho) (getProxOps.m:455, 933-938)
+    return soft_threshold(u + x, d["lam"] / rho)
+
+
+def _obj(x, z, d):
+    # solvers/lasso.m objective: 1/2||Dx - s||^2 + lambda*||z||_1
+    return 0.5 * jnp.sum((d["D"] @ x - d["s"]) ** 2) + d["lam"] * jnp.sum(jnp.abs(z))
 
 
 def make_prox_ops(D, s, lam, config: ADMMConfig = ADMMConfig()):
-    """Build (prox_f, prox_g, obj) for LASSO (getProxOps.m:313-456)."""
+    """Build (prox_f, prox_g, obj, data) for LASSO (getProxOps.m:313-456)."""
     D = jnp.asarray(D)
     s = jnp.asarray(s)
     m, n = D.shape
-    Dts = D.T @ s
+    data = {"D": D, "s": s, "lam": jnp.asarray(lam, D.dtype), "Dts": D.T @ s}
 
     if m >= n:
         # Skinny/square: work with the n-by-n Gram (solvers/lasso.m:164-168).
         if config.adaptive:
-            sol = SymShiftSolver.from_matrix(D.T @ D)
-
-            def prox_f(x, z, u, rho):
-                return sol.solve(Dts + rho * (z - u), rho)
-
+            data["sol"] = SymShiftSolver.from_matrix(D.T @ D)
+            prox_f = _prox_f_adaptive
         else:
-            rho0 = config.rho
-            Minv = SymShiftSolver.from_matrix(D.T @ D).materialize_inverse(rho0)
-
-            def prox_f(x, z, u, rho):
-                return Minv @ (Dts + rho * (z - u))
-
+            data["Minv"] = SymShiftSolver.from_matrix(D.T @ D).materialize_inverse(
+                config.rho
+            )
+            prox_f = _prox_f_static
     else:
         # Fat: Woodbury through the m-by-m Gram (solvers/lasso.m:169-172;
         # getProxOps.m:1198-1205).
-        sol = WoodburySolver.from_matrix(D)
+        data["wood"] = WoodburySolver.from_matrix(D)
+        prox_f = _prox_f_fat
 
-        def prox_f(x, z, u, rho):
-            return sol.solve(Dts + rho * (z - u), rho)
-
-    def prox_g(x, z, u, rho):
-        # zminSoftThresholding(u + x, lambda/rho) (getProxOps.m:455, 933-938)
-        return soft_threshold(u + x, lam / rho)
-
-    def obj(x, z):
-        # solvers/lasso.m objective: 1/2||Dx - s||^2 + lambda*||z||_1
-        return 0.5 * jnp.sum((D @ x - s) ** 2) + lam * jnp.sum(jnp.abs(z))
-
-    return prox_f, prox_g, obj
+    return prox_f, _prox_g, _obj, data
 
 
 @register("lasso")
 def _registry_entry(D, s, lam, config=ADMMConfig(), **_):
-    return make_prox_ops(D, s, lam, config)
+    pf, pg, obj, data = make_prox_ops(D, s, lam, config)
+    return bind_data(pf, pg, obj, data)
 
 
 @timed_solver
@@ -89,9 +99,9 @@ def lasso(D, s, lam, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResu
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     n = D.shape[1]
-    prox_f, prox_g, obj = make_prox_ops(D, s, lam, config)
+    prox_f, prox_g, obj, data = make_prox_ops(D, s, lam, config)
     return admm(
         prox_f, prox_g, config,
         A=1.0, B=-1.0, c=0.0, m=n, nA=n, nB=n,
-        hooks=Hooks(obj=obj), dtype=D.dtype,
+        hooks=Hooks(obj=obj), dtype=D.dtype, data=data,
     )

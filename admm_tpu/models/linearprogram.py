@@ -29,31 +29,34 @@ from ..ops.prox import project_nonneg
 from ..ops.solve import kkt_eq_solver
 from ..results import ADMMResults
 from . import register
-from ._common import merge_config, timed_solver
+from ._common import bind_data, merge_config, timed_solver
+
+
+def _prox_f(x, z, u, rho, d):
+    return d["kkt"].solve(rho * (z - u) - d["b"], d["s"], rho)
+
+
+def _prox_g(x, z, u, rho, d):
+    return project_nonneg(x + u)
+
+
+def _obj(x, z, d):
+    return jnp.dot(d["b"], x)
 
 
 def make_prox_ops(b, D, s, config: ADMMConfig = ADMMConfig()):
-    """Build (prox_f, prox_g, obj) for the LP (getProxOps.m:459-542)."""
+    """Build (prox_f, prox_g, obj, data) for the LP (getProxOps.m:459-542)."""
     b = jnp.asarray(b)
     D = jnp.asarray(D)
     s = jnp.asarray(s)
-    kkt = kkt_eq_solver.from_matrices(D, P=None)
-
-    def prox_f(x, z, u, rho):
-        return kkt.solve(rho * (z - u) - b, s, rho)
-
-    def prox_g(x, z, u, rho):
-        return project_nonneg(x + u)
-
-    def obj(x, z):
-        return jnp.dot(b, x)
-
-    return prox_f, prox_g, obj
+    data = {"b": b, "s": s, "kkt": kkt_eq_solver.from_matrices(D, P=None)}
+    return _prox_f, _prox_g, _obj, data
 
 
 @register("linearprogram")
 def _registry_entry(b, D, s, config=ADMMConfig(), **_):
-    return make_prox_ops(b, D, s, config)
+    pf, pg, obj, data = make_prox_ops(b, D, s, config)
+    return bind_data(pf, pg, obj, data)
 
 
 @timed_solver
@@ -65,9 +68,9 @@ def linearprogram(b, D, s, config: ADMMConfig = ADMMConfig(), **overrides) -> AD
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     n = D.shape[1]
-    prox_f, prox_g, obj = make_prox_ops(b, D, s, config)
+    prox_f, prox_g, obj, data = make_prox_ops(b, D, s, config)
     return admm(
         prox_f, prox_g, config,
         A=1.0, B=-1.0, c=0.0, m=n, nA=n, nB=n,
-        hooks=Hooks(obj=obj), dtype=D.dtype,
+        hooks=Hooks(obj=obj), dtype=D.dtype, data=data,
     )

@@ -27,46 +27,52 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..config import ADMMConfig
-from ..engine import Hooks
 from ..ops.prox import hinge_prox, zero_one_prox
 from ..results import ADMMResults
 from . import register
-from ._common import merge_config, timed_solver
+from ._common import bind_data, merge_config, timed_solver
 from .unwrapped import unwrappedadmm
 
 
+def _prox_g_hinge(x, z, u, rho, d):
+    return hinge_prox(d["D"] @ x + u, d["ell"], d["C"], rho)
+
+
+def _prox_g_01(x, z, u, rho, d):
+    return zero_one_prox(d["D"] @ x + u, d["ell"], d["C"], rho)
+
+
+def _obj_hinge(x, z, d):
+    v = d["ell"] * (d["D"] @ x)
+    return 0.5 * jnp.sum(x * x) + d["C"] * jnp.sum(jnp.maximum(1.0 - v, 0.0))
+
+
+def _obj_01(x, z, d):
+    v = d["ell"] * (d["D"] @ x)
+    return 0.5 * jnp.sum(x * x) + d["C"] * jnp.sum(
+        jnp.maximum(jnp.sign(1.0 - v), 0.0)
+    )
+
+
+def _is_01(loss: str) -> bool:
+    return str(loss).replace("-", "") in ("01", "zeroone")
+
+
 def make_prox_ops(D, ell, C, loss: str = "hinge", config: ADMMConfig = ADMMConfig()):
-    """Build (prox_f, prox_g, obj) for the linear SVM
+    """Build (prox_f, prox_g, obj, data) for the linear SVM
     (getProxOps.m:202-310).  prox_f is None — the x-update belongs to the
     unwrapped-ADMM driver (linearsvm.m:242)."""
     D = jnp.asarray(D)
-    ell = jnp.asarray(ell)
-    use_01 = str(loss).replace("-", "") in ("01", "zeroone")
-
-    if use_01:
-
-        def prox_g(x, z, u, rho):
-            return zero_one_prox(D @ x + u, ell, C, rho)
-
-        def obj(x, z):
-            v = ell * (D @ x)
-            return 0.5 * jnp.sum(x * x) + C * jnp.sum(jnp.maximum(jnp.sign(1.0 - v), 0.0))
-
-    else:
-
-        def prox_g(x, z, u, rho):
-            return hinge_prox(D @ x + u, ell, C, rho)
-
-        def obj(x, z):
-            v = ell * (D @ x)
-            return 0.5 * jnp.sum(x * x) + C * jnp.sum(jnp.maximum(1.0 - v, 0.0))
-
-    return None, prox_g, obj
+    data = {"D": D, "ell": jnp.asarray(ell, D.dtype), "C": jnp.asarray(C, D.dtype)}
+    if _is_01(loss):
+        return None, _prox_g_01, _obj_01, data
+    return None, _prox_g_hinge, _obj_hinge, data
 
 
 @register("linearsvm")
 def _registry_entry(D, ell, C, loss="hinge", config=ADMMConfig(), **_):
-    return make_prox_ops(D, ell, C, loss, config)
+    pf, pg, obj, data = make_prox_ops(D, ell, C, loss, config)
+    return bind_data(pf, pg, obj, data)
 
 
 @timed_solver
@@ -80,5 +86,5 @@ def linearsvm(
     (linearsvm.m:242); the plain-ADMM path there is dead code.
     """
     config = merge_config(config, overrides)
-    _, prox_g, obj = make_prox_ops(D, ell, C, loss, config)
-    return unwrappedadmm(prox_g, D, config, obj=obj, seed=seed)
+    _, prox_g, obj, data = make_prox_ops(D, ell, C, loss, config)
+    return unwrappedadmm(prox_g, D, config, obj=obj, seed=seed, data=data)

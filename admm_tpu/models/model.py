@@ -11,12 +11,11 @@ zminModel (:989-1012):
 TPU design: the reference's rho-keyed diagonal-perturbation cache
 (getProxOps.m:968-971) becomes either a materialized inverse (static rho:
 one MXU GEMV per prox) or a cached eigendecomposition (adaptive rho; see
-ops/solve.py).
+ops/solve.py).  Prox operators are module-level functions over a ``data``
+pytree so the compiled solver is cached across calls.
 """
 
 from __future__ import annotations
-
-from typing import Optional
 
 import jax.numpy as jnp
 
@@ -25,51 +24,54 @@ from ..engine import Hooks, admm
 from ..ops.solve import SymShiftSolver
 from ..results import ADMMResults
 from . import register
-from ._common import merge_config, timed_solver
+from ._common import bind_data, merge_config, timed_solver
 
 
-def make_prox_ops(P, Q, r, s, config: ADMMConfig):
-    """Build (prox_f, prox_g, obj) closures for the model problem."""
+def _prox_f_static(x, z, u, rho, d):
+    return d["PtPinv"] @ (d["Ptr"] + rho * (z - u))
+
+
+def _prox_g_static(x, z, u, rho, d):
+    return d["QtQinv"] @ (d["Qts"] + rho * (x + u))
+
+
+def _prox_f_adaptive(x, z, u, rho, d):
+    return d["solP"].solve(d["Ptr"] + rho * (z - u), rho)
+
+
+def _prox_g_adaptive(x, z, u, rho, d):
+    return d["solQ"].solve(d["Qts"] + rho * (x + u), rho)
+
+
+def _obj(x, z, d):
+    return 0.5 * jnp.sum((d["P"] @ x - d["r"]) ** 2) + 0.5 * jnp.sum(
+        (d["Q"] @ z - d["s"]) ** 2
+    )
+
+
+def make_prox_ops(P, Q, r, s, config: ADMMConfig = ADMMConfig()):
+    """Build (prox_f, prox_g, obj, data) for the model problem."""
     P = jnp.asarray(P)
     Q = jnp.asarray(Q)
     r = jnp.asarray(r)
     s = jnp.asarray(s)
-
-    PtP = P.T @ P
-    Ptr = P.T @ r
-    QtQ = Q.T @ Q
-    Qts = Q.T @ s
+    data = {"P": P, "Q": Q, "r": r, "s": s, "Ptr": P.T @ r, "Qts": Q.T @ s}
 
     if config.adaptive:
-        solP = SymShiftSolver.from_matrix(PtP)
-        solQ = SymShiftSolver.from_matrix(QtQ)
+        data["solP"] = SymShiftSolver.from_matrix(P.T @ P)
+        data["solQ"] = SymShiftSolver.from_matrix(Q.T @ Q)
+        return _prox_f_adaptive, _prox_g_adaptive, _obj, data
 
-        def prox_f(x, z, u, rho):
-            return solP.solve(Ptr + rho * (z - u), rho)
-
-        def prox_g(x, z, u, rho):
-            return solQ.solve(Qts + rho * (x + u), rho)
-
-    else:
-        rho0 = config.rho
-        PtPinv = SymShiftSolver.from_matrix(PtP).materialize_inverse(rho0)
-        QtQinv = SymShiftSolver.from_matrix(QtQ).materialize_inverse(rho0)
-
-        def prox_f(x, z, u, rho):
-            return PtPinv @ (Ptr + rho * (z - u))
-
-        def prox_g(x, z, u, rho):
-            return QtQinv @ (Qts + rho * (x + u))
-
-    def obj(x, z):
-        return 0.5 * jnp.sum((P @ x - r) ** 2) + 0.5 * jnp.sum((Q @ z - s) ** 2)
-
-    return prox_f, prox_g, obj
+    rho0 = config.rho
+    data["PtPinv"] = SymShiftSolver.from_matrix(P.T @ P).materialize_inverse(rho0)
+    data["QtQinv"] = SymShiftSolver.from_matrix(Q.T @ Q).materialize_inverse(rho0)
+    return _prox_f_static, _prox_g_static, _obj, data
 
 
 @register("model")
 def _registry_entry(P, Q, r, s, config=ADMMConfig(), **_):
-    return make_prox_ops(P, Q, r, s, config)
+    pf, pg, obj, data = make_prox_ops(P, Q, r, s, config)
+    return bind_data(pf, pg, obj, data)
 
 
 @timed_solver
@@ -81,17 +83,9 @@ def model(P, Q, r, s, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMRes
     config = merge_config(config, overrides)
     P = jnp.asarray(P)
     n = P.shape[1]
-    prox_f, prox_g, obj = make_prox_ops(P, Q, r, s, config)
+    prox_f, prox_g, obj, data = make_prox_ops(P, Q, r, s, config)
     return admm(
-        prox_f,
-        prox_g,
-        config,
-        A=1.0,
-        B=-1.0,
-        c=0.0,
-        m=n,
-        nA=n,
-        nB=n,
-        hooks=Hooks(obj=obj),
-        dtype=P.dtype,
+        prox_f, prox_g, config,
+        A=1.0, B=-1.0, c=0.0, m=n, nA=n, nB=n,
+        hooks=Hooks(obj=obj), dtype=P.dtype, data=data,
     )

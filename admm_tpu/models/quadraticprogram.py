@@ -34,24 +34,41 @@ from ..ops.prox import project_box, project_nonneg
 from ..ops.solve import SymShiftSolver, kkt_eq_solver
 from ..results import ADMMResults
 from . import register
-from ._common import merge_config, timed_solver
+from ._common import bind_data, merge_config, timed_solver
+
+
+def _prox_f_standard(x, z, u, rho, d):
+    return d["kkt"].solve(rho * (z - u) - d["q"], d["s"], rho)
+
+
+def _prox_g_standard(x, z, u, rho, d):
+    return project_nonneg(x + u)
+
+
+def _prox_f_bounded_static(x, z, u, rho, d):
+    return d["Minv"] @ (rho * (z - u) - d["q"])
+
+
+def _prox_f_bounded_adaptive(x, z, u, rho, d):
+    return d["sol"].solve(rho * (z - u) - d["q"], rho)
+
+
+def _prox_g_bounded(x, z, u, rho, d):
+    return project_box(x + u, d["lb"], d["ub"])
+
+
+def _obj(x, z, d):
+    return 0.5 * jnp.dot(x, d["P"] @ x) + jnp.dot(d["q"], x) + d["r"]
 
 
 def make_prox_ops_standard(P, q, D, s, config: ADMMConfig = ADMMConfig()):
     """Standard (equality + nonnegativity) form (getProxOps.m:1397-1412)."""
-    P = jnp.asarray(P)
-    q = jnp.asarray(q)
-    D = jnp.asarray(D)
-    s = jnp.asarray(s)
-    kkt = kkt_eq_solver.from_matrices(D, P=P)
-
-    def prox_f(x, z, u, rho):
-        return kkt.solve(rho * (z - u) - q, s, rho)
-
-    def prox_g(x, z, u, rho):
-        return project_nonneg(x + u)
-
-    return prox_f, prox_g
+    data = {
+        "q": jnp.asarray(q),
+        "s": jnp.asarray(s),
+        "kkt": kkt_eq_solver.from_matrices(jnp.asarray(D), P=jnp.asarray(P)),
+    }
+    return _prox_f_standard, _prox_g_standard, data
 
 
 def make_prox_ops_bounded(
@@ -60,44 +77,28 @@ def make_prox_ops_bounded(
 ):
     """Bounded (box-constrained) form (getProxOps.m:1441-1474)."""
     P = jnp.asarray(P)
-    q = jnp.asarray(q)
-    lb = jnp.asarray(lb)
-    ub = jnp.asarray(ub)
-
+    data = {
+        "q": jnp.asarray(q),
+        "lb": jnp.asarray(lb),
+        "ub": jnp.asarray(ub),
+    }
     if config.adaptive:
-        sol = SymShiftSolver.from_matrix(P)
-
-        def prox_f(x, z, u, rho):
-            return sol.solve(rho * (z - u) - q, rho)
-
+        data["sol"] = SymShiftSolver.from_matrix(P)
+        prox_f = _prox_f_bounded_adaptive
     else:
-        Minv = SymShiftSolver.from_matrix(P).materialize_inverse(config.rho)
-
-        def prox_f(x, z, u, rho):
-            return Minv @ (rho * (z - u) - q)
-
-    if altproxg is not None:
-        prox_g = altproxg
-    else:
-
-        def prox_g(x, z, u, rho):
-            return project_box(x + u, lb, ub)
-
-    return prox_f, prox_g
+        data["Minv"] = SymShiftSolver.from_matrix(P).materialize_inverse(config.rho)
+        prox_f = _prox_f_bounded_static
+    prox_g = altproxg if altproxg is not None else _prox_g_bounded
+    return prox_f, prox_g, data
 
 
 @register("quadraticprogram")
 def _registry_entry(P, q, D=None, s=None, lb=None, ub=None, config=ADMMConfig(), **_):
     if D is not None:
-        return make_prox_ops_standard(P, q, D, s, config)
-    return make_prox_ops_bounded(P, q, lb, ub, config)
-
-
-def _qp_obj(P, q, r):
-    def obj(x, z):
-        return 0.5 * jnp.dot(x, P @ x) + jnp.dot(q, x) + r
-
-    return obj
+        pf, pg, data = make_prox_ops_standard(P, q, D, s, config)
+    else:
+        pf, pg, data = make_prox_ops_bounded(P, q, lb, ub, config)
+    return bind_data(pf, pg, None, data)
 
 
 @timed_solver
@@ -118,15 +119,16 @@ def quadraticprogram(
     c1 = jnp.asarray(cons1)
 
     if c1.ndim == 2:
-        D, s = c1, jnp.asarray(cons2)
-        prox_f, prox_g = make_prox_ops_standard(P, q, D, s, config)
+        prox_f, prox_g, data = make_prox_ops_standard(P, q, c1, cons2, config)
     else:
-        l, u_ = c1, jnp.asarray(cons2)
-        lb, ub = jnp.minimum(l, u_), jnp.maximum(l, u_)
-        prox_f, prox_g = make_prox_ops_bounded(P, q, lb, ub, config)
+        u_ = jnp.asarray(cons2)
+        lb, ub = jnp.minimum(c1, u_), jnp.maximum(c1, u_)
+        prox_f, prox_g, data = make_prox_ops_bounded(P, q, lb, ub, config)
 
+    data["P"] = P
+    data["r"] = jnp.asarray(r, P.dtype)
     return admm(
         prox_f, prox_g, config,
         A=1.0, B=-1.0, c=0.0, m=n, nA=n, nB=n,
-        hooks=Hooks(obj=_qp_obj(P, q, r)), dtype=P.dtype,
+        hooks=Hooks(obj=_obj), dtype=P.dtype, data=data,
     )

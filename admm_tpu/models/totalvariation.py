@@ -28,11 +28,35 @@ from ..linop import DiffOp
 from ..ops.prox import soft_threshold
 from ..results import ADMMResults
 from . import register
-from ._common import merge_config, timed_solver
+from ._common import bind_data, merge_config, timed_solver
+
+
+def _prox_f_static(x, z, u, rho, d):
+    return d["Minv"] @ (d["s"] + rho * d["D"].rmv(z - u))
+
+
+def _prox_f_adaptive(x, z, u, rho, d):
+    b = d["s"] + rho * d["D"].rmv(z - u)
+    return d["V"] @ ((d["V"].T @ b) / (1.0 + rho * d["w"]))
+
+
+def _prox_g(x, z, u, rho, d):
+    # The engine passes raw x; the reference z-prox applies D itself
+    # (getProxOps.m case :145-199).
+    return soft_threshold(u + d["D"].mv(x), d["lam"] / rho)
+
+
+def _prox_g_relaxed(Axhat, z, u, rho, d):
+    # Under relaxation the engine hands Axhat (already in D-space).
+    return soft_threshold(u + Axhat, d["lam"] / rho)
+
+
+def _obj(x, z, d):
+    return 0.5 * jnp.sum((x - d["s"]) ** 2) + d["lam"] * jnp.sum(jnp.abs(z))
 
 
 def make_prox_ops(s, lam, config: ADMMConfig = ADMMConfig()):
-    """Build (prox_f, prox_g, obj, D) for TV (getProxOps.m:145-199)."""
+    """Build (prox_f, prox_g, obj, data, D) for TV (getProxOps.m:145-199)."""
     s = jnp.asarray(s)
     n = s.shape[0]
     D = DiffOp(n)
@@ -41,34 +65,22 @@ def make_prox_ops(s, lam, config: ADMMConfig = ADMMConfig()):
     DtD = 0.5 * (DtD + DtD.T)
     w, V = jnp.linalg.eigh(DtD)
 
+    data = {"s": s, "lam": jnp.asarray(lam, s.dtype), "D": D}
     if config.adaptive:
-
-        def prox_f(x, z, u, rho):
-            b = s + rho * D.rmv(z - u)
-            return V @ ((V.T @ b) / (1.0 + rho * w))
-
+        data["V"], data["w"] = V, w
+        prox_f = _prox_f_adaptive
     else:
-        rho0 = config.rho
-        Minv = (V / (1.0 + rho0 * w)[None, :]) @ V.T
+        data["Minv"] = (V / (1.0 + config.rho * w)[None, :]) @ V.T
+        prox_f = _prox_f_static
 
-        def prox_f(x, z, u, rho):
-            return Minv @ (s + rho * D.rmv(z - u))
-
-    def prox_g(x, z, u, rho):
-        # The engine passes raw x (or Axhat under relaxation); the reference
-        # z-prox computes D*x itself (getProxOps.m case :145-199).
-        Dx = D.mv(x) if config.relax == 1.0 else x
-        return soft_threshold(u + Dx, lam / rho)
-
-    def obj(x, z):
-        return 0.5 * jnp.sum((x - s) ** 2) + lam * jnp.sum(jnp.abs(z))
-
-    return prox_f, prox_g, obj, D
+    prox_g = _prox_g if config.relax == 1.0 else _prox_g_relaxed
+    return prox_f, prox_g, _obj, data, D
 
 
 @register("totalvariation")
 def _registry_entry(s, lam, config=ADMMConfig(), **_):
-    return make_prox_ops(s, lam, config)[:3]
+    pf, pg, obj, data, _D = make_prox_ops(s, lam, config)
+    return bind_data(pf, pg, obj, data)
 
 
 @timed_solver
@@ -80,9 +92,9 @@ def totalvariation(s, lam, config: ADMMConfig = ADMMConfig(), **overrides) -> AD
     config = merge_config(config, overrides)
     s = jnp.asarray(s)
     n = s.shape[0]
-    prox_f, prox_g, obj, D = make_prox_ops(s, lam, config)
+    prox_f, prox_g, obj, data, D = make_prox_ops(s, lam, config)
     return admm(
         prox_f, prox_g, config,
         A=D, B=-1.0, c=0.0, m=n, nA=n, nB=n,
-        hooks=Hooks(obj=obj), dtype=s.dtype,
+        hooks=Hooks(obj=obj), dtype=s.dtype, data=data,
     )

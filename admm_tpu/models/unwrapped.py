@@ -14,7 +14,7 @@ distributed:x = (sum_i D_i^T D_i)^{-1} sum_i D_i^T (z_i - u_i)
 
 Reference: solvers/unwrappedadmm.m.  Driver defaults preserved from
 unwrappedadmm.m:81-92: A = D, B = -1, c = 0, random x0/z0/u0,
-maxiters = 1000, stopcond = 'both', nodualerror = 1.
+stopcond = 'both', nodualerror = 1.
 
 TPU design: D^+ is materialized once (pinv at setup, as the reference
 does); every x-update is then a single n-by-m GEMV on the MXU.
@@ -33,6 +33,10 @@ from ..results import ADMMResults
 from ._common import merge_config, timed_solver
 
 
+def _prox_f(x, z, u, rho, d):
+    return d["Dplus"] @ (z - u)
+
+
 @timed_solver
 def unwrappedadmm(
     prox_g: Callable,
@@ -41,12 +45,16 @@ def unwrappedadmm(
     *,
     obj: Optional[Callable] = None,
     seed: int = 0,
+    data: Optional[dict] = None,
     **overrides,
 ) -> ADMMResults:
     """Run unwrapped ADMM (reference solvers/unwrappedadmm.m:1).
 
-    ``prox_g(x, z, u, rho)`` receives the raw x and is expected to apply D
-    itself (as the reference's zminLinearSVM does, getProxOps.m:1084-1103).
+    ``prox_g`` receives the raw x and is expected to apply D itself (as
+    the reference's zminLinearSVM does, getProxOps.m:1084-1103).  When
+    ``data`` is given, prox_g/obj follow the engine's data convention
+    (module-level functions taking a trailing data pytree; ``Dplus`` and
+    ``D`` are added to it here).
     """
     # The reference forces stopcond='both' and nodualerror=1 (and clamps
     # maxiters to 1000, unwrappedadmm.m:90-92); we preserve the stopping
@@ -59,18 +67,23 @@ def unwrappedadmm(
     m, n = D.shape
     Dplus = jnp.linalg.pinv(D)
 
-    def prox_f(x, z, u, rho):
-        return Dplus @ (z - u)
-
     # Random warm start (unwrappedadmm.m:89-91) — uniform [0, 1).
     kx, kz, ku = jax.random.split(jax.random.PRNGKey(seed), 3)
     x0 = jax.random.uniform(kx, (n,), dtype=D.dtype)
     z0 = jax.random.uniform(kz, (m,), dtype=D.dtype)
     u0 = jax.random.uniform(ku, (m,), dtype=D.dtype)
 
+    if data is not None:
+        data = dict(data)
+        data["Dplus"] = Dplus
+        data["D"] = D
+        prox_f = _prox_f
+    else:
+        prox_f = lambda x, z, u, rho: Dplus @ (z - u)
+
     return admm(
         prox_f, prox_g, config,
         A=D, B=-1.0, c=0.0, m=m, nA=n, nB=m,
         x0=x0, z0=z0, u0=u0,
-        hooks=Hooks(obj=obj), dtype=D.dtype,
+        hooks=Hooks(obj=obj), dtype=D.dtype, data=data,
     )

@@ -34,6 +34,7 @@ over the shard axis compile to all-reduces, and the same program runs on
 
 from __future__ import annotations
 
+import functools
 import time
 from functools import partial
 from typing import Optional
@@ -139,6 +140,13 @@ def _build_consensus_runner(cfg: ADMMConfig, W: int, n: int):
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def _cached_consensus_runner(config: ADMMConfig, W: int, n: int):
+    """Cross-call compile cache: repeat consensus solves of the same
+    (config, shard count, width) family reuse the compiled program."""
+    return jax.jit(_build_consensus_runner(config, W, n))
+
+
 def consensus_lasso(
     D,
     s,
@@ -190,7 +198,7 @@ def consensus_lasso(
 
     Minv, Dtsi = setup(Di_dev, si_dev)
 
-    runner = jax.jit(_build_consensus_runner(config, W, n))
+    runner = _cached_consensus_runner(config, W, n)
     out = jax.block_until_ready(runner(Minv, Dtsi, jnp.asarray(lam, Dtsi.dtype)))
     runtime = time.perf_counter() - t0
 

@@ -25,6 +25,7 @@ at zero and stay zero-coupled (D_i x = 0 on zero rows).
 
 from __future__ import annotations
 
+import functools
 import time
 from functools import partial
 from typing import Callable, Optional
@@ -96,10 +97,6 @@ def unwrapped_admm_sharded(
 
     Winv = gram_inv(Di_dev)
 
-    N = int(config.maxiters)
-    rho0 = config.rho
-    needs_h = config.needs_hnorm
-
     # Random warm start in the valid region, zeros on padding
     # (unwrappedadmm.m:89-91).
     kx, kz, ku = jax.random.split(jax.random.PRNGKey(seed), 3)
@@ -111,7 +108,27 @@ def unwrapped_admm_sharded(
     z0 = jax.random.uniform(kz, (mp,), dtype=dtype).reshape(W, mp // W)
     u0 = jax.random.uniform(ku, (mp,), dtype=dtype).reshape(W, mp // W)
 
-    def run(Di, x0, z0, u0, mask, aux_i):
+    runner = _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global, config, m)
+    out = jax.block_until_ready(runner(Di_dev, Winv, x0, z0, u0, mask, aux_dev))
+    runtime = time.perf_counter() - t0
+    res = ADMMResults.from_raw(out, config)
+    res.runtime = runtime
+    res.extra["nshards"] = W
+    res.extra["mesh"] = mesh
+    res.extra["n_pad"] = n_pad
+    return res
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
+                             config: ADMMConfig, m: int):
+    """Cross-call compile cache keyed on (prox/objective functions, config,
+    true row count) - the same caching contract as the core engine."""
+    N = int(config.maxiters)
+    rho0 = config.rho
+    needs_h = config.needs_hnorm
+
+    def run(Di, Winv, x0, z0, u0, mask, aux_i):
         rdtype = x0.dtype
         rho = jnp.asarray(rho0, rdtype)
         z0 = z0 * mask
@@ -184,16 +201,36 @@ def unwrapped_admm_sharded(
             "hist": {"pnorm": hist[0], "perr": hist[1], "Hnormsq": hist[2]},
         }
 
-    out = jax.block_until_ready(
-        jax.jit(run)(Di_dev, x0, z0, u0, mask, aux_dev)
-    )
-    runtime = time.perf_counter() - t0
-    res = ADMMResults.from_raw(out, config)
-    res.runtime = runtime
-    res.extra["nshards"] = W
-    res.extra["mesh"] = mesh
-    res.extra["n_pad"] = n_pad
-    return res
+    return jax.jit(run)
+
+
+# Module-level SVM shard functions (caching contract: per-row C rides in
+# aux so the compiled runner is shared across calls and C values; per-row
+# C also gives per-sample weighting for free).
+def _svm_prox_hinge(Dx, zi, ui, rho, aux_i):
+    ell_i, mask_i, C_i = aux_i
+    return hinge_prox(Dx + ui, ell_i, C_i, rho)
+
+
+def _svm_prox_01(Dx, zi, ui, rho, aux_i):
+    ell_i, mask_i, C_i = aux_i
+    # Guard padded rows (C_i = 0 there) against 0-division in rho/C.
+    C_safe = jnp.where(C_i > 0, C_i, 1.0)
+    return zero_one_prox(Dx + ui, ell_i, C_safe, rho)
+
+
+def _svm_obj_hinge(x, Dx, zi, aux_i):
+    ell_i, mask_i, C_i = aux_i
+    return jnp.sum(C_i * jnp.maximum(1.0 - ell_i * Dx, 0.0) * mask_i)
+
+
+def _svm_obj_01(x, Dx, zi, aux_i):
+    ell_i, mask_i, C_i = aux_i
+    return jnp.sum(C_i * jnp.maximum(jnp.sign(1.0 - ell_i * Dx), 0.0) * mask_i)
+
+
+def _svm_obj_global(x):
+    return 0.5 * jnp.sum(x * x)
 
 
 def linearsvm_sharded(
@@ -205,32 +242,18 @@ def linearsvm_sharded(
     zminParallelLinearSVM, getProxOps.m:1120-1143)."""
     ell = np.asarray(ell, dtype=np.asarray(D).dtype)
     use_01 = str(loss).replace("-", "") in ("01", "zeroone")
-    prox = zero_one_prox if use_01 else hinge_prox
-
-    def prox_g_shard(Dx, zi, ui, rho, aux_i):
-        ell_i, mask_i = aux_i
-        return prox(Dx + ui, ell_i, C, rho)
-
-    def obj_shard(x, Dx, zi, aux_i):
-        ell_i, mask_i = aux_i
-        v = ell_i * Dx
-        if use_01:
-            lossv = jnp.maximum(jnp.sign(1.0 - v), 0.0)
-        else:
-            lossv = jnp.maximum(1.0 - v, 0.0)
-        return C * jnp.sum(lossv * mask_i)
-
-    def obj_global(x):
-        return 0.5 * jnp.sum(x * x)
-
     mask = np.ones_like(ell)
-    cfg = config
-    # stopping defaults preserved from the unwrapped driver
+    Crow = np.full_like(ell, float(C))
+
     import dataclasses
 
-    cfg = dataclasses.replace(cfg, stopcond="both", nodualerror=True)
+    # stopping defaults preserved from the unwrapped driver
+    cfg = dataclasses.replace(config, stopcond="both", nodualerror=True)
     return unwrapped_admm_sharded(
-        prox_g_shard, D, cfg,
-        aux=(ell, mask), obj_shard=obj_shard, obj_global=obj_global,
+        _svm_prox_01 if use_01 else _svm_prox_hinge,
+        D, cfg,
+        aux=(ell, mask, Crow),
+        obj_shard=_svm_obj_01 if use_01 else _svm_obj_hinge,
+        obj_global=_svm_obj_global,
         mesh=mesh, nshards=nshards, seed=seed,
     )

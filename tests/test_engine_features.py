@@ -55,7 +55,9 @@ def test_divergence_monitor_catches_broken_prox():
     the H-norm monitor (admm.m:686-703)."""
     P, Q, r, s, _ = _instance()
     cfg = ADMMConfig(convtest=True, maxiters=100)
-    pf, pg, obj = make_prox_ops(P, Q, r, s, cfg)
+    from admm_tpu.models._common import bind_data
+
+    pf, pg, obj = bind_data(*make_prox_ops(P, Q, r, s, cfg))
 
     def bad_pf(x, z, u, rho):
         return -pf(x, z, u, rho)
@@ -86,7 +88,9 @@ def test_altu_and_specialnorms_hooks():
     # Fixed iteration count: the hooks change the *recorded norms* (and
     # hence stopping), so compare trajectories at identical step counts.
     cfg = ADMMConfig(maxiters=60, domaxiters=True)
-    pf, pg, obj = make_prox_ops(P, Q, r, s, cfg)
+    from admm_tpu.models._common import bind_data
+
+    pf, pg, obj = bind_data(*make_prox_ops(P, Q, r, s, cfg))
 
     def altu(u, Ax, Bz, c):
         return u + (Ax + Bz - c)  # the standard update, via the hook

@@ -1,0 +1,75 @@
+"""Smoke-run the worked examples at small sizes (reference examples/;
+SURVEY.md section 2.6)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from examples.convergencechecking import convergencechecking
+from examples.fasteradmmcomparison import fasteradmmcomparison
+from examples.hnormdemo import hnormdemo
+from examples.mnistsvm import load_mnist, mnistsvm, read_idx_labels
+from examples.relaxationexample import relaxationexample
+from examples.stepsizetesting import stepsizetesting
+
+
+def test_convergencechecking_catches_broken_proxes():
+    out = convergencechecking(48, 32, quiet=True)
+    assert not out["ok-f / ok-g"].diverged
+    # At least the both-broken combination must be caught.
+    assert out["BROKEN-f / BROKEN-g"].diverged
+
+
+def test_fasteradmmcomparison_runs():
+    out = fasteradmmcomparison(64, 48, quiet=True, maxiters=3000)
+    steps_std, xerr_std, _ = out["standard"]
+    steps_fast, xerr_fast, _ = out["fast (strong)"]
+    assert xerr_std < 1e-2 and xerr_fast < 1e-2
+    # Fast ADMM should not be slower in iterations on this strongly
+    # convex problem.
+    assert steps_fast <= steps_std
+
+
+def test_stepsize_and_relaxation_studies():
+    # Loose errtol: small random squares are marginal at off-default rho
+    # (the study's point is the steps-vs-rho curve, not the oracle).
+    out = stepsizetesting(rhos=(0.5, 1.0), tester="model", quiet=True,
+                          rows=48, cols=48, errtol=1e-2)
+    assert all(ok for _, ok in out.values())
+    assert all(steps > 0 for steps, _ in out.values())
+    out2 = relaxationexample(relaxes=(1.0, 1.5), rows=256, cols=16, quiet=True)
+    assert all(xerr < 1e-2 for _, xerr in out2.values())
+
+
+def test_hnormdemo_runs():
+    out = hnormdemo(48, 32, quiet=True)
+    for stopcond, (steps, hfinal) in out.items():
+        assert steps > 0 and np.isfinite(hfinal)
+
+
+def test_mnist_synthetic_pipeline():
+    rows = mnistsvm(n_train=300, n_test=100, digits=[0, 1], maxiters=100,
+                    quiet=True)
+    assert len(rows) == 2
+    for digit, tr_h, te_h, tr_0, te_0 in rows:
+        # One-vs-all on separable-ish synthetic prototypes: must beat the
+        # 50% coin flip decisively on train data.
+        assert tr_h < 35.0
+        assert 0.0 <= te_h <= 100.0
+
+
+def test_idx_label_parser_against_reference_file():
+    """The idx1 parser must read the reference's real MNIST label file
+    (examples/MNIST/ — labels ARE present in the mount)."""
+    import pathlib
+
+    path = pathlib.Path("/root/reference/examples/MNIST/t10k-labels.idx1-ubyte")
+    if not path.exists():
+        pytest.skip("reference MNIST labels not mounted")
+    labels = read_idx_labels(path)
+    assert len(labels) == 10000
+    assert set(np.unique(labels)) <= set(range(10))

@@ -65,10 +65,11 @@ def test_model_warm_start_converges_faster():
     from admm_tpu.engine import Hooks, admm
     from admm_tpu.models.model import make_prox_ops
 
-    prox_f, prox_g, obj = make_prox_ops(P, Q, r, s, cfg)
+    prox_f, prox_g, obj, data = make_prox_ops(P, Q, r, s, cfg)
     warm = admm(
         prox_f, prox_g, cfg, A=1.0, B=-1.0, c=0.0, m=len(truex),
         x0=cold.xopt, z0=cold.zopt, u0=cold.uopt, hooks=Hooks(obj=obj),
+        data=data,
     )
     assert warm.steps <= 2
     assert warm.steps < cold.steps

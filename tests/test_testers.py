@@ -1,0 +1,58 @@
+"""The randomized tester harness itself (reference testers/;
+SURVEY.md section 4 tiers 1-2)."""
+
+import numpy as np
+import pytest
+
+from admm_tpu.testers import (
+    basispursuittest,
+    covarianceselectiontest,
+    huberfittest,
+    ladtest,
+    lassotest,
+    linearprogramtest,
+    linearsvmtest,
+    modeltest,
+    quadraticprogramtest,
+    solvertester,
+    totalvariationtest,
+)
+
+
+def test_all_problem_testers_pass_default_instances():
+    small = dict(quiet=True)
+    checks = [
+        modeltest(0, 64, 64, **small),
+        lassotest(0, 128, 64, **small),
+        basispursuittest(0, 16, 64, **small),
+        totalvariationtest(0, 128, **small),
+        ladtest(0, 256, 16, **small),
+        huberfittest(0, 256, 16, **small),
+        linearprogramtest(0, 32, 32, **small),
+        quadraticprogramtest(0, 32, 32, **small),
+        quadraticprogramtest(0, 32, 32, form="bounded", **small),
+        covarianceselectiontest(0, 128, 16, **small),
+    ]
+    for res, test in checks:
+        assert not test["failed"], (test["solver"], test["failreason"])
+
+
+def test_svm_tester():
+    # Default sizes (128/128, sep 0.5): the nonconvex 0-1 loss needs
+    # enough samples for a stable separator.
+    res_h, res_01, test = linearsvmtest(0, quiet=True)
+    assert not test["failed"], test["failreason"]
+
+
+def test_solvertester_sweep_deterministic():
+    rep1 = solvertester("lasso", 4, 5, 2, seed=0, testtype="skinny")
+    rep2 = solvertester("lasso", 4, 5, 2, seed=0, testtype="skinny")
+    assert not rep1.any_failed
+    np.testing.assert_array_equal(rep1.steps, rep2.steps)
+    assert rep1.avetimes.shape == (2,)
+    assert "lasso" in rep1.summary()
+
+
+def test_solvertester_unknown_solver():
+    with pytest.raises(ValueError, match="unknown solver"):
+        solvertester("nope", 4, 4, 1)
