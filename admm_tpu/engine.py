@@ -67,12 +67,21 @@ class Constraint(NamedTuple):
 
 
 class Hooks(NamedTuple):
-    """Optional user hooks (reference admm.m:473-476, 553-560, 602-616)."""
+    """Optional user hooks (reference admm.m:473-476, 553-560, 602-616).
+
+    ``fused_zu`` is a TPU-only performance hook with no reference analog:
+    for the common A=1, B=-1, c=0 splitting it computes the z-prox AND the
+    dual update in one pass — ``fused_zu(x, u, rho[, data]) -> (z, u)`` —
+    letting a Pallas kernel keep the vector state in VMEM (ops/kernels.py).
+    Used only under alg 0 with relax == 1 and no altu; the engine falls
+    back to prox_g + the standard dual update otherwise.
+    """
 
     obj: Optional[Callable] = None          # obj(x, z) -> scalar
     altu: Optional[Callable] = None         # altu(u, Ax, Bz, c) -> u
     specialnorms: Optional[Callable] = None  # f(x,z,u,rho) -> (pnorm, dnorm)
     preprocess: Optional[Callable] = None   # run once host-side before solve
+    fused_zu: Optional[Callable] = None     # (x, u, rho[, data]) -> (z, u)
 
 
 class _Carry(NamedTuple):
@@ -261,9 +270,19 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
                 (lambda x, z, u, rho: hooks.specialnorms(x, z, u, rho, data))
                 if hooks.specialnorms else None
             )
+            fused_fn = (
+                (lambda x, u, rho: hooks.fused_zu(x, u, rho, data))
+                if hooks.fused_zu else None
+            )
         else:
             pf, pg = prox_f, prox_g
             obj_fn, altu_fn, norms_fn = hooks.obj, hooks.altu, hooks.specialnorms
+            fused_fn = hooks.fused_zu
+        # Fused z+dual path applies only to the plain splitting.
+        use_fused = (
+            fused_fn is not None and alg == 0 and not use_relax
+            and hooks.altu is None
+        )
         rdtype = x0.dtype
         rho0 = jnp.asarray(cfg.rho, rdtype)
         eps = jnp.finfo(rdtype).eps
@@ -327,14 +346,21 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
                 Axhat = relax * A.mv(x) - (1.0 - relax) * (B.mv(zprev) - c)
                 Ax_for_g = Axhat
             u_for_g = u if alg == 0 else uhat
-            z = pg(Ax_for_g, z, u_for_g, rho)
+            if use_fused:
+                # One-pass z-prox + dual update (Hooks.fused_zu docstring);
+                # the default updates below are skipped for u.
+                z, u_fused = fused_fn(x, u, rho)
+            else:
+                z = pg(Ax_for_g, z, u_for_g, rho)
 
             Ax = A.mv(x)
             Bz = B.mv(z)
             Axr = Axhat if use_relax else Ax
 
             # ---- dual update (admm.m:538-560) ----------------------------
-            if altu_fn is not None:
+            if use_fused:
+                u = u_fused
+            elif altu_fn is not None:
                 u = altu_fn(u, Axr, Bz, c)
             else:
                 base = u if alg == 0 else uhat
@@ -451,6 +477,14 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
                     xvals=h.xvals.at[k].set(x),
                     zvals=h.zvals.at[k].set(z),
                     uvals=h.uvals.at[k].set(u),
+                )
+
+            # ---- per-iteration console table (admm.m:318-330, 661-673) ----
+            if not cfg.quiet:
+                jax.debug.print(
+                    "{i}\tpnorm {p:.4e}\tperr {pe:.4e}\tdnorm {d:.4e}"
+                    "\tderr {de:.4e}",
+                    i=i, p=pnorm, pe=perr, d=dnorm, de=derr,
                 )
 
             new = _Carry(

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..config import ADMMConfig
 from ..engine import Hooks, admm
 from ..ops.prox import soft_threshold
-from ..ops.solve import SymShiftSolver, WoodburySolver
+from ..ops.solve import FatShiftSolver, SymShiftSolver, WoodburySolver
 from ..results import ADMMResults
 from . import register
 from ._common import bind_data, merge_config, timed_solver
@@ -48,6 +48,10 @@ def _prox_f_fat(x, z, u, rho, d):
     return d["wood"].solve(d["Dts"] + rho * (z - u), rho)
 
 
+def _prox_f_fat_static(x, z, u, rho, d):
+    return d["fat"].solve(d["Dts"] + rho * (z - u))
+
+
 def _prox_g(x, z, u, rho, d):
     # zminSoftThresholding(u + x, lambda/rho) (getProxOps.m:455, 933-938)
     return soft_threshold(u + x, d["lam"] / rho)
@@ -58,8 +62,20 @@ def _obj(x, z, d):
     return 0.5 * jnp.sum((d["D"] @ x - d["s"]) ** 2) + d["lam"] * jnp.sum(jnp.abs(z))
 
 
-def make_prox_ops(D, s, lam, config: ADMMConfig = ADMMConfig()):
-    """Build (prox_f, prox_g, obj, data) for LASSO (getProxOps.m:313-456)."""
+def _fused_zu(x, u, rho, d):
+    # One-pass Pallas z-prox + dual update (Hooks.fused_zu; ops/kernels.py).
+    from ..ops.kernels import fused_soft_threshold_dual
+
+    return fused_soft_threshold_dual(x, u, d["lam"] / rho)
+
+
+def make_prox_ops(D, s, lam, config: ADMMConfig = ADMMConfig(), stream_dtype=None):
+    """Build (prox_f, prox_g, obj, data) for LASSO (getProxOps.m:313-456).
+
+    ``stream_dtype`` (e.g. jnp.bfloat16) stores the fat-branch matvec
+    stream matrices at reduced precision with f32 accumulation — a
+    bandwidth optimization for the HBM-bound regime (see FatShiftSolver).
+    """
     D = jnp.asarray(D)
     s = jnp.asarray(s)
     m, n = D.shape
@@ -75,11 +91,16 @@ def make_prox_ops(D, s, lam, config: ADMMConfig = ADMMConfig()):
                 config.rho
             )
             prox_f = _prox_f_static
-    else:
-        # Fat: Woodbury through the m-by-m Gram (solvers/lasso.m:169-172;
-        # getProxOps.m:1198-1205).
+    elif config.adaptive:
+        # Fat + adaptive rho: Woodbury through the m-by-m eigenbasis
+        # (solvers/lasso.m:169-172; getProxOps.m:1198-1205).
         data["wood"] = WoodburySolver.from_matrix(D)
         prox_f = _prox_f_fat
+    else:
+        # Fat + static rho: fold the middle factor into one stream matrix
+        # (two m-by-n HBM streams per iteration).
+        data["fat"] = FatShiftSolver.from_matrix(D, config.rho, stream_dtype)
+        prox_f = _prox_f_fat_static
 
     return prox_f, _prox_g, _obj, data
 
@@ -91,17 +112,21 @@ def _registry_entry(D, s, lam, config=ADMMConfig(), **_):
 
 
 @timed_solver
-def lasso(D, s, lam, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
+def lasso(D, s, lam, config: ADMMConfig = ADMMConfig(), *, stream_dtype=None,
+          use_fused_kernel=False, **overrides) -> ADMMResults:
     """Solve LASSO (reference solvers/lasso.m:77).
 
     Constraint wiring matches lasso.m:226-239: A = 1, B = -1, c = 0 in R^n.
+    ``use_fused_kernel`` routes the z-prox + dual update through the fused
+    Pallas kernel (TPU; exact jnp fallback elsewhere).
     """
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     n = D.shape[1]
-    prox_f, prox_g, obj, data = make_prox_ops(D, s, lam, config)
+    prox_f, prox_g, obj, data = make_prox_ops(D, s, lam, config, stream_dtype)
+    hooks = Hooks(obj=obj, fused_zu=_fused_zu if use_fused_kernel else None)
     return admm(
         prox_f, prox_g, config,
         A=1.0, B=-1.0, c=0.0, m=n, nA=n, nB=n,
-        hooks=Hooks(obj=obj), dtype=D.dtype, data=data,
+        hooks=hooks, dtype=D.dtype, data=data,
     )

@@ -86,6 +86,10 @@ def fused_soft_threshold_dual(x, u, t, *, force_pallas=False):
     chunk = _SUBLANE * _LANE
     padded = int(np.ceil(n / chunk)) * chunk
     rows = padded // _LANE
+    if rows > _BLOCK_ROWS and rows % _BLOCK_ROWS:
+        # Pad the row count to a whole number of grid blocks.
+        rows = int(np.ceil(rows / _BLOCK_ROWS)) * _BLOCK_ROWS
+        padded = rows * _LANE
     x2 = jnp.zeros((rows, _LANE), x.dtype).reshape(-1).at[:n].set(x).reshape(rows, _LANE)
     u2 = jnp.zeros((rows, _LANE), u.dtype).reshape(-1).at[:n].set(u).reshape(rows, _LANE)
     t = jnp.asarray(t, x.dtype)

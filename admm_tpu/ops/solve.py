@@ -100,6 +100,57 @@ class WoodburySolver:
 
 
 @jax.tree_util.register_pytree_node_class
+class FatShiftSolver:
+    """Static-rho fat-matrix solve of (D^T D + rho0 I) x = b.
+
+    Folds the Woodbury middle factor into a single precomputed m-by-n
+    stream matrix E = (D D^T / rho0 + I)^{-1} D, so each application is
+
+        x = b / rho0 - D^T (E b) / rho0^2
+
+    i.e. exactly two m-by-n matvec streams from HBM per iteration —
+    25% less HBM traffic than the factored WoodburySolver (which also
+    streams the m-by-m eigenvector basis twice).  ``stream_dtype``
+    optionally stores D and E in bfloat16 (f32 accumulation via
+    preferred_element_type): half the bytes, for the bandwidth-bound
+    regime where the matvec streams dominate the iteration.
+    Valid only for the fixed rho0 captured at construction.
+    """
+
+    def __init__(self, D, E, rho0):
+        self.D = D
+        self.E = E
+        self.rho0 = rho0
+
+    @classmethod
+    def from_matrix(cls, D, rho0, stream_dtype=None) -> "FatShiftSolver":
+        D = jnp.asarray(D)
+        rho0_arr = jnp.asarray(rho0, D.dtype)  # full precision, pre-downcast
+        G = D @ D.T / rho0 + jnp.eye(D.shape[0], dtype=D.dtype)
+        E = jnp.linalg.solve(0.5 * (G + G.T), D)
+        if stream_dtype is not None:
+            D = D.astype(stream_dtype)
+            E = E.astype(stream_dtype)
+        return cls(D, E, rho0_arr)
+
+    def solve(self, b, rho=None):
+        acc = jnp.float32 if self.D.dtype == jnp.bfloat16 else self.D.dtype
+        bb = b.astype(self.D.dtype)
+        Eb = jnp.matmul(self.E, bb, preferred_element_type=acc)
+        DtEb = jnp.matmul(self.D.T, Eb.astype(self.D.dtype),
+                          preferred_element_type=acc)
+        rho0 = self.rho0.astype(b.dtype)
+        return b / rho0 - DtEb.astype(b.dtype) / (rho0 * rho0)
+
+    def tree_flatten(self):
+        return (self.D, self.E, self.rho0), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
 class kkt_eq_solver:
     """Equality-constrained quadratic KKT solve via Schur complement.
 

@@ -8,5 +8,6 @@ Python package imports without path mutation.
 
 from .validate import errorcheck, slicemaker
 from .report import showresults
+from .checkpoint import load_state, save_state
 
-__all__ = ["errorcheck", "slicemaker", "showresults"]
+__all__ = ["errorcheck", "slicemaker", "showresults", "save_state", "load_state"]

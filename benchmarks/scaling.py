@@ -1,0 +1,70 @@
+"""Weak-scaling benchmark for consensus-ADMM LASSO.
+
+BASELINE.md target: >= 80% weak-scaling efficiency at 2+ workers.  Rows
+grow with the shard count (constant per-device work: base_rows per
+shard); efficiency(W) = iters_per_sec(W) / iters_per_sec(1).  On a single
+host this runs over the virtual CPU mesh (the cluster-free analog of the
+reference's local pool, SURVEY.md section 4); on a pod it runs over real
+chips via jax.distributed.
+
+Prints one JSON line per shard count plus a summary line.
+
+Usage:  python benchmarks/scaling.py [--devices 8] [--rows-per-shard 4096]
+        [--cols 512] [--iters 300]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def weak_scaling(device_counts=(1, 2, 4, 8), rows_per_shard=4096, cols=512,
+                 iters=300, quiet=False):
+    import numpy as np
+
+    from admm_tpu import ADMMConfig
+    from admm_tpu.parallel import consensus_lasso, make_mesh
+
+    cfg = ADMMConfig(maxiters=iters, domaxiters=True)
+    results = {}
+    for W in device_counts:
+        rng = np.random.default_rng(0)
+        m = rows_per_shard * W
+        D = rng.standard_normal((m, cols)).astype(np.float32)
+        s = rng.standard_normal(m).astype(np.float32)
+        mesh = make_mesh(W)
+        consensus_lasso(D, s, 0.1, cfg, mesh=mesh, nshards=W)  # compile
+        res = consensus_lasso(D, s, 0.1, cfg, mesh=mesh, nshards=W)
+        ips = iters / res.runtime
+        results[W] = ips
+        if not quiet:
+            print(json.dumps({
+                "metric": "consensus_lasso_weak_scaling",
+                "devices": W,
+                "rows": m,
+                "cols": cols,
+                "value": round(ips, 2),
+                "unit": "iter/s",
+            }))
+    base = results[min(results)]
+    effs = {W: results[W] / base for W in results}
+    if not quiet:
+        print(json.dumps({
+            "metric": "weak_scaling_efficiency",
+            "efficiency": {str(W): round(e, 3) for W, e in effs.items()},
+            "target": 0.8,
+        }))
+    return results, effs
+
+
+if __name__ == "__main__":
+    args = dict(a.split("=") for a in sys.argv[1:] if "=" in a)
+    n_dev = int(args.get("--devices", 8))
+    counts = [w for w in (1, 2, 4, 8) if w <= n_dev]
+    weak_scaling(
+        device_counts=counts,
+        rows_per_shard=int(args.get("--rows-per-shard", 4096)),
+        cols=int(args.get("--cols", 512)),
+        iters=int(args.get("--iters", 300)),
+    )
