@@ -42,6 +42,15 @@ class ADMMConfig:
     - ``adaptive``: experimental adaptive rho (admm.m:51, 724-741).
     - ``objevals``: record the objective each iteration (admm.m:66, 602-605).
 
+    TPU additions beyond the reference:
+
+    - ``rbadaptive`` / ``rbmu`` / ``rbtau``: residual-balancing adaptive
+      rho (Boyd et al. 2011, section 3.4.1): grow rho by tau when
+      pnorm > mu * dnorm, shrink when dnorm > mu * pnorm, and rescale the
+      scaled dual u by rho_old/rho_new (the rescaling the reference's
+      experimental mode omits).  Requires prox operators valid for any
+      runtime rho — the library's eigh-folded solvers all are.
+
     TPU-specific additions (no reference equivalent):
 
     - ``record_iterates``: also record full per-iteration x/z/u traces
@@ -66,6 +75,9 @@ class ADMMConfig:
     stopcond: str = "standard"  # 'standard' | 'hnorm' | 'both'
     nodualerror: bool = False
     adaptive: bool = False
+    rbadaptive: bool = False
+    rbmu: float = 10.0
+    rbtau: float = 2.0
     objevals: bool = False
     quiet: bool = True
     record_iterates: bool = False
@@ -82,6 +94,12 @@ class ADMMConfig:
         # (admm.m:285-287).
         if self.fast and self.fasttype == "weak" and not (0.0 < self.restart < 1.0):
             object.__setattr__(self, "restart", 0.999)
+        if self.rbadaptive and self.nodualerror:
+            raise ValueError("rbadaptive needs dual residuals (nodualerror=False)")
+        if self.rbadaptive and self.adaptive:
+            raise ValueError("choose one adaptive-rho mode: adaptive or rbadaptive")
+        if self.rbadaptive and self.fast:
+            raise ValueError("rbadaptive applies to the standard iteration only")
 
     @property
     def alg(self) -> int:
@@ -96,3 +114,9 @@ class ADMMConfig:
     def needs_hnorm(self) -> bool:
         """Whether the H-norm machinery must be traced (admm.m:302-313)."""
         return self.convtest or self.stopcond in ("hnorm", "both")
+
+    @property
+    def dynamic_rho(self) -> bool:
+        """Whether rho can change at runtime — prox builders must then use
+        the rho-parameterized (eigh-folded) solve paths."""
+        return self.adaptive or self.rbadaptive

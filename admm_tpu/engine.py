@@ -214,10 +214,12 @@ def admm(
             runner = jax.jit(runner)
         call = lambda: runner(x0, z0, u0, c_arr, A, B, ())
 
-    # Wall-clock for the whole solve, compile excluded on repeat calls
-    # (reference tic/toc around the loop, admm.m:315, 756).
+    # Wall-clock for the solve loop only (reference tic/toc inside admm,
+    # admm.m:315, 756).  Async-dispatched setup work (factorizations built
+    # in make_prox_ops) is flushed first so it isn't billed to the loop.
     import time
 
+    jax.block_until_ready((x0, z0, u0, c_arr, data))
     t0 = time.perf_counter()
     out = jax.block_until_ready(call())
     runtime = time.perf_counter() - t0
@@ -452,6 +454,16 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
                 rho_c = jnp.where(rhodiff <= rhoprev / growth, rho_c * growth, rho_c)
                 do_adapt = (i > 2) & jnp.logical_not(done)
                 rho_new = jnp.where(do_adapt, rho_c, rho)
+            elif cfg.rbadaptive and alg == 0:
+                # Residual balancing (Boyd sec. 3.4.1) with scaled-dual
+                # rescale u <- u * rho/rho_new (see ADMMConfig.rbadaptive).
+                grow = pnorm > cfg.rbmu * dnorm
+                shrink = dnorm > cfg.rbmu * pnorm
+                factor = jnp.where(grow, cfg.rbtau,
+                                   jnp.where(shrink, 1.0 / cfg.rbtau, 1.0))
+                factor = jnp.where(done, 1.0, factor).astype(rho.dtype)
+                rho_new = rho * factor
+                u = u / factor
 
             # ---- history (admm.m:596-610) ---------------------------------
             h = carry.hist

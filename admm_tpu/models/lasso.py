@@ -83,7 +83,7 @@ def make_prox_ops(D, s, lam, config: ADMMConfig = ADMMConfig(), stream_dtype=Non
 
     if m >= n:
         # Skinny/square: work with the n-by-n Gram (solvers/lasso.m:164-168).
-        if config.adaptive:
+        if config.dynamic_rho:
             data["sol"] = SymShiftSolver.from_matrix(D.T @ D)
             prox_f = _prox_f_adaptive
         else:
@@ -91,7 +91,7 @@ def make_prox_ops(D, s, lam, config: ADMMConfig = ADMMConfig(), stream_dtype=Non
                 config.rho
             )
             prox_f = _prox_f_static
-    elif config.adaptive:
+    elif config.dynamic_rho:
         # Fat + adaptive rho: Woodbury through the m-by-m eigenbasis
         # (solvers/lasso.m:169-172; getProxOps.m:1198-1205).
         data["wood"] = WoodburySolver.from_matrix(D)

@@ -57,7 +57,7 @@ def make_prox_ops(P, Q, r, s, config: ADMMConfig = ADMMConfig()):
     s = jnp.asarray(s)
     data = {"P": P, "Q": Q, "r": r, "s": s, "Ptr": P.T @ r, "Qts": Q.T @ s}
 
-    if config.adaptive:
+    if config.dynamic_rho:
         data["solP"] = SymShiftSolver.from_matrix(P.T @ P)
         data["solQ"] = SymShiftSolver.from_matrix(Q.T @ Q)
         return _prox_f_adaptive, _prox_g_adaptive, _obj, data

@@ -82,7 +82,7 @@ def make_prox_ops_bounded(
         "lb": jnp.asarray(lb),
         "ub": jnp.asarray(ub),
     }
-    if config.adaptive:
+    if config.dynamic_rho:
         data["sol"] = SymShiftSolver.from_matrix(P)
         prox_f = _prox_f_bounded_adaptive
     else:

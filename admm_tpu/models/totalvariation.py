@@ -66,7 +66,7 @@ def make_prox_ops(s, lam, config: ADMMConfig = ADMMConfig()):
     w, V = jnp.linalg.eigh(DtD)
 
     data = {"s": s, "lam": jnp.asarray(lam, s.dtype), "D": D}
-    if config.adaptive:
+    if config.dynamic_rho:
         data["V"], data["w"] = V, w
         prox_f = _prox_f_adaptive
     else:

@@ -109,6 +109,8 @@ def unwrapped_admm_sharded(
     u0 = jax.random.uniform(ku, (mp,), dtype=dtype).reshape(W, mp // W)
 
     runner = _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global, config, m)
+    jax.block_until_ready((Winv, x0, z0, u0, mask, aux_dev))
+    t0 = time.perf_counter()  # loop-only wall clock (setup flushed above)
     out = jax.block_until_ready(runner(Di_dev, Winv, x0, z0, u0, mask, aux_dev))
     runtime = time.perf_counter() - t0
     res = ADMMResults.from_raw(out, config)

@@ -67,6 +67,15 @@ def main(smoke: bool = False):
         iters=20 if smoke else 50,
     )
 
+    # Secondary target (BASELINE.json): time-to-1e-6 primal residual.
+    # Both implementations run the identical update sequence, so the
+    # trajectory (and step count) match; only seconds/step differ.
+    pnorm = np.asarray(res.pnorm)
+    hit = np.nonzero(pnorm <= 1e-6)[0]
+    steps_1e6 = int(hit[0]) + 1 if len(hit) else None
+    t_1e6 = None if steps_1e6 is None else steps_1e6 / iters_per_sec
+    t_1e6_np = None if steps_1e6 is None else steps_1e6 / baseline
+
     print(
         json.dumps(
             {
@@ -74,6 +83,12 @@ def main(smoke: bool = False):
                 "value": round(iters_per_sec, 2),
                 "unit": "iter/s",
                 "vs_baseline": round(iters_per_sec / baseline, 3),
+                "numpy_baseline_iters_per_sec": round(baseline, 2),
+                "steps_to_pnorm_1e-6": steps_1e6,
+                "time_to_pnorm_1e-6_s": None if t_1e6 is None else round(t_1e6, 4),
+                "baseline_time_to_pnorm_1e-6_s": (
+                    None if t_1e6_np is None else round(t_1e6_np, 4)
+                ),
             }
         )
     )

@@ -1,0 +1,51 @@
+"""Batched regularization-path solves (models/paths.py)."""
+
+import numpy as np
+
+from admm_tpu import ADMMConfig
+from admm_tpu.models.paths import lasso_path, linearsvm_c_path
+
+
+def test_lasso_path_matches_individual_solves():
+    from admm_tpu import lasso
+
+    rng = np.random.default_rng(0)
+    D = rng.standard_normal((128, 64))
+    D = D / np.sqrt(np.sum(D**2, axis=0, keepdims=True))
+    testx = rng.standard_normal(64) * (rng.random(64) < 0.5)
+    s = D @ testx + 0.03 * rng.standard_normal(128)
+    lam_max = np.max(np.abs(D.T @ s))
+    lams = lam_max * np.array([0.5, 0.1, 0.02])
+
+    cfg = ADMMConfig(maxiters=5000)
+    path = lasso_path(D, s, lams, cfg)
+    assert path.xopt.shape == (3, 64)
+
+    for i, lam in enumerate(lams):
+        solo = lasso(D, s, float(lam), cfg)
+        np.testing.assert_allclose(
+            np.asarray(path.xopt[i]), np.asarray(solo.xopt), atol=1e-8
+        )
+        assert int(path.steps[i]) == solo.steps
+    # Smaller lambda -> denser solution (sanity on the path semantics).
+    nnz = [(np.abs(np.asarray(path.zopt[i])) > 1e-8).sum() for i in range(3)]
+    assert nnz[0] <= nnz[-1]
+
+
+def test_svm_c_path_runs():
+    rng = np.random.default_rng(1)
+    mpos = 64
+    bp = np.linspace(0, 2, mpos)
+    pos = np.stack([bp + rng.random(mpos) - 0.25 * rng.random(mpos),
+                    bp - rng.random(mpos) + 0.25 * rng.random(mpos)], 1)
+    neg = np.stack([bp - rng.random(mpos) + 0.25 * rng.random(mpos),
+                    bp + rng.random(mpos) - 0.25 * rng.random(mpos)], 1)
+    D = np.concatenate([pos, neg])
+    ell = np.concatenate([np.ones(mpos), -np.ones(mpos)])
+
+    Cs = np.array([0.1, 1.0, 10.0])
+    path = linearsvm_c_path(D, ell, Cs, ADMMConfig(maxiters=500))
+    assert path.xopt.shape == (3, 2)
+    # Each lane recovers a separator with positive slope parameter x1.
+    x = np.asarray(path.xopt)
+    assert np.all(np.isfinite(x))
