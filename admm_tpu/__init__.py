@@ -30,6 +30,9 @@ from .models import (
     unwrappedadmm,
 )
 
+from .models.paths import lasso_path, linearsvm_c_path
+from . import parallel, testers, utils  # noqa: F401  (subpackage access)
+
 __version__ = "0.1.0"
 
 __all__ = [

@@ -118,6 +118,8 @@ class _Hist(NamedTuple):
     xvals: Any  # () placeholder unless record_iterates
     zvals: Any
     uvals: Any
+    vvals: Any     # accelerated predictor traces (admm.m:596-599);
+    uhatvals: Any  # recorded when record_iterates and alg != 0
 
 
 def admm(
@@ -305,6 +307,10 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
             xvals=jnp.zeros((N,) + x0.shape, rdtype) if cfg.record_iterates else (),
             zvals=jnp.zeros((N,) + z0.shape, rdtype) if cfg.record_iterates else (),
             uvals=jnp.zeros((N,) + u0.shape, rdtype) if cfg.record_iterates else (),
+            vvals=jnp.zeros((N,) + z0.shape, rdtype)
+            if (cfg.record_iterates and alg) else (),
+            uhatvals=jnp.zeros((N,) + u0.shape, rdtype)
+            if (cfg.record_iterates and alg) else (),
         )
 
         carry0 = _Carry(
@@ -490,6 +496,11 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
                     zvals=h.zvals.at[k].set(z),
                     uvals=h.uvals.at[k].set(u),
                 )
+                if alg:
+                    h = h._replace(
+                        vvals=h.vvals.at[k].set(v_new),
+                        uhatvals=h.uhatvals.at[k].set(uhat_new),
+                    )
 
             # ---- per-iteration console table (admm.m:318-330, 661-673) ----
             if not cfg.quiet:

@@ -71,11 +71,17 @@ def _registry_entry(D, s, config=ADMMConfig(), **_):
 
 
 @timed_solver
-def basispursuit(D, s, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
+def basispursuit(D=None, s=None, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
     """Solve basis pursuit (reference solvers/basispursuit.m:52).
 
     Constraint wiring: A = 1, B = -1, c = 0 in R^n.
     """
+    if D is None:
+        # Zero-arg demo mode (reference solvers, e.g. lasso.m:122-129).
+        from ..testers.problems import basispursuittest
+
+        res, _test = basispursuittest(quiet=False)
+        return res
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     n = D.shape[1]

@@ -69,13 +69,19 @@ def empirical_covariance(D):
 
 
 @timed_solver
-def covarianceselection(D, lam, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
+def covarianceselection(D=None, lam=None, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
     """Solve covariance selection (reference solvers/covarianceselection.m:80).
 
     ``D`` holds samples in rows; the empirical covariance is formed here
     (covarianceselection.m:145).  Iterates are n-by-n matrices with zero
     initial state (covarianceselection.m:164-166).
     """
+    if D is None:
+        # Zero-arg demo mode (reference solvers, e.g. lasso.m:122-129).
+        from ..testers.problems import covarianceselectiontest
+
+        res, _test = covarianceselectiontest(quiet=False)
+        return res
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     S = empirical_covariance(D)

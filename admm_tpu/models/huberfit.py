@@ -66,11 +66,17 @@ def _registry_entry(D, s, config=ADMMConfig(), **_):
 
 
 @timed_solver
-def huberfit(D, s, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
+def huberfit(D=None, s=None, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
     """Solve Huber fitting (reference solvers/huberfit.m:83).
 
     Constraint wiring: A = D, B = -1, c = s (same shape as lad.m:140-145).
     """
+    if D is None:
+        # Zero-arg demo mode (reference solvers, e.g. lasso.m:122-129).
+        from ..testers.problems import huberfittest
+
+        res, _test = huberfittest(quiet=False)
+        return res
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     s = jnp.asarray(s)

@@ -67,11 +67,17 @@ def _registry_entry(D, s, config=ADMMConfig(), **_):
 
 
 @timed_solver
-def lad(D, s, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
+def lad(D=None, s=None, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
     """Solve least absolute deviations (reference solvers/lad.m:51).
 
     Constraint wiring matches lad.m:140-145: A = D, B = -1, c = s.
     """
+    if D is None:
+        # Zero-arg demo mode (reference solvers, e.g. lasso.m:122-129).
+        from ..testers.problems import ladtest
+
+        res, _test = ladtest(quiet=False)
+        return res
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     s = jnp.asarray(s)

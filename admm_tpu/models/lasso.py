@@ -112,7 +112,7 @@ def _registry_entry(D, s, lam, config=ADMMConfig(), **_):
 
 
 @timed_solver
-def lasso(D, s, lam, config: ADMMConfig = ADMMConfig(), *, stream_dtype=None,
+def lasso(D=None, s=None, lam=None, config: ADMMConfig = ADMMConfig(), *, stream_dtype=None,
           use_fused_kernel=False, **overrides) -> ADMMResults:
     """Solve LASSO (reference solvers/lasso.m:77).
 
@@ -120,6 +120,12 @@ def lasso(D, s, lam, config: ADMMConfig = ADMMConfig(), *, stream_dtype=None,
     ``use_fused_kernel`` routes the z-prox + dual update through the fused
     Pallas kernel (TPU; exact jnp fallback elsewhere).
     """
+    if D is None:
+        # Zero-arg demo mode (reference solvers, e.g. lasso.m:122-129).
+        from ..testers.problems import lassotest
+
+        res, _test = lassotest(quiet=False)
+        return res
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     n = D.shape[1]

@@ -60,11 +60,17 @@ def _registry_entry(b, D, s, config=ADMMConfig(), **_):
 
 
 @timed_solver
-def linearprogram(b, D, s, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
+def linearprogram(b=None, D=None, s=None, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
     """Solve the standard-form LP (reference solvers/linearprogram.m:81).
 
     Constraint wiring: A = 1, B = -1, c = 0 in R^n.
     """
+    if b is None:
+        # Zero-arg demo mode (reference solvers, e.g. lasso.m:122-129).
+        from ..testers.problems import linearprogramtest
+
+        res, _test = linearprogramtest(quiet=False)
+        return res
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     n = D.shape[1]

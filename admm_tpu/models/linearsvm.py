@@ -77,14 +77,20 @@ def _registry_entry(D, ell, C, loss="hinge", config=ADMMConfig(), **_):
 
 @timed_solver
 def linearsvm(
-    D, ell, C, config: ADMMConfig = ADMMConfig(), *, loss: str = "hinge",
-    seed: int = 0, **overrides,
+    D=None, ell=None, C=None, config: ADMMConfig = ADMMConfig(), *,
+    loss: str = "hinge", seed: int = 0, **overrides,
 ) -> ADMMResults:
     """Train a linear SVM (reference solvers/linearsvm.m:92).
 
     Delegates to unwrappedadmm(minz, D, ...) exactly as the reference does
     (linearsvm.m:242); the plain-ADMM path there is dead code.
     """
+    if D is None:
+        # Zero-arg demo mode (reference solvers, e.g. lasso.m:122-129).
+        from ..testers.problems import linearsvmtest
+
+        res, _, _test = linearsvmtest(quiet=False)
+        return res
     config = merge_config(config, overrides)
     _, prox_g, obj, data = make_prox_ops(D, ell, C, loss, config)
     return unwrappedadmm(prox_g, D, config, obj=obj, seed=seed, data=data)

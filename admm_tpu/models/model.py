@@ -75,11 +75,17 @@ def _registry_entry(P, Q, r, s, config=ADMMConfig(), **_):
 
 
 @timed_solver
-def model(P, Q, r, s, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
+def model(P=None, Q=None, r=None, s=None, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
     """Solve the model problem (reference solvers/model.m:47).
 
     Constraint wiring matches model.m:129-134: A = 1, B = -1, c = 0 in R^n.
     """
+    if P is None:
+        # Zero-arg demo mode (reference solvers, e.g. lasso.m:122-129).
+        from ..testers.problems import modeltest
+
+        res, _test = modeltest(quiet=False)
+        return res
     config = merge_config(config, overrides)
     P = jnp.asarray(P)
     n = P.shape[1]

@@ -103,7 +103,8 @@ def _registry_entry(P, q, D=None, s=None, lb=None, ub=None, config=ADMMConfig(),
 
 @timed_solver
 def quadraticprogram(
-    P, q, r, cons1, cons2, config: ADMMConfig = ADMMConfig(), **overrides
+    P=None, q=None, r=None, cons1=None, cons2=None,
+    config: ADMMConfig = ADMMConfig(), **overrides
 ) -> ADMMResults:
     """Solve a QP (reference solvers/quadraticprogram.m:99).
 
@@ -112,6 +113,12 @@ def quadraticprogram(
     two vectors of length n select the bounded form (bounds are
     normalized so lb <= ub elementwise, quadraticprogram.m:340-350).
     """
+    if P is None:
+        # Zero-arg demo mode (reference solvers, e.g. lasso.m:122-129).
+        from ..testers.problems import quadraticprogramtest
+
+        res, _test = quadraticprogramtest(quiet=False)
+        return res
     config = merge_config(config, overrides)
     P = jnp.asarray(P)
     q = jnp.asarray(q)

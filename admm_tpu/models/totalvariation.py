@@ -84,11 +84,17 @@ def _registry_entry(s, lam, config=ADMMConfig(), **_):
 
 
 @timed_solver
-def totalvariation(s, lam, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
+def totalvariation(s=None, lam=None, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
     """Solve 1-D TV denoising (reference solvers/totalvariation.m:62).
 
     Constraint wiring matches totalvariation.m:151-156: A = D, B = -1, c = 0.
     """
+    if s is None:
+        # Zero-arg demo mode (reference solvers, e.g. lasso.m:122-129).
+        from ..testers.problems import totalvariationtest
+
+        res, _test = totalvariationtest(quiet=False)
+        return res
     config = merge_config(config, overrides)
     s = jnp.asarray(s)
     n = s.shape[0]

@@ -17,14 +17,18 @@ Three distributed forms, matching SURVEY.md section 2.7:
 """
 
 from .mesh import make_mesh, pad_rows, shard_rows
-from .consensus import consensus_lasso
+from .consensus import consensus_admm, consensus_lasso
 from .transpose_reduction import unwrapped_admm_sharded, linearsvm_sharded
 from .sliced import make_sliced_prox
+from .multihost import global_mesh, initialize_cluster
 
 __all__ = [
+    "initialize_cluster",
+    "global_mesh",
     "make_mesh",
     "pad_rows",
     "shard_rows",
+    "consensus_admm",
     "consensus_lasso",
     "unwrapped_admm_sharded",
     "linearsvm_sharded",

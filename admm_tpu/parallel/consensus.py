@@ -1,14 +1,14 @@
-"""Consensus (global-variable) ADMM LASSO over a device mesh.
+"""Consensus (global-variable) ADMM over a device mesh.
 
 The reference's parallel LASSO (getProxOps.m:367-442 setup;
 xminParallelLASSO :1217-1260; zminParallelLASSO :1272-1299; altuLASSO
 :1312-1326; lassonorms :1335-1343) shards data rows into N slices, gives
 each worker a local x_i/u_i, and keeps a single global z:
 
-    x_i <- (D_i^T D_i + rho I)^{-1} (D_i^T s_i + rho (z - u_i))   [local]
-    xbar = mean_i x_i,  ubar = mean_i u_i                         [all-reduce]
-    z    <- soft_threshold(xbar + ubar, lambda / (rho N))         [replicated]
-    u_i  <- u_i + x_i - z                                         [local]
+    x_i <- local_prox(z - u_i)                                  [local]
+    xbar = mean_i x_i,  ubar = mean_i u_i                       [all-reduce]
+    z    <- global_prox(xbar + ubar)                            [replicated]
+    u_i  <- u_i + x_i - z                                       [local]
 
 with consensus residuals (stored *squared*, exactly as the reference's
 lassonorms feeds them to the engine via specialnorms, admm.m:612-616):
@@ -18,6 +18,11 @@ lassonorms feeds them to the engine via specialnorms, admm.m:612-616):
 
 and Boyd errors computed from the consensus aggregates (the reference's
 engine sees x = xbar, u = ubar via altu; admm.m:639-658).
+
+This module exposes the pattern as a GENERIC engine — ``consensus_admm``
+takes pluggable per-shard and global proximal operators (module-level
+functions over a data pytree, the same caching contract as the core
+engine) — plus the LASSO instantiation matching the reference.
 
 TPU design: the reference pays a client->worker broadcast + gather per
 prox per iteration (parfor); here the ENTIRE solve is one jitted program
@@ -37,7 +42,7 @@ from __future__ import annotations
 import functools
 import time
 from functools import partial
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -51,19 +56,18 @@ from ..results import ADMMResults
 from .mesh import make_mesh, pad_rows, shard_rows
 
 
-def _build_consensus_runner(cfg: ADMMConfig, W: int, n: int):
-    """Jittable consensus-LASSO loop over stacked per-shard operands.
+@functools.lru_cache(maxsize=64)
+def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
+                             W: int, n: int):
+    """Cross-call compile cache: repeat consensus solves of the same
+    (proxes, config, shard count, width) family reuse the compiled
+    program."""
+    N = int(config.maxiters)
 
-    Operands:
-      Minv : (W, n, n)  per-shard (D_i^T D_i + rho I)^{-1}
-      Dtsi : (W, n)     per-shard D_i^T s_i
-      lam  : scalar
-    """
-    N = int(cfg.maxiters)
-
-    def run(Minv, Dtsi, lam):
-        rdtype = Dtsi.dtype
-        rho = jnp.asarray(cfg.rho, rdtype)
+    def run(data):
+        leaves = jax.tree_util.tree_leaves(data)
+        rdtype = leaves[0].dtype if leaves else jnp.float32
+        rho = jnp.asarray(config.rho, rdtype)
         zeros_hist = jnp.full((N,), jnp.nan, rdtype)
 
         xi0 = jnp.zeros((W, n), rdtype)
@@ -85,34 +89,34 @@ def _build_consensus_runner(cfg: ADMMConfig, W: int, n: int):
             k, xi, z, ui, xbar_prev, done, hist = c
 
             # Local x-solves (xminParallelLASSO, getProxOps.m:1217-1260):
-            # one batched (sharded) matmul per device.
-            rhs = Dtsi + rho * (z[None, :] - ui)
-            xi = jnp.einsum("wij,wj->wi", Minv, rhs)
+            # batched (sharded) per-device work.
+            xi = local_prox(z, ui, rho, data)
 
             # Consensus aggregates: mean over the shard axis -> all-reduce.
             xbar = jnp.mean(xi, axis=0)
             ubar = jnp.mean(ui, axis=0)
 
             # Global z (zminParallelLASSO, getProxOps.m:1290-1293).
-            z = soft_threshold(xbar + ubar, lam / (rho * W))
+            z = global_prox(xbar, ubar, rho, W, data)
 
             # Immediate per-slice dual update (getProxOps.m:1296-1298).
             ui = ui + (xi - z[None, :])
 
-            # Consensus residuals, squared (lassonorms, getProxOps.m:1335-1343).
+            # Consensus residuals, squared (lassonorms,
+            # getProxOps.m:1335-1343).
             pnorm = jnp.sum((xi - xbar[None, :]) ** 2)
             dnorm = W * rho**2 * jnp.sum((xbar - xbar_prev) ** 2)
 
             # Boyd errors on the aggregates (engine sees x=xbar, u=ubar
             # through altu; admm.m:639-658 with A=1, B=-1, c=0).
             sqn = jnp.sqrt(jnp.asarray(float(n), rdtype))
-            perr = sqn * cfg.abstol + cfg.reltol * jnp.maximum(
+            perr = sqn * config.abstol + config.reltol * jnp.maximum(
                 jnp.linalg.norm(xbar), jnp.linalg.norm(z)
             )
-            derr = sqn * cfg.abstol + cfg.reltol * rho * jnp.linalg.norm(ubar)
+            derr = sqn * config.abstol + config.reltol * rho * jnp.linalg.norm(ubar)
 
             stop = (pnorm < perr) & (dnorm < derr)
-            if cfg.domaxiters:
+            if config.domaxiters:
                 stop = jnp.asarray(False)
 
             hp, hd, hpe, hde = hist
@@ -131,20 +135,66 @@ def _build_consensus_runner(cfg: ADMMConfig, W: int, n: int):
             "uopt": ubar,
             "xi": xi,
             "ui": ui,
-            "rho_final": jnp.asarray(cfg.rho, Dtsi.dtype),
+            "rho_final": jnp.asarray(config.rho, rdtype),
             "diverged": jnp.asarray(False),
             "hist": {"pnorm": hist[0], "dnorm": hist[1],
                      "perr": hist[2], "derr": hist[3]},
         }
 
-    return run
+    return jax.jit(run)
 
 
-@functools.lru_cache(maxsize=64)
-def _cached_consensus_runner(config: ADMMConfig, W: int, n: int):
-    """Cross-call compile cache: repeat consensus solves of the same
-    (config, shard count, width) family reuse the compiled program."""
-    return jax.jit(_build_consensus_runner(config, W, n))
+def consensus_admm(
+    local_prox: Callable,
+    global_prox: Callable,
+    data,
+    n: int,
+    config: ADMMConfig = ADMMConfig(),
+    *,
+    mesh: Optional[Mesh] = None,
+    nshards: Optional[int] = None,
+) -> ADMMResults:
+    """Generic consensus ADMM.
+
+    ``local_prox(z, ui, rho, data) -> xi`` computes ALL per-shard local
+    solves at once on stacked (W, n) arrays whose leading axis is sharded;
+    ``global_prox(xbar, ubar, rho, W, data) -> z`` is the replicated
+    global update.  Both must be module-level functions (caching
+    contract).  ``data`` is a pytree of operands; leaves with a leading
+    shard axis should already be device_put with the shard sharding.
+    """
+    t0 = time.perf_counter()
+    if mesh is None:
+        mesh = make_mesh()
+    W = nshards if nshards is not None else mesh.devices.size
+
+    runner = _cached_consensus_runner(local_prox, global_prox, config, W, n)
+    data = jax.block_until_ready(data)
+    t0 = time.perf_counter()  # loop-only wall clock
+    out = jax.block_until_ready(runner(data))
+
+    res = ADMMResults.from_raw(
+        {k: v for k, v in out.items() if k not in ("xi", "ui")}, config
+    )
+    res.runtime = time.perf_counter() - t0
+    res.extra["xi"] = out["xi"]
+    res.extra["ui"] = out["ui"]
+    res.extra["nshards"] = W
+    res.extra["mesh"] = mesh
+    return res
+
+
+# ---- LASSO instantiation (the reference's consensus problem) -------------
+
+
+def _lasso_local_prox(z, ui, rho, d):
+    rhs = d["Dtsi"] + rho * (z[None, :] - ui)
+    return jnp.einsum("wij,wj->wi", d["Minv"], rhs)
+
+
+def _lasso_global_prox(xbar, ubar, rho, W, d):
+    # soft-threshold at lambda/(rho N) (zminParallelLASSO :1290-1293)
+    return soft_threshold(xbar + ubar, d["lam"] / (rho * W))
 
 
 def consensus_lasso(
@@ -163,7 +213,6 @@ def consensus_lasso(
     to the mesh size (the reference defaults slices to the worker count,
     errorcheck.m:240-265).
     """
-    t0 = time.perf_counter()
     if mesh is None:
         mesh = make_mesh()
     axis = mesh.axis_names[0]
@@ -196,19 +245,10 @@ def consensus_lasso(
         Dtsi = jnp.einsum("wij,wi->wj", Di, si)
         return Minv, Dtsi
 
-    Minv, Dtsi = jax.block_until_ready(setup(Di_dev, si_dev))
+    Minv, Dtsi = setup(Di_dev, si_dev)
+    data = {"Minv": Minv, "Dtsi": Dtsi, "lam": jnp.asarray(lam, Dtsi.dtype)}
 
-    runner = _cached_consensus_runner(config, W, n)
-    t0 = time.perf_counter()  # loop-only wall clock (setup flushed above)
-    out = jax.block_until_ready(runner(Minv, Dtsi, jnp.asarray(lam, Dtsi.dtype)))
-    runtime = time.perf_counter() - t0
-
-    res = ADMMResults.from_raw(
-        {k: v for k, v in out.items() if k not in ("xi", "ui")}, config
+    return consensus_admm(
+        _lasso_local_prox, _lasso_global_prox, data, n, config,
+        mesh=mesh, nshards=W,
     )
-    res.runtime = runtime
-    res.extra["xi"] = out["xi"]
-    res.extra["ui"] = out["ui"]
-    res.extra["nshards"] = W
-    res.extra["mesh"] = mesh
-    return res

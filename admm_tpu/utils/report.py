@@ -72,6 +72,24 @@ def _plot(results: ADMMResults, test, show, save):
         matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    # Denoising overlay: noisy signal vs true vs recovered
+    # (reference showresults.m:181-198, for the TV solver).
+    if test and "s" in test and np.ndim(test["s"]) == 1:
+        fig0, ax0 = plt.subplots(figsize=(7, 3))
+        ax0.plot(np.asarray(test["s"]), alpha=0.4, label="noisy s")
+        if "truexopt" in test and np.ndim(test["truexopt"]) == 1:
+            ax0.plot(np.asarray(test["truexopt"]), lw=1.2, label="true")
+        ax0.plot(np.asarray(results.xopt), lw=1.2, label="recovered")
+        ax0.legend(fontsize=8)
+        ax0.set_title("signal overlay", fontsize=9)
+        fig0.tight_layout()
+        if save:
+            fig0.savefig(str(save).replace(".png", "_signal.png"), dpi=110)
+        if show:
+            plt.show()
+        else:
+            plt.close(fig0)
+
     panels = []
     if results.objevals is not None:
         panels.append(("objective", results.objevals, None))

@@ -71,6 +71,51 @@ def test_consensus_padding_is_exact():
     assert abs(f_par - f_ser) <= 1e-2 * abs(f_ser)
 
 
+def _ridge_local(z, ui, rho, d):
+    import jax.numpy as jnp
+
+    rhs = d["Dtsi"] + rho * (z[None, :] - ui)
+    return jnp.einsum("wij,wj->wi", d["Minv"], rhs)
+
+
+def _ridge_global(xbar, ubar, rho, W, d):
+    # prox of (lam/2)||z||^2 at parameter rho*W: shrink toward zero.
+    return (xbar + ubar) * (rho * W) / (rho * W + d["lam"])
+
+
+def test_generic_consensus_admm_ridge():
+    """The generic consensus engine with a ridge global prox must match
+    the closed-form ridge solution — proves consensus_admm is reusable
+    beyond the reference's LASSO instantiation."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from admm_tpu.parallel import consensus_admm
+
+    rng = np.random.default_rng(5)
+    W, mi, n = 8, 64, 24
+    lam = 0.7
+    D = rng.standard_normal((W * mi, n))
+    s = rng.standard_normal(W * mi)
+    x_closed = np.linalg.solve(D.T @ D + lam * np.eye(n), D.T @ s)
+
+    mesh = make_mesh()
+    spec = NamedSharding(mesh, P(mesh.axis_names[0]))
+    Di = jax.device_put(jnp.asarray(shard_rows(D, W)), spec)
+    si = jax.device_put(jnp.asarray(shard_rows(s, W)), spec)
+    rho = 1.0
+    G = jnp.einsum("wij,wik->wjk", Di, Di) + rho * jnp.eye(n)[None]
+    data = {
+        "Minv": jnp.linalg.inv(G),
+        "Dtsi": jnp.einsum("wij,wi->wj", Di, si),
+        "lam": jnp.asarray(lam),
+    }
+    res = consensus_admm(_ridge_local, _ridge_global, data, n,
+                         ADMMConfig(maxiters=5000), mesh=mesh, nshards=W)
+    np.testing.assert_allclose(np.asarray(res.zopt), x_closed, atol=1e-3)
+
+
 def _svm_instance(seed, mpos, mneg, sep):
     rng = np.random.default_rng(seed)
     bp = np.linspace(0, 2, mpos)
