@@ -50,11 +50,21 @@ def weak_scaling(device_counts=(1, 2, 4, 8), rows_per_shard=4096, cols=512,
     base = results[min(results)]
     effs = {W: results[W] / base for W in results}
     if not quiet:
-        print(json.dumps({
+        import jax
+
+        virtual = jax.devices()[0].platform == "cpu"
+        line = {
             "metric": "weak_scaling_efficiency",
             "efficiency": {str(W): round(e, 3) for W, e in effs.items()},
             "target": 0.8,
-        }))
+        }
+        if virtual:
+            # Virtual host-platform devices share the physical cores:
+            # every extra "device" adds real work to the same silicon, so
+            # efficiency here validates CORRECTNESS of the sharded
+            # program, not scaling.  Run on a pod slice for real numbers.
+            line["caveat"] = "virtual CPU devices share one host; not a scaling measurement"
+        print(json.dumps(line))
     return results, effs
 
 

@@ -43,6 +43,19 @@ def test_accelerated_records_dvals_and_restarts():
     assert "avals" in res.hist
 
 
+def test_record_iterates_traces():
+    """record_iterates captures x/z/u (and v/uhat in accelerated modes)
+    per iteration (reference admm.m:596-610)."""
+    P, Q, r, s, _ = _instance()
+    cfg = ADMMConfig(maxiters=50, domaxiters=True, record_iterates=True,
+                     fast=True, fasttype="strong")
+    res = model(P, Q, r, s, cfg)
+    for key in ("xvals", "zvals", "uvals", "vvals", "uhatvals"):
+        assert key in res.hist, key
+        assert res.hist[key].shape[0] == 50
+    assert np.all(np.isfinite(np.asarray(res.hist["xvals"])))
+
+
 def test_domaxiters_runs_exactly_n():
     P, Q, r, s, _ = _instance()
     res = model(P, Q, r, s, ADMMConfig(maxiters=37, domaxiters=True))
