@@ -35,6 +35,12 @@ def _prox_f_static(x, z, u, rho, d):
     return d["Minv"] @ (d["s"] + rho * d["D"].rmv(z - u))
 
 
+def _prox_f_cr(x, z, u, rho, d):
+    # O(n log n) cyclic-reduction solve of the fixed tridiagonal system
+    # (ops/tridiag.py) — replaces the O(n^2) dense apply at large n.
+    return d["cr"].solve(d["s"] + rho * d["D"].rmv(z - u))
+
+
 def _prox_f_adaptive(x, z, u, rho, d):
     b = d["s"] + rho * d["D"].rmv(z - u)
     return d["V"] @ ((d["V"].T @ b) / (1.0 + rho * d["w"]))
@@ -55,23 +61,49 @@ def _obj(x, z, d):
     return 0.5 * jnp.sum((x - d["s"]) ** 2) + d["lam"] * jnp.sum(jnp.abs(z))
 
 
-def make_prox_ops(s, lam, config: ADMMConfig = ADMMConfig()):
-    """Build (prox_f, prox_g, obj, data, D) for TV (getProxOps.m:145-199)."""
+def make_prox_ops(s, lam, config: ADMMConfig = ADMMConfig(), solver: str = "auto"):
+    """Build (prox_f, prox_g, obj, data, D) for TV (getProxOps.m:145-199).
+
+    ``solver``: 'dense' diagonalizes D^T D once (O(n^2) apply per
+    iteration); 'cr' precomputes a cyclic-reduction elimination of the
+    fixed tridiagonal system (O(n log n) apply — the large-n path);
+    'auto' picks 'cr' for n > 2048 with static rho.
+    """
     s = jnp.asarray(s)
     n = s.shape[0]
     D = DiffOp(n)
-    Dd = D.dense(s.dtype)
-    DtD = Dd.T @ Dd  # dense D^T D (tridiagonal), built once at setup
-    DtD = 0.5 * (DtD + DtD.T)
-    w, V = jnp.linalg.eigh(DtD)
-
     data = {"s": s, "lam": jnp.asarray(lam, s.dtype), "D": D}
-    if config.dynamic_rho:
-        data["V"], data["w"] = V, w
-        prox_f = _prox_f_adaptive
+
+    if solver == "auto":
+        solver = "cr" if (n > 2048 and not config.dynamic_rho) else "dense"
+    if solver == "cr" and config.dynamic_rho:
+        raise ValueError("cyclic-reduction TV requires static rho")
+
+    if solver == "cr":
+        import numpy as np
+
+        from ..ops.tridiag import CyclicReductionSolver
+
+        # I + rho D^T D is tridiag(-rho, 1 + rho*[1,2,...,2], -rho)
+        # (D^T D = I + diag(0,1,..,1) - U - U^T for the DiffOp stencil).
+        rho = config.rho
+        diag = 1.0 + rho * np.r_[1.0, 2.0 * np.ones(n - 1)]
+        off = -rho * np.ones(n)
+        data["cr"] = CyclicReductionSolver.from_tridiag(
+            np.r_[0.0, off[1:]], diag, np.r_[off[:-1], 0.0]
+        )
+        prox_f = _prox_f_cr
     else:
-        data["Minv"] = (V / (1.0 + config.rho * w)[None, :]) @ V.T
-        prox_f = _prox_f_static
+        Dd = D.dense(s.dtype)
+        DtD = Dd.T @ Dd  # dense D^T D (tridiagonal), built once at setup
+        DtD = 0.5 * (DtD + DtD.T)
+        w, V = jnp.linalg.eigh(DtD)
+        if config.dynamic_rho:
+            data["V"], data["w"] = V, w
+            prox_f = _prox_f_adaptive
+        else:
+            data["Minv"] = (V / (1.0 + config.rho * w)[None, :]) @ V.T
+            prox_f = _prox_f_static
 
     prox_g = _prox_g if config.relax == 1.0 else _prox_g_relaxed
     return prox_f, prox_g, _obj, data, D
@@ -84,7 +116,8 @@ def _registry_entry(s, lam, config=ADMMConfig(), **_):
 
 
 @timed_solver
-def totalvariation(s=None, lam=None, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
+def totalvariation(s=None, lam=None, config: ADMMConfig = ADMMConfig(), *,
+                   solver: str = "auto", **overrides) -> ADMMResults:
     """Solve 1-D TV denoising (reference solvers/totalvariation.m:62).
 
     Constraint wiring matches totalvariation.m:151-156: A = D, B = -1, c = 0.
@@ -98,7 +131,7 @@ def totalvariation(s=None, lam=None, config: ADMMConfig = ADMMConfig(), **overri
     config = merge_config(config, overrides)
     s = jnp.asarray(s)
     n = s.shape[0]
-    prox_f, prox_g, obj, data, D = make_prox_ops(s, lam, config)
+    prox_f, prox_g, obj, data, D = make_prox_ops(s, lam, config, solver)
     return admm(
         prox_f, prox_g, config,
         A=D, B=-1.0, c=0.0, m=n, nA=n, nB=n,
