@@ -62,6 +62,8 @@ def lasso_path(D, s, lams, config: ADMMConfig = ADMMConfig(), **overrides) -> Pa
     zeros = jnp.zeros((L, n), D.dtype)
 
     vrun = jax.jit(jax.vmap(runner, in_axes=(0, 0, 0, 0, data_axes)))
+    jax.block_until_ready(data)
+    t0 = time.perf_counter()  # loop-only wall clock (setup flushed)
     out = jax.block_until_ready(vrun(zeros, zeros, zeros, zeros, data))
     return PathResults(
         xopt=out["xopt"], zopt=out["zopt"], uopt=out["uopt"],
@@ -99,6 +101,8 @@ def linearsvm_c_path(D, ell, Cs, config: ADMMConfig = ADMMConfig(), *,
     c0 = jnp.zeros((L, m), D.dtype)
 
     vrun = jax.jit(jax.vmap(runner, in_axes=(0, 0, 0, 0, data_axes)))
+    jax.block_until_ready(data)
+    t0 = time.perf_counter()  # loop-only wall clock (setup flushed)
     out = jax.block_until_ready(vrun(x0, z0, u0, c0, data))
     return PathResults(
         xopt=out["xopt"], zopt=out["zopt"], uopt=out["uopt"],
