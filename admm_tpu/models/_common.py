@@ -32,6 +32,23 @@ def bind_data(prox_f, prox_g, obj, data):
     return pf, pg, ob
 
 
+def check_data_vector(D, s, Dname="D", sname="s"):
+    """Shape cross-check shared by the regression-style solvers (the
+    reference's per-solver errorcheck subfunctions, e.g. lasso.m:132-141):
+    D must be 2-D and s a vector of length rows(D)."""
+    import numpy as np
+
+    Dsh = np.shape(D)
+    ssh = np.shape(s)
+    if len(Dsh) != 2:
+        raise ValueError(f"{Dname} must be 2-D, got shape {Dsh}")
+    if len(ssh) != 1 or ssh[0] != Dsh[0]:
+        raise ValueError(
+            f"{sname} must be a vector of length {Dsh[0]} (rows of {Dname}), "
+            f"got shape {ssh}"
+        )
+
+
 def timed_solver(fn):
     """Record whole-solver wall time as ``results.solverruntime``
     (reference: tic/toc around each solver, e.g. solvers/lasso.m:117,243)."""

@@ -27,7 +27,7 @@ from ..engine import Hooks, admm
 from ..ops.prox import soft_threshold
 from ..results import ADMMResults
 from . import register
-from ._common import bind_data, merge_config, timed_solver
+from ._common import bind_data, check_data_vector, merge_config, timed_solver
 
 
 def _prox_f(x, z, u, rho, d):
@@ -82,6 +82,7 @@ def basispursuit(D=None, s=None, config: ADMMConfig = ADMMConfig(), **overrides)
 
         res, _test = basispursuittest(quiet=False)
         return res
+    check_data_vector(D, s)
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     n = D.shape[1]

@@ -22,7 +22,7 @@ from ..engine import Hooks, admm
 from ..ops.prox import huber_prox
 from ..results import ADMMResults
 from . import register
-from ._common import bind_data, merge_config, timed_solver
+from ._common import bind_data, check_data_vector, merge_config, timed_solver
 
 
 def huber_loss(a):
@@ -77,6 +77,7 @@ def huberfit(D=None, s=None, config: ADMMConfig = ADMMConfig(), **overrides) -> 
 
         res, _test = huberfittest(quiet=False)
         return res
+    check_data_vector(D, s)
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     s = jnp.asarray(s)

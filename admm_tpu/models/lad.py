@@ -26,7 +26,7 @@ from ..engine import Hooks, admm
 from ..ops.prox import soft_threshold
 from ..results import ADMMResults
 from . import register
-from ._common import bind_data, merge_config, timed_solver
+from ._common import bind_data, check_data_vector, merge_config, timed_solver
 
 
 def _prox_f(x, z, u, rho, d):
@@ -78,6 +78,7 @@ def lad(D=None, s=None, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMR
 
         res, _test = ladtest(quiet=False)
         return res
+    check_data_vector(D, s)
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     s = jnp.asarray(s)

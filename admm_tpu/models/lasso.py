@@ -33,7 +33,7 @@ from ..ops.prox import soft_threshold
 from ..ops.solve import FatShiftSolver, SymShiftSolver, WoodburySolver
 from ..results import ADMMResults
 from . import register
-from ._common import bind_data, merge_config, timed_solver
+from ._common import bind_data, check_data_vector, merge_config, timed_solver
 
 
 def _prox_f_static(x, z, u, rho, d):
@@ -126,6 +126,7 @@ def lasso(D=None, s=None, lam=None, config: ADMMConfig = ADMMConfig(), *, stream
 
         res, _test = lassotest(quiet=False)
         return res
+    check_data_vector(D, s)
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     n = D.shape[1]

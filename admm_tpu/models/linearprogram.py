@@ -29,7 +29,7 @@ from ..ops.prox import project_nonneg
 from ..ops.solve import kkt_eq_solver
 from ..results import ADMMResults
 from . import register
-from ._common import bind_data, merge_config, timed_solver
+from ._common import bind_data, check_data_vector, merge_config, timed_solver
 
 
 def _prox_f(x, z, u, rho, d):
@@ -71,6 +71,7 @@ def linearprogram(b=None, D=None, s=None, config: ADMMConfig = ADMMConfig(), **o
 
         res, _test = linearprogramtest(quiet=False)
         return res
+    check_data_vector(D, s)
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     n = D.shape[1]

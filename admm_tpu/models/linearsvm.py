@@ -30,7 +30,7 @@ from ..config import ADMMConfig
 from ..ops.prox import hinge_prox, zero_one_prox
 from ..results import ADMMResults
 from . import register
-from ._common import bind_data, merge_config, timed_solver
+from ._common import bind_data, check_data_vector, merge_config, timed_solver
 from .unwrapped import unwrappedadmm
 
 
@@ -91,6 +91,7 @@ def linearsvm(
 
         res, _, _test = linearsvmtest(quiet=False)
         return res
+    check_data_vector(D, ell, sname="ell")
     config = merge_config(config, overrides)
     _, prox_g, obj, data = make_prox_ops(D, ell, C, loss, config)
     return unwrappedadmm(prox_g, D, config, obj=obj, seed=seed, data=data)
