@@ -44,6 +44,9 @@ class ADMMConfig:
 
     TPU additions beyond the reference:
 
+    - ``nanguard``: abort (results.diverged) as soon as the primal norm
+      goes non-finite, instead of burning the rest of the iteration
+      budget on NaNs.  No reference analog (its loop runs on).
     - ``rbadaptive`` / ``rbmu`` / ``rbtau``: residual-balancing adaptive
       rho (Boyd et al. 2011, section 3.4.1): grow rho by tau when
       pnorm > mu * dnorm, shrink when dnorm > mu * pnorm, and rescale the
@@ -78,6 +81,7 @@ class ADMMConfig:
     rbadaptive: bool = False
     rbmu: float = 10.0
     rbtau: float = 2.0
+    nanguard: bool = True
     objevals: bool = False
     quiet: bool = True
     record_iterates: bool = False

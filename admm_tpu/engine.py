@@ -421,6 +421,9 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
             # ---- H-norm / divergence monitor (admm.m:676-703) ------------
             Hsq = ()
             diverged_i = jnp.asarray(False)
+            if cfg.nanguard:
+                # Abort on non-finite residuals (ADMMConfig.nanguard).
+                diverged_i = diverged_i | jnp.logical_not(jnp.isfinite(pnorm))
             if needs_h:
                 wz_new, wu_new = z, rho * u
                 # H uses the setup-time rho (MATLAB closure capture,
@@ -428,7 +431,7 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
                 Hsq = rho0 * _fro2(B.mv(carry.wz - wz_new)) + rho0 * _fro2(carry.wu - wu_new)
                 if cfg.convtest and alg == 0:
                     H1, H2 = carry.Hprev, Hsq
-                    diverged_i = (
+                    diverged_i = diverged_i | (
                         (i >= 2) & (H1 > eps) & (H2 > H1) & ((H2 - H1) > H1 * cfg.convtol)
                     )
             else:
@@ -522,15 +525,20 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
                 hist=h,
             )
             # Freeze finished lanes: keeps vmapped batches correct when some
-            # instances converge before others.
+            # instances converge before others.  History buffers are NOT
+            # frozen: a frozen lane's k and state are frozen, so its
+            # recomputed records are identical and the .at[k].set rewrite
+            # is idempotent — skipping the select halves the per-iteration
+            # buffer traffic of large vmapped batches.
             frozen = carry.done
-            return jax.tree_util.tree_map(
+            merged = jax.tree_util.tree_map(
                 lambda old, upd: lax.select(
                     jnp.broadcast_to(frozen, jnp.shape(upd)), old, upd
                 ) if not isinstance(upd, tuple) else upd,
-                carry, new,
+                carry._replace(hist=()), new._replace(hist=()),
                 is_leaf=lambda t: isinstance(t, tuple) and t == (),
             )
+            return merged._replace(hist=new.hist)
 
         final = lax.while_loop(cond, body, carry0)
         return {

@@ -84,6 +84,27 @@ def test_divergence_monitor_catches_broken_prox():
     assert not res_ok.diverged
 
 
+def test_nanguard_aborts_on_nonfinite():
+    """nanguard (no reference analog): a prox that detonates to NaN must
+    flip results.diverged within a couple of steps instead of running the
+    whole budget."""
+    import jax.numpy as jnp
+
+    P, Q, r, s, _ = _instance()
+    from admm_tpu.models._common import bind_data
+    from admm_tpu.models.model import make_prox_ops
+
+    cfg = ADMMConfig(maxiters=500)
+    pf, pg, obj = bind_data(*make_prox_ops(P, Q, r, s, cfg))
+
+    def nan_pf(x, z, u, rho):
+        return pf(x, z, u, rho) / 0.0 * 0.0  # NaN
+
+    res = admm(nan_pf, pg, cfg, A=1.0, B=-1.0, c=0.0, m=48)
+    assert res.diverged
+    assert res.steps <= 3
+
+
 def test_adaptive_rho_runs_and_changes_rho():
     """Adaptive rho is experimental in the reference (admm.m:724-741) —
     assert mechanical correctness (runs, changes rho, finite outputs),
