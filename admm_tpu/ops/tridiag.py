@@ -105,9 +105,11 @@ class CyclicReductionSolver:
             c_new = np.where(mf, -beta * c_dn, c)
             a, c = a_new, c_new
 
-        f32 = lambda arrs: jnp.asarray(np.stack(arrs), jnp.float64)
+        # Precompute in f64 on the host; store at the platform's widest
+        # available float (f64 under x64 on CPU, f32 on TPU).
+        pack = lambda arrs: jnp.asarray(np.stack(arrs))
         return cls(
-            f32(alphas), f32(betas), f32(a_lv), f32(c_lv), f32(d_lv),
+            pack(alphas), pack(betas), pack(a_lv), pack(c_lv), pack(d_lv),
             jnp.asarray(np.stack(masks_f)), jnp.asarray(np.stack(masks_b)), n,
         )
 
