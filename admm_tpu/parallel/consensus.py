@@ -78,15 +78,16 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
             jnp.asarray(0, jnp.int32),
             xi0, z0, ui0,
             jnp.zeros((n,), rdtype),  # xbar_prev
+            rho,
             jnp.asarray(False),
             (zeros_hist, zeros_hist, zeros_hist, zeros_hist),
         )
 
         def cond(c):
-            return jnp.logical_and(c[0] < N, jnp.logical_not(c[5]))
+            return jnp.logical_and(c[0] < N, jnp.logical_not(c[6]))
 
         def body(c):
-            k, xi, z, ui, xbar_prev, done, hist = c
+            k, xi, z, ui, xbar_prev, rho, done, hist = c
 
             # Local x-solves (xminParallelLASSO, getProxOps.m:1217-1260):
             # batched (sharded) per-device work.
@@ -119,14 +120,26 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
             if config.domaxiters:
                 stop = jnp.asarray(False)
 
+            if config.rbadaptive:
+                # Residual balancing on the consensus residuals with the
+                # scaled-dual rescale (ADMMConfig.rbadaptive; the
+                # adaptive-consensus-ADMM idea of Xu et al. 2017).
+                grow = pnorm > config.rbmu * dnorm
+                shrink = dnorm > config.rbmu * pnorm
+                factor = jnp.where(grow, config.rbtau,
+                                   jnp.where(shrink, 1.0 / config.rbtau, 1.0))
+                factor = jnp.where(stop, 1.0, factor).astype(rho.dtype)
+                rho = rho * factor
+                ui = ui / factor
+
             hp, hd, hpe, hde = hist
             hist = (
                 hp.at[k].set(pnorm), hd.at[k].set(dnorm),
                 hpe.at[k].set(perr), hde.at[k].set(derr),
             )
-            return (k + 1, xi, z, ui, xbar, stop, hist)
+            return (k + 1, xi, z, ui, xbar, rho, stop, hist)
 
-        k, xi, z, ui, xbar, done, hist = lax.while_loop(cond, body, carry0)
+        k, xi, z, ui, xbar, rho_f, done, hist = lax.while_loop(cond, body, carry0)
         ubar = jnp.mean(ui, axis=0)
         return {
             "steps": k,
@@ -135,7 +148,7 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
             "uopt": ubar,
             "xi": xi,
             "ui": ui,
-            "rho_final": jnp.asarray(config.rho, rdtype),
+            "rho_final": rho_f,
             "diverged": jnp.asarray(False),
             "hist": {"pnorm": hist[0], "dnorm": hist[1],
                      "perr": hist[2], "derr": hist[3]},
@@ -192,6 +205,15 @@ def _lasso_local_prox(z, ui, rho, d):
     return jnp.einsum("wij,wj->wi", d["Minv"], rhs)
 
 
+def _lasso_local_prox_dynamic(z, ui, rho, d):
+    # rho-parameterized per-shard solve via batched eigh of D_i^T D_i
+    # (valid for any runtime rho — the rbadaptive path).
+    rhs = d["Dtsi"] + rho * (z[None, :] - ui)
+    y = jnp.einsum("wji,wj->wi", d["V"], rhs)
+    y = y / (d["w"] + rho)
+    return jnp.einsum("wij,wj->wi", d["V"], y)
+
+
 def _lasso_global_prox(xbar, ubar, rho, W, d):
     # soft-threshold at lambda/(rho N) (zminParallelLASSO :1290-1293)
     return soft_threshold(xbar + ubar, d["lam"] / (rho * W))
@@ -234,9 +256,26 @@ def consensus_lasso(
     Di_dev = jax.device_put(jnp.asarray(Di), shard_spec)
     si_dev = jax.device_put(jnp.asarray(si), shard_spec)
 
-    # Per-shard setup, batched + sharded: Gram, D^T s, and the rho-folded
-    # inverse (the reference's per-slice Cholesky caches,
-    # getProxOps.m:404-442).
+    # Per-shard setup, batched + sharded: Gram, D^T s, and either the
+    # rho-folded inverse (static rho; the reference's per-slice Cholesky
+    # caches, getProxOps.m:404-442) or a batched eigh (dynamic rho).
+    if config.dynamic_rho:
+
+        @partial(jax.jit, out_shardings=(shard_spec, shard_spec, shard_spec))
+        def setup_dyn(Di, si):
+            G = jnp.einsum("wij,wik->wjk", Di, Di)
+            G = 0.5 * (G + jnp.swapaxes(G, -1, -2))
+            w, V = jnp.linalg.eigh(G)
+            Dtsi = jnp.einsum("wij,wi->wj", Di, si)
+            return w, V, Dtsi
+
+        w, V, Dtsi = setup_dyn(Di_dev, si_dev)
+        data = {"w": w, "V": V, "Dtsi": Dtsi, "lam": jnp.asarray(lam, Dtsi.dtype)}
+        return consensus_admm(
+            _lasso_local_prox_dynamic, _lasso_global_prox, data, n, config,
+            mesh=mesh, nshards=W,
+        )
+
     @partial(jax.jit, out_shardings=(shard_spec, shard_spec))
     def setup(Di, si):
         G = jnp.einsum("wij,wik->wjk", Di, Di)

@@ -48,6 +48,33 @@ def test_rb_matches_fixed_solution_quality():
     assert abs(f_rb - f_fixed) <= 1e-3 * abs(f_fixed) + 1e-9
 
 
+def test_rb_consensus_recovers_from_bad_rho():
+    """Adaptive consensus ADMM (Xu et al. 2017 idea): residual balancing
+    on the consensus residuals must recover from a badly scaled rho."""
+    from admm_tpu.parallel import consensus_lasso
+
+    rng = np.random.default_rng(2)
+    D = rng.standard_normal((512, 32))
+    D = D / np.sqrt(np.sum(D**2, axis=0, keepdims=True))
+    tx = rng.standard_normal(32) * (rng.random(32) < 0.5)
+    s = D @ tx + 0.03 * rng.standard_normal(512)
+    lam = 0.1 * np.max(np.abs(D.T @ s))
+
+    def obj(x):
+        return 0.5 * np.sum((D @ x - s) ** 2) + lam * np.sum(np.abs(x))
+
+    bad_rho = 1e-3
+    fixed = consensus_lasso(D, s, lam, ADMMConfig(rho=bad_rho, maxiters=20000))
+    rb = consensus_lasso(
+        D, s, lam, ADMMConfig(rho=bad_rho, maxiters=20000, rbadaptive=True)
+    )
+    ref = lasso(D, s, lam, ADMMConfig(maxiters=5000))
+    f_ref = obj(np.asarray(ref.xopt))
+    assert abs(obj(np.asarray(rb.zopt)) - f_ref) <= 1e-2 * abs(f_ref)
+    assert rb.steps < fixed.steps
+    assert rb.rho_final != pytest.approx(bad_rho)
+
+
 def test_rb_config_validation():
     with pytest.raises(ValueError):
         ADMMConfig(rbadaptive=True, nodualerror=True)
