@@ -27,6 +27,7 @@ from .models import (
     model,
     quadraticprogram,
     totalvariation,
+    totalvariation2d,
     unwrappedadmm,
 )
 
@@ -52,6 +53,7 @@ __all__ = [
     "lasso",
     "basispursuit",
     "totalvariation",
+    "totalvariation2d",
     "lad",
     "huberfit",
     "linearprogram",

@@ -14,7 +14,6 @@ loop body rather than branching at runtime.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

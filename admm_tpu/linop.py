@@ -14,7 +14,7 @@ Every operator provides:
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -146,8 +146,11 @@ class FnOp:
 
 
 def as_linop(A) -> object:
-    """Coerce matrices / scalars / operators into a LinOp (admm.m:112-158)."""
-    if isinstance(A, (ScaledIdentityOp, DenseOp, DiffOp, FnOp)):
+    """Coerce matrices / scalars / operators into a LinOp (admm.m:112-158).
+
+    Anything exposing the mv/rmv/out_shape protocol passes through — user
+    operator classes included (the reference's function-handle A/B)."""
+    if hasattr(A, "mv") and hasattr(A, "rmv"):
         return A
     if isinstance(A, (int, float)):
         return ScaledIdentityOp(float(A))

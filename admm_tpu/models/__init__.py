@@ -53,6 +53,7 @@ from .linearsvm import linearsvm  # noqa: E402
 from .model import model  # noqa: E402
 from .quadraticprogram import quadraticprogram  # noqa: E402
 from .totalvariation import totalvariation  # noqa: E402
+from .totalvariation2d import totalvariation2d  # noqa: E402
 from .unwrapped import unwrappedadmm  # noqa: E402
 
 __all__ = [
@@ -62,6 +63,7 @@ __all__ = [
     "lasso",
     "basispursuit",
     "totalvariation",
+    "totalvariation2d",
     "lad",
     "huberfit",
     "linearprogram",

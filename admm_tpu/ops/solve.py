@@ -16,8 +16,6 @@ needs no refactorization), batches under vmap, and shards cleanly.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

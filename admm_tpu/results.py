@@ -7,7 +7,6 @@ import dataclasses
 import time
 from typing import Any, Optional
 
-import jax
 import numpy as np
 
 

@@ -9,7 +9,7 @@ imported lazily and gated)."""
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 
