@@ -149,8 +149,23 @@ def as_linop(A) -> object:
     """Coerce matrices / scalars / operators into a LinOp (admm.m:112-158).
 
     Anything exposing the mv/rmv/out_shape protocol passes through — user
-    operator classes included (the reference's function-handle A/B)."""
+    operator classes included (the reference's function-handle A/B) — but
+    must be a registered jax pytree so it can cross the jit boundary."""
     if hasattr(A, "mv") and hasattr(A, "rmv"):
+        if not hasattr(A, "out_shape"):
+            raise TypeError(
+                f"operator {type(A).__name__} defines mv/rmv but not "
+                "out_shape(in_shape); implement it (return None if unknown)"
+            )
+        # An unregistered object is a pytree LEAF; it would fail deep
+        # inside jit with an obscure error. Fail here with guidance.
+        if jax.tree_util.all_leaves([A]):
+            raise TypeError(
+                f"operator {type(A).__name__} must be registered as a jax "
+                "pytree (e.g. @jax.tree_util.register_pytree_node_class) "
+                "to be passed through jit; see linop.FnOp for a "
+                "ready-made wrapper around plain callables"
+            )
         return A
     if isinstance(A, (int, float)):
         return ScaledIdentityOp(float(A))

@@ -40,6 +40,7 @@ def _load_all():
         model,
         quadraticprogram,
         totalvariation,
+        totalvariation2d,
     )
 
 
