@@ -207,14 +207,10 @@ def admm(
     if hooks.preprocess is not None:
         hooks.preprocess()
 
-    if data is not None:
-        runner = _cached_runner(prox_f, prox_g, config, hooks, bool(config.jit))
-        call = lambda: runner(x0, z0, u0, c_arr, A, B, data)
-    else:
-        runner = _build_runner(prox_f, prox_g, config, hooks, has_data=False)
-        if config.jit:
-            runner = jax.jit(runner)
-        call = lambda: runner(x0, z0, u0, c_arr, A, B, ())
+    runner = _cached_runner(
+        prox_f, prox_g, config, hooks, bool(config.jit), data is not None
+    )
+    call = lambda: runner(x0, z0, u0, c_arr, A, B, data if data is not None else ())
 
     # Wall-clock for the solve loop only (reference tic/toc inside admm,
     # admm.m:315, 756).  Async-dispatched setup work (factorizations built
@@ -231,9 +227,12 @@ def admm(
 
 
 @functools.lru_cache(maxsize=128)
-def _cached_runner(prox_f, prox_g, config: ADMMConfig, hooks: Hooks, jit: bool):
-    """Cross-call runner cache (see the caching contract in ``admm``)."""
-    runner = _build_runner(prox_f, prox_g, config, hooks, has_data=True)
+def _cached_runner(prox_f, prox_g, config: ADMMConfig, hooks: Hooks, jit: bool,
+                   has_data: bool = True):
+    """Cross-call runner cache (see the caching contract in ``admm``).
+    Also covers the closure path: repeat solves with the SAME prox
+    callables and config reuse the compiled program."""
+    runner = _build_runner(prox_f, prox_g, config, hooks, has_data=has_data)
     return jax.jit(runner) if jit else runner
 
 
@@ -524,21 +523,13 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
                 diverged=carry.diverged | diverged_i,
                 hist=h,
             )
-            # Freeze finished lanes: keeps vmapped batches correct when some
-            # instances converge before others.  History buffers are NOT
-            # frozen: a frozen lane's k and state are frozen, so its
-            # recomputed records are identical and the .at[k].set rewrite
-            # is idempotent — skipping the select halves the per-iteration
-            # buffer traffic of large vmapped batches.
-            frozen = carry.done
-            merged = jax.tree_util.tree_map(
-                lambda old, upd: lax.select(
-                    jnp.broadcast_to(frozen, jnp.shape(upd)), old, upd
-                ) if not isinstance(upd, tuple) else upd,
-                carry._replace(hist=()), new._replace(hist=()),
-                is_leaf=lambda t: isinstance(t, tuple) and t == (),
-            )
-            return merged._replace(hist=new.hist)
+            # No explicit done-freeze needed: unbatched runs never enter
+            # the body once cond is false, and under vmap JAX's while_loop
+            # batching rule already per-lane-selects the ENTIRE carry
+            # against the lane predicate (the done flag in cond), so
+            # converged lanes freeze automatically — verified by the
+            # exact path-vs-solo agreement test in test_paths.py.
+            return new
 
         final = lax.while_loop(cond, body, carry0)
         return {

@@ -116,16 +116,24 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
             )
             derr = sqn * config.abstol + config.reltol * rho * jnp.linalg.norm(ubar)
 
-            stop = (pnorm < perr) & (dnorm < derr)
+            dual_ok = jnp.asarray(True) if config.nodualerror else (dnorm < derr)
+            stop = (pnorm < perr) & dual_ok
             if config.domaxiters:
                 stop = jnp.asarray(False)
+            if config.nanguard:
+                stop = stop | jnp.logical_not(jnp.isfinite(pnorm))
 
             if config.rbadaptive:
                 # Residual balancing on the consensus residuals with the
                 # scaled-dual rescale (ADMMConfig.rbadaptive; the
                 # adaptive-consensus-ADMM idea of Xu et al. 2017).
-                grow = pnorm > config.rbmu * dnorm
-                shrink = dnorm > config.rbmu * pnorm
+                # pnorm/dnorm are stored SQUARED (reference lassonorms
+                # parity); the balancing rule compares unsquared norms so
+                # rbmu means the same imbalance ratio as in the engine.
+                pn_lin = jnp.sqrt(pnorm)
+                dn_lin = jnp.sqrt(dnorm)
+                grow = pn_lin > config.rbmu * dn_lin
+                shrink = dn_lin > config.rbmu * pn_lin
                 factor = jnp.where(grow, config.rbtau,
                                    jnp.where(shrink, 1.0 / config.rbtau, 1.0))
                 factor = jnp.where(stop, 1.0, factor).astype(rho.dtype)
@@ -176,7 +184,17 @@ def consensus_admm(
     contract).  ``data`` is a pytree of operands; leaves with a leading
     shard axis should already be device_put with the shard sharding.
     """
-    t0 = time.perf_counter()
+    if config.stopcond != "standard":
+        raise NotImplementedError(
+            "consensus_admm supports stopcond='standard' only (the "
+            "reference's consensus path); use the core engine for H-norm "
+            "stopping"
+        )
+    if config.adaptive:
+        raise NotImplementedError(
+            "the reference's experimental adaptive mode is not wired into "
+            "the consensus loop; use rbadaptive"
+        )
     if mesh is None:
         mesh = make_mesh()
     W = nshards if nshards is not None else mesh.devices.size
@@ -259,7 +277,7 @@ def consensus_lasso(
     # Per-shard setup, batched + sharded: Gram, D^T s, and either the
     # rho-folded inverse (static rho; the reference's per-slice Cholesky
     # caches, getProxOps.m:404-442) or a batched eigh (dynamic rho).
-    if config.dynamic_rho:
+    if config.rbadaptive:
 
         @partial(jax.jit, out_shardings=(shard_spec, shard_spec, shard_spec))
         def setup_dyn(Di, si):

@@ -23,7 +23,10 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 promotes shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .mesh import make_mesh
@@ -49,13 +52,13 @@ def make_sliced_prox(
         out = prox_slice(x, z, u, rho, k)
         return out.reshape(1, slice_len)
 
-    fn = shard_map(
-        sharded,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
-        out_specs=P(axis),
-        check_rep=False,
+    kwargs = dict(
+        mesh=mesh, in_specs=(P(), P(), P(), P()), out_specs=P(axis)
     )
+    try:  # new API (jax.shard_map): replication check renamed
+        fn = shard_map(sharded, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover — older jax
+        fn = shard_map(sharded, check_rep=False, **kwargs)
 
     def prox(x, z, u, rho):
         return fn(x, z, u, jnp.asarray(rho)).reshape(-1)

@@ -61,7 +61,6 @@ def unwrapped_admm_sharded(
     ``obj_shard(x, Dx_i, z_i, aux_i)`` returns a per-call scalar summed
     over shards; ``obj_global(x)`` adds the replicated term.
     """
-    t0 = time.perf_counter()
     if mesh is None:
         mesh = make_mesh()
     axis = mesh.axis_names[0]
@@ -88,11 +87,13 @@ def unwrapped_admm_sharded(
     )
 
     # One-time gram reduction: W_g = sum_i D_i^T D_i (unwrappedadmm.m:96-123)
-    # — psum of per-shard MXU grams — then a replicated inverse.
+    # — psum of per-shard MXU grams — then a replicated pseudo-inverse
+    # (pinv, matching the serial driver's pinv(D): rank-deficient or
+    # underdetermined D degrades gracefully instead of returning garbage).
     @jax.jit
     def gram_inv(Di):
         G = jnp.einsum("wij,wik->jk", Di, Di)
-        return jnp.linalg.inv(0.5 * (G + G.T))
+        return jnp.linalg.pinv(0.5 * (G + G.T))
 
     Winv = gram_inv(Di_dev)
 
@@ -139,17 +140,17 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
 
         carry0 = (
             jnp.asarray(0, jnp.int32), x0, z0, u0,
-            z0, rho * u0,              # H-norm w-parts (admm.m:302-313)
-            jnp.asarray(jnp.inf, rdtype),
-            jnp.asarray(False),
-            (nan_hist, nan_hist, nan_hist),
+            (z0, rho * u0) if needs_h else (),  # H-norm w-parts (admm.m:302-313)
+            jnp.asarray(False),                 # done
+            jnp.asarray(False),                 # diverged (nanguard)
+            (nan_hist, nan_hist) + ((nan_hist,) if needs_h else ()),
         )
 
         def cond(c):
-            return jnp.logical_and(c[0] < N, jnp.logical_not(c[7]))
+            return jnp.logical_and(c[0] < N, jnp.logical_not(c[5]))
 
         def body(c):
-            k, x, zi, ui, wz, wu, Hprev, done, hist = c
+            k, x, zi, ui, wparts, done, diverged, hist = c
             i = k + 1
 
             # x-update: local matvec + all-reduce + replicated GEMV.
@@ -169,21 +170,33 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
                 jnp.sqrt(jnp.sum((Dx * mask) ** 2)), jnp.sqrt(jnp.sum(zi * zi))
             )
 
-            # H-norm over w = [x; z; rho u] with B = -1 (admm.m:302-313).
-            wz_new, wu_new = zi, rho * ui
-            Hsq = rho * jnp.sum((wz - wz_new) ** 2) + rho * jnp.sum((wu - wu_new) ** 2)
-
             stop = pnorm < perr
+            wparts_new = ()
             if needs_h:
+                # H-norm over w = [x; z; rho u], B = -1 (admm.m:302-313).
+                wz, wu = wparts
+                wz_new, wu_new = zi, rho * ui
+                Hsq = (rho * jnp.sum((wz - wz_new) ** 2)
+                       + rho * jnp.sum((wu - wu_new) ** 2))
                 stop = stop | ((i > 2) & (Hsq <= config.hnormtol))
+                wparts_new = (wz_new, wu_new)
             if config.domaxiters:
                 stop = jnp.asarray(False)
+            bad = jnp.asarray(False)
+            if config.nanguard:
+                bad = jnp.logical_not(jnp.isfinite(pnorm))
 
-            hp, hpe, hh = hist
-            hist = (hp.at[k].set(pnorm), hpe.at[k].set(perr), hh.at[k].set(Hsq))
-            return (k + 1, x, zi, ui, wz_new, wu_new, Hsq, stop, hist)
+            if needs_h:
+                hp, hpe, hh = hist
+                hist = (hp.at[k].set(pnorm), hpe.at[k].set(perr),
+                        hh.at[k].set(Hsq))
+            else:
+                hp, hpe = hist
+                hist = (hp.at[k].set(pnorm), hpe.at[k].set(perr))
+            return (k + 1, x, zi, ui, wparts_new, stop | bad,
+                    diverged | bad, hist)
 
-        k, x, zi, ui, _, _, _, _, hist = lax.while_loop(cond, body, carry0)
+        k, x, zi, ui, _, _, diverged, hist = lax.while_loop(cond, body, carry0)
 
         objopt = ()
         if obj_shard is not None or obj_global is not None:
@@ -194,12 +207,15 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
             if obj_global is not None:
                 objopt = objopt + obj_global(x)
 
+        h = {"pnorm": hist[0], "perr": hist[1]}
+        if needs_h:
+            h["Hnormsq"] = hist[2]
         return {
             "steps": k, "xopt": x, "zopt": zi, "uopt": ui,
             "rho_final": jnp.asarray(rho0, rdtype),
-            "diverged": jnp.asarray(False),
+            "diverged": diverged,
             "objopt": objopt,
-            "hist": {"pnorm": hist[0], "perr": hist[1], "Hnormsq": hist[2]},
+            "hist": h,
         }
 
     return jax.jit(run)
