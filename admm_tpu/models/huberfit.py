@@ -16,6 +16,7 @@ z-update:  z = (rho v + soft_threshold(v, 1 + 1/rho)) / (1 + rho),
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import ADMMConfig
 from ..engine import Hooks, admm
@@ -78,6 +79,11 @@ def huberfit(D=None, s=None, config: ADMMConfig = ADMMConfig(), **overrides) -> 
         res, _test = huberfittest(quiet=False)
         return res
     check_data_vector(D, s)
+    if np.shape(D)[0] < np.shape(D)[1]:
+        raise ValueError(
+            f"D must have at least as many rows as columns "
+            f"(normal equations D^T D must be invertible), got {np.shape(D)}"
+        )
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     s = jnp.asarray(s)

@@ -20,6 +20,7 @@ pair of triangular solves per iteration.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import ADMMConfig
 from ..engine import Hooks, admm
@@ -79,6 +80,11 @@ def lad(D=None, s=None, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMR
         res, _test = ladtest(quiet=False)
         return res
     check_data_vector(D, s)
+    if np.shape(D)[0] < np.shape(D)[1]:
+        raise ValueError(
+            f"D must have at least as many rows as columns "
+            f"(normal equations D^T D must be invertible), got {np.shape(D)}"
+        )
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     s = jnp.asarray(s)

@@ -125,9 +125,11 @@ def mnistsvm(C=0.5, rho=1.0, n_test=1000, n_train=6000, data_dir=None,
 
 
 if __name__ == "__main__":
-    args = dict(a.split("=") for a in sys.argv[1:] if "=" in a)
-    mnistsvm(
-        n_train=int(args.get("--train", 2000)),
-        n_test=int(args.get("--test", 500)),
-        data_dir=args.get("--data"),
-    )
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default=None, help="dir with MNIST idx files")
+    ap.add_argument("--train", type=int, default=2000)
+    ap.add_argument("--test", type=int, default=500)
+    a = ap.parse_args()
+    mnistsvm(n_train=a.train, n_test=a.test, data_dir=a.data)
