@@ -20,28 +20,12 @@ def register(name):
 def get_prox_ops(problem: str, **args):
     """String-keyed prox-op factory mirroring getproxops(problem, args)
     (reference getProxOps.m:13-31).  Prefer the typed per-module
-    ``make_prox_ops`` in new code."""
-    _load_all()
+    ``make_prox_ops`` in new code.  (The solver imports at the bottom of
+    this module register every entry at package-import time.)"""
     key = problem.lower()
     if key not in _REGISTRY:
         raise ValueError(f"unknown problem {problem!r}; known: {sorted(_REGISTRY)}")
     return _REGISTRY[key](**args)
-
-
-def _load_all():
-    from . import (  # noqa: F401  (import registers entries)
-        basispursuit,
-        covarianceselection,
-        huberfit,
-        lad,
-        lasso,
-        linearprogram,
-        linearsvm,
-        model,
-        quadraticprogram,
-        totalvariation,
-        totalvariation2d,
-    )
 
 
 from .basispursuit import basispursuit  # noqa: E402

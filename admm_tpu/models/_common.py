@@ -49,6 +49,24 @@ def check_data_vector(D, s, Dname="D", sname="s"):
         )
 
 
+def normal_equations_data(D, s):
+    """Shared LAD/Huber setup: validate skinny shape and materialize the
+    normal-equations pseudo-inverse (D^T D)^{-1} D^T once (both problems
+    share the f == 0 x-update through D; getProxOps.m:753-912)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    check_data_vector(D, s)
+    if np.shape(D)[0] < np.shape(D)[1]:
+        raise ValueError(
+            f"D must have at least as many rows as columns "
+            f"(normal equations D^T D must be invertible), got {np.shape(D)}"
+        )
+    D = jnp.asarray(D)
+    s = jnp.asarray(s)
+    return {"D": D, "s": s, "Dplus": jnp.linalg.solve(D.T @ D, D.T)}
+
+
 def timed_solver(fn):
     """Record whole-solver wall time as ``results.solverruntime``
     (reference: tic/toc around each solver, e.g. solvers/lasso.m:117,243)."""

@@ -23,7 +23,7 @@ from ..engine import Hooks, admm
 from ..ops.prox import huber_prox
 from ..results import ADMMResults
 from . import register
-from ._common import bind_data, check_data_vector, merge_config, timed_solver
+from ._common import bind_data, merge_config, normal_equations_data, timed_solver
 
 
 def huber_loss(a):
@@ -53,9 +53,7 @@ def _obj(x, z, d):
 def make_prox_ops(D, s, config: ADMMConfig = ADMMConfig()):
     """Build (prox_f, prox_g, obj, data) for Huber fitting
     (getProxOps.m:814-912)."""
-    D = jnp.asarray(D)
-    s = jnp.asarray(s)
-    data = {"D": D, "s": s, "Dplus": jnp.linalg.solve(D.T @ D, D.T)}
+    data = normal_equations_data(D, s)
     prox_g = _prox_g if config.relax == 1.0 else _prox_g_relaxed
     return _prox_f, prox_g, _obj, data
 
@@ -78,12 +76,6 @@ def huberfit(D=None, s=None, config: ADMMConfig = ADMMConfig(), **overrides) -> 
 
         res, _test = huberfittest(quiet=False)
         return res
-    check_data_vector(D, s)
-    if np.shape(D)[0] < np.shape(D)[1]:
-        raise ValueError(
-            f"D must have at least as many rows as columns "
-            f"(normal equations D^T D must be invertible), got {np.shape(D)}"
-        )
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     s = jnp.asarray(s)

@@ -27,7 +27,7 @@ from ..engine import Hooks, admm
 from ..ops.prox import soft_threshold
 from ..results import ADMMResults
 from . import register
-from ._common import bind_data, check_data_vector, merge_config, timed_solver
+from ._common import bind_data, merge_config, normal_equations_data, timed_solver
 
 
 def _prox_f(x, z, u, rho, d):
@@ -50,13 +50,7 @@ def _obj(x, z, d):
 
 def make_prox_ops(D, s, config: ADMMConfig = ADMMConfig()):
     """Build (prox_f, prox_g, obj, data) for LAD (getProxOps.m:753-811)."""
-    D = jnp.asarray(D)
-    s = jnp.asarray(s)
-    data = {
-        "D": D,
-        "s": s,
-        "Dplus": jnp.linalg.solve(D.T @ D, D.T),  # (D^T D)^{-1} D^T, setup-time
-    }
+    data = normal_equations_data(D, s)
     prox_g = _prox_g if config.relax == 1.0 else _prox_g_relaxed
     return _prox_f, prox_g, _obj, data
 
@@ -79,12 +73,6 @@ def lad(D=None, s=None, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMR
 
         res, _test = ladtest(quiet=False)
         return res
-    check_data_vector(D, s)
-    if np.shape(D)[0] < np.shape(D)[1]:
-        raise ValueError(
-            f"D must have at least as many rows as columns "
-            f"(normal equations D^T D must be invertible), got {np.shape(D)}"
-        )
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     s = jnp.asarray(s)

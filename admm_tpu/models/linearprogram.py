@@ -45,11 +45,18 @@ def _obj(x, z, d):
 
 
 def make_prox_ops(b, D, s, config: ADMMConfig = ADMMConfig()):
-    """Build (prox_f, prox_g, obj, data) for the LP (getProxOps.m:459-542)."""
+    """Build (prox_f, prox_g, obj, data) for the LP (getProxOps.m:459-542).
+
+    Static rho (the default) folds the whole KKT factorization at setup
+    (StaticKKTSolver) — no per-iteration refactorization; dynamic-rho
+    configs keep the rho-parameterized Schur path."""
     b = jnp.asarray(b)
     D = jnp.asarray(D)
     s = jnp.asarray(s)
-    data = {"b": b, "s": s, "kkt": kkt_eq_solver.from_matrices(D, P=None)}
+    kkt = kkt_eq_solver.from_matrices(D, P=None)
+    if not config.dynamic_rho:
+        kkt = kkt.materialize(config.rho)
+    data = {"b": b, "s": s, "kkt": kkt}
     return _prox_f, _prox_g, _obj, data
 
 

@@ -42,6 +42,16 @@ def _prox_g_01(x, z, u, rho, d):
     return zero_one_prox(d["D"] @ x + u, d["ell"], d["C"], rho)
 
 
+def _prox_g_hinge_relaxed(Axhat, z, u, rho, d):
+    # Under relaxation the engine hands Axhat, already in D-space
+    # (the reference's zminLinearSVM would wrongly re-apply D here).
+    return hinge_prox(Axhat + u, d["ell"], d["C"], rho)
+
+
+def _prox_g_01_relaxed(Axhat, z, u, rho, d):
+    return zero_one_prox(Axhat + u, d["ell"], d["C"], rho)
+
+
 def _obj_hinge(x, z, d):
     v = d["ell"] * (d["D"] @ x)
     return 0.5 * jnp.sum(x * x) + d["C"] * jnp.sum(jnp.maximum(1.0 - v, 0.0))
@@ -61,12 +71,14 @@ def _is_01(loss: str) -> bool:
 def make_prox_ops(D, ell, C, loss: str = "hinge", config: ADMMConfig = ADMMConfig()):
     """Build (prox_f, prox_g, obj, data) for the linear SVM
     (getProxOps.m:202-310).  prox_f is None — the x-update belongs to the
-    unwrapped-ADMM driver (linearsvm.m:242)."""
+    unwrapped-ADMM driver (linearsvm.m:242).  Relaxation selects the
+    Axhat-consuming prox variant (the engine hands A x already applied)."""
     D = jnp.asarray(D)
+    relaxed = config.relax != 1.0
     data = {"D": D, "ell": jnp.asarray(ell, D.dtype), "C": jnp.asarray(C, D.dtype)}
     if _is_01(loss):
-        return None, _prox_g_01, _obj_01, data
-    return None, _prox_g_hinge, _obj_hinge, data
+        return None, (_prox_g_01_relaxed if relaxed else _prox_g_01), _obj_01, data
+    return None, (_prox_g_hinge_relaxed if relaxed else _prox_g_hinge), _obj_hinge, data
 
 
 @register("linearsvm")

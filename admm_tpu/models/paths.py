@@ -37,6 +37,7 @@ class PathResults:
     uopt: Any
     steps: Any       # (L,) iterations per lane
     lams: Any
+    objopt: Any = None  # (L,) per-lane objective at the solution
     runtime: float = 0.0
     hist: dict = dataclasses.field(default_factory=dict)
 
@@ -48,7 +49,6 @@ def lasso_path(D, s, lams, config: ADMMConfig = ADMMConfig(), **overrides) -> Pa
     scalar ``lam`` leaf of the data pytree.
     """
     config = merge_config(config, overrides)
-    t0 = time.perf_counter()
     D = jnp.asarray(D)
     n = D.shape[1]
     lams = jnp.asarray(lams, D.dtype)
@@ -56,7 +56,10 @@ def lasso_path(D, s, lams, config: ADMMConfig = ADMMConfig(), **overrides) -> Pa
     data = dict(data)
     data["lam"] = lams  # mapped leaf
 
-    runner = make_admm_runner(prox_f, prox_g, config, 1.0, -1.0, has_data=True)
+    from ..engine import Hooks
+
+    runner = make_admm_runner(prox_f, prox_g, config, 1.0, -1.0,
+                              hooks=Hooks(obj=obj), has_data=True)
     data_axes = {k: (0 if k == "lam" else None) for k in data}
     L = lams.shape[0]
     zeros = jnp.zeros((L, n), D.dtype)
@@ -68,6 +71,7 @@ def lasso_path(D, s, lams, config: ADMMConfig = ADMMConfig(), **overrides) -> Pa
     return PathResults(
         xopt=out["xopt"], zopt=out["zopt"], uopt=out["uopt"],
         steps=out["steps"], lams=lams,
+        objopt=out.get("objopt"),
         runtime=time.perf_counter() - t0,
         hist={k: v for k, v in out["hist"].items() if not isinstance(v, tuple)},
     )
@@ -76,11 +80,12 @@ def lasso_path(D, s, lams, config: ADMMConfig = ADMMConfig(), **overrides) -> Pa
 def linearsvm_c_path(D, ell, Cs, config: ADMMConfig = ADMMConfig(), *,
                      loss: str = "hinge", seed: int = 0, **overrides) -> PathResults:
     """Train the linear SVM for every C in ``Cs`` in one vmapped program
-    (the reference's per-C re-solve loop, batched)."""
+    (the reference's per-C re-solve loop, batched).  The unwrapped
+    driver's stopping defaults apply unless explicitly overridden (same
+    setdefault semantics as unwrappedadmm)."""
+    overrides.setdefault("stopcond", "both")
+    overrides.setdefault("nodualerror", True)
     config = merge_config(config, overrides)
-    for k, v in (("stopcond", "both"), ("nodualerror", True)):
-        config = dataclasses.replace(config, **{k: v})
-    t0 = time.perf_counter()
     D = jnp.asarray(D)
     m, n = D.shape
     Cs = jnp.asarray(Cs, D.dtype)
@@ -89,9 +94,11 @@ def linearsvm_c_path(D, ell, Cs, config: ADMMConfig = ADMMConfig(), *,
     data["C"] = Cs
     data["Dplus"] = jnp.linalg.pinv(D)
 
+    from ..engine import Hooks
     from .unwrapped import _prox_f
 
-    runner = make_admm_runner(_prox_f, prox_g, config, D, -1.0, has_data=True)
+    runner = make_admm_runner(_prox_f, prox_g, config, D, -1.0,
+                              hooks=Hooks(obj=obj), has_data=True)
     data_axes = {k: (0 if k == "C" else None) for k in data}
     L = Cs.shape[0]
     kx, kz, ku = jax.random.split(jax.random.PRNGKey(seed), 3)
@@ -107,6 +114,7 @@ def linearsvm_c_path(D, ell, Cs, config: ADMMConfig = ADMMConfig(), *,
     return PathResults(
         xopt=out["xopt"], zopt=out["zopt"], uopt=out["uopt"],
         steps=out["steps"], lams=Cs,
+        objopt=out.get("objopt"),
         runtime=time.perf_counter() - t0,
         hist={k: v for k, v in out["hist"].items() if not isinstance(v, tuple)},
     )

@@ -62,11 +62,15 @@ def _obj(x, z, d):
 
 
 def make_prox_ops_standard(P, q, D, s, config: ADMMConfig = ADMMConfig()):
-    """Standard (equality + nonnegativity) form (getProxOps.m:1397-1412)."""
+    """Standard (equality + nonnegativity) form (getProxOps.m:1397-1412).
+    Static rho folds the KKT factorization once at setup."""
+    kkt = kkt_eq_solver.from_matrices(jnp.asarray(D), P=jnp.asarray(P))
+    if not config.dynamic_rho:
+        kkt = kkt.materialize(config.rho)
     data = {
         "q": jnp.asarray(q),
         "s": jnp.asarray(s),
-        "kkt": kkt_eq_solver.from_matrices(jnp.asarray(D), P=jnp.asarray(P)),
+        "kkt": kkt,
     }
     return _prox_f_standard, _prox_g_standard, data
 

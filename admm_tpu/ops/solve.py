@@ -172,17 +172,18 @@ class kkt_eq_solver:
 
     def __init__(self, D, V, w, G):
         self.D = D
-        self.V = V  # eigvectors of P (or I basis columns when P=0)
+        self.V = V  # eigvectors of P, or None when P = 0 (LP identity basis)
         self.w = w  # eigvalues of P (zeros for LP)
-        self.G = G  # D @ V
+        self.G = G  # D @ V (== D when V is None)
 
     @classmethod
     def from_matrices(cls, D, P=None) -> "kkt_eq_solver":
         D = jnp.asarray(D)
         n = D.shape[1]
         if P is None:
-            # LP: P = 0 -> V = I, w = 0; G = D. Avoids an n^3 eigh.
-            V = jnp.eye(n, dtype=D.dtype)
+            # LP: P = 0 -> identity eigenbasis, represented as V = None so
+            # solve() skips the two identity matmuls. Avoids an n^3 eigh.
+            V = None
             w = jnp.zeros((n,), dtype=D.dtype)
             G = D
         else:
@@ -194,15 +195,30 @@ class kkt_eq_solver:
 
     def solve(self, b1, b2, rho):
         inv_diag = 1.0 / (self.w + rho)
-        # Minv b1 in the eigenbasis.
-        t1 = inv_diag * (self.V.T @ b1)
+        # Minv b1 in the eigenbasis (identity basis for LP).
+        t1 = inv_diag * (b1 if self.V is None else self.V.T @ b1)
         rhs = self.G @ t1 - b2
         S = (self.G * inv_diag[None, :]) @ self.G.T
         S = 0.5 * (S + S.T)
         cf = jax.scipy.linalg.cho_factor(S)
         y = jax.scipy.linalg.cho_solve(cf, rhs)
-        x = self.V @ (t1 - inv_diag * (self.G.T @ y))
-        return x
+        t2 = t1 - inv_diag * (self.G.T @ y)
+        return t2 if self.V is None else self.V @ t2
+
+    def materialize(self, rho) -> "StaticKKTSolver":
+        """Fold the fixed-rho factorization ONCE at setup: per-iteration
+        work becomes two n-sized GEMVs + one triangular pair — no
+        refactorization inside the loop (CLAUDE.md invariant)."""
+        inv_diag = 1.0 / (self.w + rho)
+        S = (self.G * inv_diag[None, :]) @ self.G.T
+        S = 0.5 * (S + S.T)
+        cf, lower = jax.scipy.linalg.cho_factor(S)
+        if self.V is None:
+            Minv = jnp.diag(inv_diag)
+        else:
+            Minv = (self.V * inv_diag[None, :]) @ self.V.T
+        # x = Minv b1 - MinvDt y;  y = cho_solve(S, D Minv b1 - b2)
+        return StaticKKTSolver(Minv, Minv @ self.D.T, self.D, cf, lower)
 
     def tree_flatten(self):
         return (self.D, self.V, self.w, self.G), None
@@ -210,3 +226,28 @@ class kkt_eq_solver:
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+class StaticKKTSolver:
+    """Fixed-rho KKT apply: all factors precomputed (see
+    kkt_eq_solver.materialize)."""
+
+    def __init__(self, Minv, MinvDt, D, cf, lower):
+        self.Minv = Minv
+        self.MinvDt = MinvDt
+        self.D = D
+        self.cf = cf
+        self.lower = lower
+
+    def solve(self, b1, b2, rho=None):
+        t1 = self.Minv @ b1
+        y = jax.scipy.linalg.cho_solve((self.cf, self.lower), self.D @ t1 - b2)
+        return t1 - self.MinvDt @ y
+
+    def tree_flatten(self):
+        return (self.Minv, self.MinvDt, self.D, self.cf), self.lower
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux)

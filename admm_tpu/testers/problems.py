@@ -49,10 +49,12 @@ def modeltest(seed=0, rows=128, cols=128, errtol=1e-3, quiet=True,
     # x-residual <= errtol, which the engine's default Boyd tolerances
     # only marginally reach on ill-conditioned random squares.
     cfg = merge_config(config, dict(
-        objevals=True, maxiters=overrides.pop("maxiters", 10000),
+        objevals=overrides.pop("objevals", True),
+        maxiters=overrides.pop("maxiters", 10000),
         abstol=overrides.pop("abstol", 1e-7),
         reltol=overrides.pop("reltol", 1e-5),
-        convtest=True, stopcond="both", **overrides))
+        convtest=overrides.pop("convtest", True),
+        stopcond=overrides.pop("stopcond", "both"), **overrides))
     rng = np.random.default_rng(seed)
     P, Q = rng.standard_normal((rows, cols)), rng.standard_normal((rows, cols))
     r, s = rng.standard_normal(rows), rng.standard_normal(rows)
@@ -86,7 +88,8 @@ def lassotest(seed=0, rows=256, cols=128, errtol=1e-3, quiet=True,
               config=ADMMConfig(), **overrides):
     """Sparse planted signal; ADMM objective must beat the planted one
     (testers/lassotest.m:109-147)."""
-    cfg = merge_config(config, dict(objevals=True, **overrides))
+    cfg = merge_config(config, dict(
+        objevals=overrides.pop("objevals", True), **overrides))
     rng = np.random.default_rng(seed)
     testx = rng.standard_normal(cols) * (rng.random(cols) < 0.6)
     D = rng.standard_normal((rows, cols))
@@ -111,11 +114,17 @@ def basispursuittest(seed=0, rows=32, cols=128, errtol=1e-10, quiet=True,
                      config=ADMMConfig(), **overrides):
     """Planted sparse x with s = D x (testers/basispursuittest.m:109-143)."""
     cfg = merge_config(config, dict(
-        objevals=True, maxiters=overrides.pop("maxiters", 10000),
-        abstol=1e-9, reltol=1e-8, **overrides))
+        objevals=overrides.pop("objevals", True),
+        maxiters=overrides.pop("maxiters", 10000),
+        abstol=overrides.pop("abstol", 1e-9),
+        reltol=overrides.pop("reltol", 1e-8), **overrides))
     rng = np.random.default_rng(seed)
     D = rng.standard_normal((rows, cols))
-    testx = rng.standard_normal(cols) * (rng.random(cols) < 0.1)
+    # Plant a guaranteed-nonzero sparse x (an all-zero plant makes the
+    # relerror denominator 0/0 and spuriously fails the trial).
+    testx = np.zeros(cols)
+    idx = rng.choice(cols, size=max(1, int(round(0.1 * cols))), replace=False)
+    testx[idx] = rng.standard_normal(len(idx))
     s = D @ testx
     testobj = np.sum(np.abs(testx))
 
@@ -124,7 +133,9 @@ def basispursuittest(seed=0, rows=32, cols=128, errtol=1e-10, quiet=True,
     objopt = np.sum(np.abs(xopt))
     Dx = D @ xopt
     relerror = float(np.mean(np.abs((Dx - s) / Dx)))
-    failed = not (testobj >= objopt - 1e-8 and relerror <= errtol)
+    # Relative slack on the objective comparison: the solver legitimately
+    # lands within solver tolerance of (or exactly on) the planted point.
+    failed = not (objopt <= testobj * (1 + 1e-6) + 1e-8 and relerror <= errtol)
     test = dict(solver="basispursuit", seed=seed, truexopt=testx,
                 testobj=testobj, objopt=objopt, relerror=relerror,
                 failed=failed,
@@ -137,7 +148,8 @@ def totalvariationtest(seed=0, rows=256, cols=None, errtol=0.02, quiet=True,
                        config=ADMMConfig(), lam=1.0, **overrides):
     """Staircase signal + noise (testers/totalvariationtest.m:109-155)."""
     cfg = merge_config(config, dict(
-        objevals=True, maxiters=overrides.pop("maxiters", 10000), **overrides))
+        objevals=overrides.pop("objevals", True),
+        maxiters=overrides.pop("maxiters", 10000), **overrides))
     rng = np.random.default_rng(seed)
     truex = np.ones(rows)
     for _ in range(3):
@@ -162,7 +174,9 @@ def totalvariationtest(seed=0, rows=256, cols=None, errtol=0.02, quiet=True,
 def ladtest(seed=0, rows=512, cols=32, errtol=1e-3, quiet=True,
             config=ADMMConfig(), **overrides):
     """Planted x + huge sparse outliers (testers/ladtest.m:115-168)."""
-    cfg = merge_config(config, dict(objevals=True, convtest=True, **overrides))
+    cfg = merge_config(config, dict(
+        objevals=overrides.pop("objevals", True),
+        convtest=overrides.pop("convtest", True), **overrides))
     rng = np.random.default_rng(seed)
     D = rng.standard_normal((rows, cols))
     xtrue = 10.0 * rng.standard_normal(cols)
@@ -192,7 +206,9 @@ def huberfittest(seed=0, rows=512, cols=32, errtol=1e-3, quiet=True,
     (testers/huberfittest.m:121-158)."""
     from ..models.huberfit import huber_loss
 
-    cfg = merge_config(config, dict(objevals=True, convtest=True, **overrides))
+    cfg = merge_config(config, dict(
+        objevals=overrides.pop("objevals", True),
+        convtest=overrides.pop("convtest", True), **overrides))
     rng = np.random.default_rng(seed)
     testx = rng.standard_normal(cols)
     D = rng.standard_normal((rows, cols))
@@ -219,8 +235,10 @@ def linearprogramtest(seed=0, rows=64, cols=64, errtol=1e-6, quiet=True,
     """Square full-rank D with nonnegative planted x: unique feasible point
     (testers/linearprogramtest.m:108-138)."""
     cfg = merge_config(config, dict(
-        objevals=True, maxiters=overrides.pop("maxiters", 10000),
-        abstol=1e-11, reltol=1e-9, **overrides))
+        objevals=overrides.pop("objevals", True),
+        maxiters=overrides.pop("maxiters", 10000),
+        abstol=overrides.pop("abstol", 1e-11),
+        reltol=overrides.pop("reltol", 1e-9), **overrides))
     rng = np.random.default_rng(seed)
     n = cols
     b = rng.random(n) + 0.5
@@ -249,8 +267,10 @@ def quadraticprogramtest(seed=0, rows=48, cols=48, errtol=1e-5, quiet=True,
     standard form uses a unique-feasible-point oracle, bounded form an
     interior-optimum oracle."""
     cfg = merge_config(config, dict(
-        objevals=True, maxiters=overrides.pop("maxiters", 10000),
-        abstol=1e-11, reltol=1e-9, **overrides))
+        objevals=overrides.pop("objevals", True),
+        maxiters=overrides.pop("maxiters", 10000),
+        abstol=overrides.pop("abstol", 1e-11),
+        reltol=overrides.pop("reltol", 1e-9), **overrides))
     rng = np.random.default_rng(seed)
     n = cols
     Praw = rng.random((n, n))
@@ -290,8 +310,9 @@ def covarianceselectiontest(seed=0, rows=256, cols=32, errtol=1e-3, quiet=True,
     """Sparse SPD inverse covariance, Gaussian samples
     (testers/covarianceselectiontest.m:112-154)."""
     cfg = merge_config(config, dict(
-        objevals=True, maxiters=overrides.pop("maxiters", 1000),
-        convtest=True, **overrides))
+        objevals=overrides.pop("objevals", True),
+        maxiters=overrides.pop("maxiters", 1000),
+        convtest=overrides.pop("convtest", True), **overrides))
     rng = np.random.default_rng(seed)
     Sinv = np.diag(np.ones(cols))
     k = int(np.ceil(0.001 * cols * cols)) + 2
@@ -333,7 +354,8 @@ def linearsvmtest(seed=0, mpos=128, mneg=128, sep=0.5, errtol=0.05, quiet=True,
     if errtol01 is None:
         errtol01 = 2.5 * errtol
     cfg = merge_config(config, dict(
-        objevals=True, maxiters=overrides.pop("maxiters", 1000), **overrides))
+        objevals=overrides.pop("objevals", True),
+        maxiters=overrides.pop("maxiters", 1000), **overrides))
     rng = np.random.default_rng(seed)
     bp, bn = np.linspace(0, 2, mpos), np.linspace(0, 2, mneg)
     pos = np.stack([bp + rng.random(mpos) - sep * rng.random(mpos),

@@ -43,10 +43,23 @@ _TESTERS: dict[str, Callable] = {
 }
 
 
+# Shape requirements baked into wrappers/oracles: lad/huberfit robustness
+# oracles need an overdetermined (skinny) system; LP/QP-standard need
+# square D (m > n makes the KKT Schur complement singular, m < n breaks
+# the unique-feasible-point oracle).  Presets degrade accordingly instead
+# of crashing the sweep or reporting bogus failures.
+_REQUIRE_SKINNY = {"lad", "huberfit"}
+_REQUIRE_SQUARE = {"linearprogram", "quadraticprogram"}
+
+
 def _shape(solver: str, scale: int, testtype: str):
     n = 2**scale
     if solver == "basispursuit":
         return max(2 ** (scale - 2), 2), n  # must be fat
+    if solver in _REQUIRE_SQUARE:
+        return n, n
+    if solver in _REQUIRE_SKINNY and testtype == "fat":
+        testtype = "skinny"
     if solver == "linearsvm":
         # Floor at 256 samples/class: below that the separator-slope and
         # unwrapped-ADMM objective criteria (linearsvmtest) are dominated
