@@ -58,8 +58,15 @@ def _shape(solver: str, scale: int, testtype: str):
         return max(2 ** (scale - 2), 2), n  # must be fat
     if solver in _REQUIRE_SQUARE:
         return n, n
-    if solver in _REQUIRE_SKINNY and testtype == "fat":
+    if solver in _REQUIRE_SKINNY:
+        # Always overdetermined: the robustness oracles (sparse outliers)
+        # need row redundancy — a square system interpolates the outliers
+        # and the planted x is unrecoverable.
         testtype = "skinny"
+    if solver == "model" and testtype == "fat":
+        # Fat P/Q make P^T P + Q^T Q near-singular (rank n/2 + n/2), so
+        # the closed-form oracle is ill-conditioned; use square instead.
+        testtype = "square"
     if solver == "linearsvm":
         # Floor at 256 samples/class: below that the separator-slope and
         # unwrapped-ADMM objective criteria (linearsvmtest) are dominated
