@@ -49,16 +49,19 @@ def synthetic_mnist(n_train=6000, n_test=1000, side=20, seed=0):
     """MNIST-shaped synthetic digits: one smooth random prototype per
     class + pixel noise.  Stands in for the absent idx image files."""
     rng = np.random.default_rng(seed)
+    # Shared background + per-class perturbation: classes overlap (like
+    # real digits sharing strokes), so error rates are informative.
+    shared = np.kron(rng.random((side // 4, side // 4)), np.ones((4, 4)))
     protos = []
     for d in range(10):
-        base = rng.random((side // 4, side // 4))
-        proto = np.kron(base, np.ones((4, 4)))  # blocky, digit-scale blobs
+        delta = np.kron(rng.random((side // 4, side // 4)), np.ones((4, 4)))
+        proto = 0.7 * shared + 0.3 * delta
         protos.append(proto / proto.max())
     protos = np.stack(protos)
 
     def draw(n):
         labels = rng.integers(0, 10, size=n)
-        imgs = protos[labels] + 0.35 * rng.random((n, side, side))
+        imgs = protos[labels] + 0.9 * rng.standard_normal((n, side, side))
         return np.clip(imgs, 0, 1), labels
 
     tr_x, tr_y = draw(n_train)
