@@ -223,6 +223,10 @@ def admm(
     runtime = time.perf_counter() - t0
     res = ADMMResults.from_raw(out, config, x0=x0, z0=z0, u0=u0)
     res.runtime = runtime
+    if not config.quiet:
+        # Final summary line (reference admm.m:759-765).
+        print(f"ADMM finished: {res.steps} steps in {res.runtime:.4f}s"
+              + (", DIVERGED" if res.diverged else ""))
     return res
 
 
