@@ -8,6 +8,9 @@ Python package imports without path mutation.
 
 from .validate import errorcheck, slicemaker
 from .report import showresults
-from .checkpoint import load_state, save_state
+from .checkpoint import load_state, load_state_orbax, save_state, save_state_orbax
 
-__all__ = ["errorcheck", "slicemaker", "showresults", "save_state", "load_state"]
+__all__ = [
+    "errorcheck", "slicemaker", "showresults",
+    "save_state", "load_state", "save_state_orbax", "load_state_orbax",
+]

@@ -41,3 +41,47 @@ def load_state(path: Union[str, Path]) -> dict:
             "rho": float(f["rho"]),
             "steps": int(f["steps"]),
         }
+
+
+def save_state_orbax(results: ADMMResults, path: Union[str, Path]) -> None:
+    """Orbax backend: async-capable and SHARDED-array aware — the right
+    choice for distributed solver state (e.g. consensus xi/ui living
+    sharded across a pod; the npz backend would force a host gather).
+    Saves the same fields as ``save_state`` plus any sharded per-shard
+    state found in ``results.extra``."""
+    import orbax.checkpoint as ocp
+
+    state = {
+        "x": results.xopt,
+        "z": results.zopt,
+        "u": results.uopt,
+        "rho": np.asarray(results.rho_final),
+        "steps": np.asarray(results.steps),
+    }
+    for key in ("xi", "ui"):
+        if key in results.extra:
+            state[key] = results.extra[key]
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(Path(path).absolute(), state)
+    ckptr.wait_until_finished()
+
+
+def load_state_orbax(path: Union[str, Path]) -> dict:
+    """Restore an orbax checkpoint written by ``save_state_orbax``;
+    returns warm-start kwargs like ``load_state`` (plus xi/ui when
+    present)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(Path(path).absolute())
+    out = {
+        "x0": state["x"],
+        "z0": state["z"],
+        "u0": state["u"],
+        "rho": float(np.asarray(state["rho"])),
+        "steps": int(np.asarray(state["steps"])),
+    }
+    for key in ("xi", "ui"):
+        if key in state:
+            out[key] = state[key]
+    return out

@@ -34,3 +34,24 @@ def test_save_and_resume(tmp_path):
     # the same solution.
     assert resumed.steps < cold.steps
     np.testing.assert_allclose(np.asarray(resumed.xopt), truex, atol=1e-2)
+
+
+def test_orbax_roundtrip_with_sharded_consensus_state(tmp_path):
+    """The orbax backend must round-trip consensus state including the
+    per-shard xi/ui arrays (sharded over the mesh)."""
+    from admm_tpu import ADMMConfig
+    from admm_tpu.parallel import consensus_lasso
+    from admm_tpu.utils import load_state_orbax, save_state_orbax
+
+    rng = np.random.default_rng(1)
+    D = rng.standard_normal((128, 16))
+    s = rng.standard_normal(128)
+    res = consensus_lasso(D, s, 0.1, ADMMConfig(maxiters=200))
+
+    path = tmp_path / "consensus_ckpt"
+    save_state_orbax(res, path)
+    state = load_state_orbax(path)
+    np.testing.assert_allclose(np.asarray(state["x0"]), np.asarray(res.xopt))
+    np.testing.assert_allclose(np.asarray(state["xi"]), np.asarray(res.extra["xi"]))
+    np.testing.assert_allclose(np.asarray(state["ui"]), np.asarray(res.extra["ui"]))
+    assert state["steps"] == res.steps
