@@ -51,6 +51,19 @@ def errorcheck(arg, check: str, name: str = "argument", *, opts: dict | None = N
         if a.ndim != 1:
             raise ValueError(f"{name} must be a vector, got shape {np.shape(arg)}")
         return a
+    if check == "isrowvector":
+        # Reference auto-transposes columns to rows (errorcheck.m:35-135).
+        if a.ndim == 2 and a.shape[1] == 1:
+            a = a.T
+        if not (a.ndim == 1 or (a.ndim == 2 and a.shape[0] == 1)):
+            raise ValueError(f"{name} must be a row vector, got {np.shape(arg)}")
+        return a.reshape(1, -1)
+    if check == "iscolumnvector":
+        if a.ndim == 2 and a.shape[0] == 1:
+            a = a.T
+        if not (a.ndim == 1 or (a.ndim == 2 and a.shape[1] == 1)):
+            raise ValueError(f"{name} must be a column vector, got {np.shape(arg)}")
+        return a.reshape(-1, 1)
     if check == "isnumber":
         if a.size != 1:
             raise ValueError(f"{name} must be a scalar")
