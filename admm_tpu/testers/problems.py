@@ -341,6 +341,23 @@ def covarianceselectiontest(seed=0, rows=256, cols=32, errtol=1e-3, quiet=True,
     return _report(quiet, test, results)
 
 
+
+def make_svm_instance(seed, mpos=128, mneg=128, sep=0.5):
+    """Linearly separable 2-D classes around the x1 = x2 line with
+    margin ``sep`` (the linearsvmtest construction,
+    testers/linearsvmtest.m:130-146).  Shared by the tester, the
+    unwrapped-ADMM example, and any benchmark needing SVM data."""
+    rng = np.random.default_rng(seed)
+    bp, bn = np.linspace(0, 2, mpos), np.linspace(0, 2, mneg)
+    pos = np.stack([bp + rng.random(mpos) - sep * rng.random(mpos),
+                    bp - rng.random(mpos) + sep * rng.random(mpos)], 1)
+    neg = np.stack([bn - rng.random(mneg) + sep * rng.random(mneg),
+                    bn + rng.random(mneg) - sep * rng.random(mneg)], 1)
+    D = np.concatenate([pos, neg])
+    ell = np.concatenate([np.ones(mpos), -np.ones(mneg)])
+    return D, ell
+
+
 def linearsvmtest(seed=0, mpos=128, mneg=128, sep=0.5, errtol=0.05, quiet=True,
                   config=ADMMConfig(), C=1.0, errtol01=None, **overrides):
     """Separable 2-D classes around x1 = x2; runs BOTH hinge and 0-1 loss
@@ -356,14 +373,7 @@ def linearsvmtest(seed=0, mpos=128, mneg=128, sep=0.5, errtol=0.05, quiet=True,
     cfg = merge_config(config, dict(
         objevals=overrides.pop("objevals", True),
         maxiters=overrides.pop("maxiters", 1000), **overrides))
-    rng = np.random.default_rng(seed)
-    bp, bn = np.linspace(0, 2, mpos), np.linspace(0, 2, mneg)
-    pos = np.stack([bp + rng.random(mpos) - sep * rng.random(mpos),
-                    bp - rng.random(mpos) + sep * rng.random(mpos)], 1)
-    neg = np.stack([bn - rng.random(mneg) + sep * rng.random(mneg),
-                    bn + rng.random(mneg) - sep * rng.random(mneg)], 1)
-    D = np.concatenate([pos, neg])
-    ell = np.concatenate([np.ones(mpos), -np.ones(mneg)])
+    D, ell = make_svm_instance(seed, mpos, mneg, sep)
 
     def obj(x, loss):
         v = ell * (D @ x)

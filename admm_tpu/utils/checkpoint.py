@@ -17,8 +17,16 @@ import numpy as np
 from ..results import ADMMResults
 
 
+def _npz_path(path: Union[str, Path]) -> Path:
+    """np.savez appends '.npz' when missing; normalize both sides so a
+    save/load round-trip with the same extensionless path works."""
+    path = Path(path)
+    return path if path.suffix == ".npz" else path.with_suffix(path.suffix + ".npz")
+
+
 def save_state(results: ADMMResults, path: Union[str, Path]) -> None:
-    """Persist the resumable state of a solve."""
+    """Persist the resumable state of a solve (as <path>.npz if the
+    suffix is missing — np.savez semantics)."""
     path = Path(path)
     np.savez(
         path,
@@ -33,7 +41,7 @@ def save_state(results: ADMMResults, path: Union[str, Path]) -> None:
 def load_state(path: Union[str, Path]) -> dict:
     """Load a saved state as warm-start kwargs for ``admm`` (x0/z0/u0)
     plus the rho and step count at save time."""
-    with np.load(Path(path)) as f:
+    with np.load(_npz_path(path)) as f:
         return {
             "x0": f["x"],
             "z0": f["z"],

@@ -27,7 +27,6 @@ def showresults(
     """Render a text report (returned and printed); optionally plot."""
     lines = []
     push = lines.append
-    cfg = results.config
     push("=" * 64)
     push("ADMM results")
     push("=" * 64)
@@ -84,7 +83,11 @@ def _plot(results: ADMMResults, test, show, save):
         ax0.set_title("signal overlay", fontsize=9)
         fig0.tight_layout()
         if save:
-            fig0.savefig(str(save).replace(".png", "_signal.png"), dpi=110)
+            from pathlib import Path as _P
+
+            sp = _P(str(save))
+            overlay = sp.with_name(sp.stem + "_signal" + (sp.suffix or ".png"))
+            fig0.savefig(str(overlay), dpi=110)
         if show:
             plt.show()
         else:

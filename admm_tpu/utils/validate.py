@@ -68,18 +68,18 @@ def errorcheck(arg, check: str, name: str = "argument", *, opts: dict | None = N
         if a.size != 1:
             raise ValueError(f"{name} must be a scalar")
         return float(a)
-    if check == "ispositivereal":
+    if check in ("ispositivereal", "isnonnegativereal", "isinteger"):
+        if a.size != 1:
+            raise ValueError(f"{name} must be a scalar, got shape {a.shape}")
         v = float(a)
-        if not v > 0:
-            raise ValueError(f"{name} must be positive, got {v}")
-        return v
-    if check == "isnonnegativereal":
-        v = float(a)
-        if not v >= 0:
-            raise ValueError(f"{name} must be nonnegative, got {v}")
-        return v
-    if check == "isinteger":
-        v = float(a)
+        if check == "ispositivereal":
+            if not v > 0:
+                raise ValueError(f"{name} must be positive, got {v}")
+            return v
+        if check == "isnonnegativereal":
+            if not v >= 0:
+                raise ValueError(f"{name} must be nonnegative, got {v}")
+            return v
         if v != int(v):
             raise ValueError(f"{name} must be an integer, got {v}")
         return int(v)
@@ -95,6 +95,8 @@ def slicemaker(slices: Union[int, Sequence[int]], slicelength: int, workers: int
 
     Returns a list of slice lengths.
     """
+    if workers <= 0:
+        raise ValueError(f"workers must be positive, got {workers}")
     if np.ndim(slices) == 0:
         k = int(slices)
         if k < 0:

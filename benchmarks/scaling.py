@@ -68,13 +68,40 @@ def weak_scaling(device_counts=(1, 2, 4, 8), rows_per_shard=4096, cols=512,
     return results, effs
 
 
+def _ensure_devices(n: int) -> None:
+    """Standalone runs need a virtual CPU mesh when the default backend
+    has fewer than n devices; must run before jax initializes."""
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}"
+        ).strip()
+    import jax
+
+    if len(jax.devices()) < n:
+        raise SystemExit(
+            f"need {n} devices but the initialized backend has "
+            f"{len(jax.devices())}; start with JAX_PLATFORMS unset and let "
+            "this script configure the virtual CPU mesh, or pass --devices 1"
+        )
+
+
 if __name__ == "__main__":
-    args = dict(a.split("=") for a in sys.argv[1:] if "=" in a)
-    n_dev = int(args.get("--devices", 8))
-    counts = [w for w in (1, 2, 4, 8) if w <= n_dev]
-    weak_scaling(
-        device_counts=counts,
-        rows_per_shard=int(args.get("--rows-per-shard", 4096)),
-        cols=int(args.get("--cols", 512)),
-        iters=int(args.get("--iters", 300)),
-    )
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--rows-per-shard", type=int, default=4096)
+    ap.add_argument("--cols", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=300)
+    a = ap.parse_args()
+    if a.devices > 1:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        _ensure_devices(a.devices)
+    counts = [w for w in (1, 2, 4, 8) if w <= a.devices]
+    weak_scaling(device_counts=counts, rows_per_shard=a.rows_per_shard,
+                 cols=a.cols, iters=a.iters)

@@ -16,7 +16,6 @@ import numpy as np
 def stepsizetesting(rhos=(0.1, 0.5, 1.0, 2.0, 10.0), tester="model",
                     seed=0, quiet=False, **tester_kwargs):
     from admm_tpu import ADMMConfig
-    from admm_tpu.testers import solvertester
     from admm_tpu.testers import problems as p
 
     tester_fn = getattr(p, f"{tester}test")

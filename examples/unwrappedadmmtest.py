@@ -14,13 +14,9 @@ import numpy as np
 
 
 def _svm_instance(seed, mpos, mneg, sep=0.5):
-    rng = np.random.default_rng(seed)
-    bp, bn = np.linspace(0, 2, mpos), np.linspace(0, 2, mneg)
-    pos = np.stack([bp + rng.random(mpos) - sep * rng.random(mpos),
-                    bp - rng.random(mpos) + sep * rng.random(mpos)], 1)
-    neg = np.stack([bn - rng.random(mneg) + sep * rng.random(mneg),
-                    bn + rng.random(mneg) - sep * rng.random(mneg)], 1)
-    return np.concatenate([pos, neg]), np.concatenate([np.ones(mpos), -np.ones(mneg)])
+    from admm_tpu.testers.problems import make_svm_instance
+
+    return make_svm_instance(seed, mpos, mneg, sep)
 
 
 def unwrappedadmmtest(scales=(7, 9, 11), C=1.0, seed=0, quiet=False):
