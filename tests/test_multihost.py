@@ -61,3 +61,30 @@ def test_consensus_lasso_across_two_processes():
     rc = _run_workers(code)
     if rc != 0:
         pytest.skip("jax.distributed unavailable in this environment")
+
+
+def test_sharded_svm_across_two_processes():
+    """The transpose-reduction SVM (psum of per-shard D_i^T v_i +
+    replicated solve) must also run over a cross-process mesh."""
+    code = textwrap.dedent('''
+        import os, sys
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=2")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        pid = int(sys.argv[1])
+        jax.distributed.initialize("127.0.0.1:47219", 2, pid)
+        import numpy as np
+        from admm_tpu import ADMMConfig
+        from admm_tpu.parallel import linearsvm_sharded, make_mesh
+        from admm_tpu.testers.problems import make_svm_instance
+        D, ell = make_svm_instance(0, 64, 64, 0.5)
+        res = linearsvm_sharded(D, ell, 1.0, ADMMConfig(maxiters=300),
+                                mesh=make_mesh())
+        x = np.asarray(jax.device_get(res.xopt))
+        assert np.isfinite(x).all()
+        assert x[0] > 0 and x[1] < 0  # separator orientation recovered
+    ''')
+    rc = _run_workers(code)
+    if rc != 0:
+        pytest.skip("jax.distributed unavailable in this environment")
