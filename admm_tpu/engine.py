@@ -120,6 +120,7 @@ class _Hist(NamedTuple):
     uvals: Any
     vvals: Any     # accelerated predictor traces (admm.m:596-599);
     uhatvals: Any  # recorded when record_iterates and alg != 0
+    wvals: Any     # stacked w = [x; z; rho*u] per iteration (admm.m:680-682)
 
 
 def admm(
@@ -204,6 +205,9 @@ def admm(
         c_arr = jnp.broadcast_to(c_arr, shape_c)
     u0 = jnp.zeros(c_arr.shape, dtype) if u0 is None else jnp.asarray(u0, dtype)
 
+    if hooks.fused_zu is not None:
+        _check_fused_splitting(A, B, c_arr)
+
     if hooks.preprocess is not None:
         hooks.preprocess()
 
@@ -230,6 +234,28 @@ def admm(
     return res
 
 
+def _check_fused_splitting(A, B, c=None):
+    """hooks.fused_zu assumes the plain splitting A = I, B = -I, c = 0 —
+    its dual update is u + x - z.  Any other A/B/c would make it silently
+    wrong, so refuse up front (must run where A/B/c are concrete, i.e.
+    outside jit)."""
+    from .linop import ScaledIdentityOp
+
+    def _is(op, val):
+        return isinstance(op, ScaledIdentityOp) and float(op.alpha) == val
+
+    if not (_is(A, 1.0) and _is(B, -1.0)):
+        raise ValueError(
+            "hooks.fused_zu requires the A=1, B=-1 splitting; got "
+            f"A={A!r}, B={B!r} — use the standard prox_g path instead"
+        )
+    if c is not None and bool(jnp.any(jnp.asarray(c) != 0)):
+        raise ValueError(
+            "hooks.fused_zu requires c = 0; got a nonzero c — use the "
+            "standard prox_g path instead"
+        )
+
+
 @functools.lru_cache(maxsize=128)
 def _cached_runner(prox_f, prox_g, config: ADMMConfig, hooks: Hooks, jit: bool,
                    has_data: bool = True):
@@ -249,6 +275,8 @@ def make_admm_runner(prox_f, prox_g, config, A, B, hooks=Hooks(), dtype=None,
     """
     A = as_linop(A)
     B = as_linop(B)
+    if hooks.fused_zu is not None:
+        _check_fused_splitting(A, B)  # c is a runtime arg here; documented
     run = _build_runner(prox_f, prox_g, config, hooks, has_data=has_data)
     if has_data:
         return lambda x0, z0, u0, c, data: run(x0, z0, u0, c, A, B, data)
@@ -314,6 +342,8 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
             if (cfg.record_iterates and alg) else (),
             uhatvals=jnp.zeros((N,) + u0.shape, rdtype)
             if (cfg.record_iterates and alg) else (),
+            wvals=jnp.zeros((N, x0.size + z0.size + u0.size), rdtype)
+            if cfg.record_iterates else (),
         )
 
         carry0 = _Carry(
@@ -501,6 +531,9 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
                     xvals=h.xvals.at[k].set(x),
                     zvals=h.zvals.at[k].set(z),
                     uvals=h.uvals.at[k].set(u),
+                    wvals=h.wvals.at[k].set(jnp.concatenate(
+                        [x.ravel(), z.ravel(), (rho * u).ravel()]
+                    )),
                 )
                 if alg:
                     h = h._replace(

@@ -44,12 +44,16 @@ def _obj(x, z, d):
     return jnp.dot(d["b"], x)
 
 
-def make_prox_ops(b, D, s, config: ADMMConfig = ADMMConfig()):
+def make_prox_ops(b, D, s, config: ADMMConfig = ADMMConfig(), altproxg=None):
     """Build (prox_f, prox_g, obj, data) for the LP (getProxOps.m:459-542).
 
     Static rho (the default) folds the whole KKT factorization at setup
     (StaticKKTSolver) — no per-iteration refactorization; dynamic-rho
-    configs keep the rho-parameterized Schur path."""
+    configs keep the rho-parameterized Schur path.
+
+    ``altproxg(x, z, u, rho, data) -> z`` replaces the nonnegativity
+    projection (the reference's args.altproxg, linearprogram.m:162-171);
+    pass a module-level function to keep the compile cache warm."""
     b = jnp.asarray(b)
     D = jnp.asarray(D)
     s = jnp.asarray(s)
@@ -57,7 +61,8 @@ def make_prox_ops(b, D, s, config: ADMMConfig = ADMMConfig()):
     if not config.dynamic_rho:
         kkt = kkt.materialize(config.rho)
     data = {"b": b, "s": s, "kkt": kkt}
-    return _prox_f, _prox_g, _obj, data
+    prox_g = altproxg if altproxg is not None else _prox_g
+    return _prox_f, prox_g, _obj, data
 
 
 @register("linearprogram")
@@ -67,10 +72,12 @@ def _registry_entry(b, D, s, config=ADMMConfig(), **_):
 
 
 @timed_solver
-def linearprogram(b=None, D=None, s=None, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
+def linearprogram(b=None, D=None, s=None, config: ADMMConfig = ADMMConfig(),
+                  altproxg=None, **overrides) -> ADMMResults:
     """Solve the standard-form LP (reference solvers/linearprogram.m:81).
 
-    Constraint wiring: A = 1, B = -1, c = 0 in R^n.
+    Constraint wiring: A = 1, B = -1, c = 0 in R^n.  ``altproxg``
+    replaces the z-prox (reference linearprogram.m:162-171).
     """
     if b is None:
         # Zero-arg demo mode (reference solvers, e.g. lasso.m:122-129).
@@ -82,7 +89,7 @@ def linearprogram(b=None, D=None, s=None, config: ADMMConfig = ADMMConfig(), **o
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     n = D.shape[1]
-    prox_f, prox_g, obj, data = make_prox_ops(b, D, s, config)
+    prox_f, prox_g, obj, data = make_prox_ops(b, D, s, config, altproxg=altproxg)
     return admm(
         prox_f, prox_g, config,
         A=1.0, B=-1.0, c=0.0, m=n, nA=n, nB=n,

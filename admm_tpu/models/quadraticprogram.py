@@ -61,9 +61,15 @@ def _obj(x, z, d):
     return 0.5 * jnp.dot(x, d["P"] @ x) + jnp.dot(d["q"], x) + d["r"]
 
 
-def make_prox_ops_standard(P, q, D, s, config: ADMMConfig = ADMMConfig()):
+def make_prox_ops_standard(
+    P, q, D, s, config: ADMMConfig = ADMMConfig(),
+    altproxg: Optional[Callable] = None,
+):
     """Standard (equality + nonnegativity) form (getProxOps.m:1397-1412).
-    Static rho folds the KKT factorization once at setup."""
+    Static rho folds the KKT factorization once at setup.
+
+    ``altproxg(x, z, u, rho, data) -> z`` replaces the nonnegativity
+    projection (the reference's args.altproxg, getProxOps.m:664-666)."""
     kkt = kkt_eq_solver.from_matrices(jnp.asarray(D), P=jnp.asarray(P))
     if not config.dynamic_rho:
         kkt = kkt.materialize(config.rho)
@@ -72,7 +78,8 @@ def make_prox_ops_standard(P, q, D, s, config: ADMMConfig = ADMMConfig()):
         "s": jnp.asarray(s),
         "kkt": kkt,
     }
-    return _prox_f_standard, _prox_g_standard, data
+    prox_g = altproxg if altproxg is not None else _prox_g_standard
+    return _prox_f_standard, prox_g, data
 
 
 def make_prox_ops_bounded(
@@ -108,7 +115,8 @@ def _registry_entry(P, q, D=None, s=None, lb=None, ub=None, config=ADMMConfig(),
 @timed_solver
 def quadraticprogram(
     P=None, q=None, r=None, cons1=None, cons2=None,
-    config: ADMMConfig = ADMMConfig(), **overrides
+    config: ADMMConfig = ADMMConfig(), altproxg: Optional[Callable] = None,
+    **overrides
 ) -> ADMMResults:
     """Solve a QP (reference solvers/quadraticprogram.m:99).
 
@@ -116,6 +124,7 @@ def quadraticprogram(
     ``(cons1, cons2) = (D, s)`` with 2-D D selects the standard form;
     two vectors of length n select the bounded form (bounds are
     normalized so lb <= ub elementwise, quadraticprogram.m:340-350).
+    ``altproxg`` replaces the z-prox in either form (getProxOps.m:664-666).
     """
     if P is None:
         # Zero-arg demo mode (reference solvers, e.g. lasso.m:122-129).
@@ -130,11 +139,13 @@ def quadraticprogram(
     c1 = jnp.asarray(cons1)
 
     if c1.ndim == 2:
-        prox_f, prox_g, data = make_prox_ops_standard(P, q, c1, cons2, config)
+        prox_f, prox_g, data = make_prox_ops_standard(
+            P, q, c1, cons2, config, altproxg=altproxg)
     else:
         u_ = jnp.asarray(cons2)
         lb, ub = jnp.minimum(c1, u_), jnp.maximum(c1, u_)
-        prox_f, prox_g, data = make_prox_ops_bounded(P, q, lb, ub, config)
+        prox_f, prox_g, data = make_prox_ops_bounded(
+            P, q, lb, ub, config, altproxg=altproxg)
 
     data["P"] = P
     data["r"] = jnp.asarray(r, P.dtype)

@@ -24,6 +24,34 @@ takes pluggable per-shard and global proximal operators (module-level
 functions over a data pytree, the same caching contract as the core
 engine) — plus the LASSO instantiation matching the reference.
 
+Feature parity with the core engine (round-2 growth; the reference's
+consensus path runs through its engine, so nominally shares its
+features, but altu/specialnorms overrides silently disable most of
+them there — here each is wired into the consensus iteration itself):
+
+  * relaxation (config.relax != 1): the textbook over-relaxed consensus
+    step x̂_i = relax*x_i + (1-relax)*z_prev feeding the z-prox and the
+    dual update (Boyd et al. 2011 sec. 3.4.3 applied to the per-slice
+    constraint x_i - z = 0).  NOTE: in the reference, options.relax has
+    NO effect on the consensus path — zminParallelLASSO ignores the
+    engine's relaxed argument and uses its cached slice iterates
+    (getProxOps.m:1272-1299) — so this is a strict feature extension.
+  * H-norm stopping + divergence monitor (stopcond 'hnorm'/'both',
+    convtest): H over the consensus aggregates w = [xbar; z; rho*ubar]
+    with B = -I, exactly the engine's H (admm.m:302-313, 676-703).
+  * adaptive rho (experimental, admm.m:724-741) and rbadaptive: both
+    need rho-valid local proxes (consensus_lasso switches to the
+    batched-eigh solve path under config.dynamic_rho).
+  * warm start xi0/ui0/z0 — which also makes orbax checkpoints of
+    sharded consensus state (utils/checkpoint.py) actually resumable.
+
+Fast/accelerated momentum is NOT offered: the consensus dual is a
+collection of per-slice u_i whose restart test would need a global
+d-value reduction every iteration; the reference never runs its fast
+modes through the consensus closures either (the momentum predictors
+v/uhat would bypass altuLASSO's averaging, silently breaking the
+slice-dual coupling) — so there is no reference semantics to match.
+
 TPU design: the reference pays a client->worker broadcast + gather per
 prox per iteration (parfor); here the ENTIRE solve is one jitted program
 over sharded state — per-shard solves are local matmuls on each device,
@@ -63,45 +91,66 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
     (proxes, config, shard count, width) family reuse the compiled
     program."""
     N = int(config.maxiters)
+    relax = float(config.relax)
+    use_relax = relax != 1.0
+    needs_h = config.needs_hnorm
+    std_stop = config.stopcond in ("standard", "both")
+    h_stop = config.stopcond in ("hnorm", "both")
+    # Engine parity: adaptive requires convtest (admm.m:724 gate).
+    use_adaptive = config.adaptive and config.convtest and needs_h
 
-    def run(data):
-        leaves = jax.tree_util.tree_leaves(data)
-        rdtype = leaves[0].dtype if leaves else jnp.float32
+    def run(data, xi0, ui0, z0):
+        rdtype = xi0.dtype
         rho = jnp.asarray(config.rho, rdtype)
+        rho0 = rho  # setup-time rho captured inside H (admm.m:305-306)
+        eps = jnp.finfo(rdtype).eps
         zeros_hist = jnp.full((N,), jnp.nan, rdtype)
 
-        xi0 = jnp.zeros((W, n), rdtype)
-        ui0 = jnp.zeros((W, n), rdtype)
-        z0 = jnp.zeros((n,), rdtype)
-
+        ubar0 = jnp.mean(ui0, axis=0)
         carry0 = (
             jnp.asarray(0, jnp.int32),
             xi0, z0, ui0,
-            jnp.zeros((n,), rdtype),  # xbar_prev
+            jnp.mean(xi0, axis=0),    # xbar_prev
+            rho0 * ubar0 if needs_h else (),  # wu_prev = rho*ubar (H machinery)
             rho,
-            jnp.asarray(False),
-            (zeros_hist, zeros_hist, zeros_hist, zeros_hist),
+            jnp.asarray(False),       # done
+            jnp.asarray(False),       # diverged
+            jnp.asarray(jnp.inf, rdtype),  # Hprev
+            (zeros_hist, zeros_hist, zeros_hist, zeros_hist,
+             zeros_hist if needs_h else ()),
         )
 
         def cond(c):
-            return jnp.logical_and(c[0] < N, jnp.logical_not(c[6]))
+            return jnp.logical_and(c[0] < N, jnp.logical_not(c[7]))
 
         def body(c):
-            k, xi, z, ui, xbar_prev, rho, done, hist = c
+            (k, xi, z, ui, xbar_prev, wu_prev, rho, done, diverged,
+             Hprev, hist) = c
+            i = k + 1  # reference's 1-based counter
+            zprev = z
 
             # Local x-solves (xminParallelLASSO, getProxOps.m:1217-1260):
             # batched (sharded) per-device work.
             xi = local_prox(z, ui, rho, data)
 
+            # Over-relaxation on the per-slice constraint x_i - z = 0
+            # (Boyd sec. 3.4.3; see module docstring for reference delta).
+            xhat = relax * xi + (1.0 - relax) * zprev[None, :] if use_relax else xi
+
             # Consensus aggregates: mean over the shard axis -> all-reduce.
             xbar = jnp.mean(xi, axis=0)
+            xhat_bar = relax * xbar + (1.0 - relax) * zprev if use_relax else xbar
             ubar = jnp.mean(ui, axis=0)
 
             # Global z (zminParallelLASSO, getProxOps.m:1290-1293).
-            z = global_prox(xbar, ubar, rho, W, data)
+            z = global_prox(xhat_bar, ubar, rho, W, data)
 
             # Immediate per-slice dual update (getProxOps.m:1296-1298).
-            ui = ui + (xi - z[None, :])
+            ui = ui + (xhat - z[None, :])
+            # Post-update dual average, used by derr below: the reference
+            # engine evaluates its dual error AFTER altuLASSO has updated
+            # the averaged dual (admm.m:553-560 then :639-658).
+            ubar = ubar + (xhat_bar - z)
 
             # Consensus residuals, squared (lassonorms,
             # getProxOps.m:1335-1343).
@@ -116,14 +165,53 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
             )
             derr = sqn * config.abstol + config.reltol * rho * jnp.linalg.norm(ubar)
 
-            dual_ok = jnp.asarray(True) if config.nodualerror else (dnorm < derr)
-            stop = (pnorm < perr) & dual_ok
-            if config.domaxiters:
-                stop = jnp.asarray(False)
+            # H-norm over the consensus aggregates w = [xbar; z; rho*ubar]
+            # with B = -I (engine admm.m:302-313): the z-part difference
+            # plus the scaled-dual difference, weighted by the setup rho.
+            Hsq = ()
+            diverged_i = jnp.asarray(False)
             if config.nanguard:
-                stop = stop | jnp.logical_not(jnp.isfinite(pnorm))
+                # A NaN-aborted solve is DIVERGED, not converged.
+                diverged_i = diverged_i | jnp.logical_not(jnp.isfinite(pnorm))
+            if needs_h:
+                wu_new = rho * ubar
+                Hsq = rho0 * jnp.sum((zprev - z) ** 2) + rho0 * jnp.sum(
+                    (wu_prev - wu_new) ** 2
+                )
+                if config.convtest:
+                    H1, H2 = Hprev, Hsq
+                    diverged_i = diverged_i | (
+                        (i >= 2) & (H1 > eps) & (H2 > H1)
+                        & ((H2 - H1) > H1 * config.convtol)
+                    )
+            else:
+                wu_new = ()
 
-            if config.rbadaptive:
+            stop = jnp.asarray(False)
+            if std_stop and not config.domaxiters:
+                dual_ok = (jnp.asarray(True) if config.nodualerror
+                           else (dnorm < derr))
+                stop = (pnorm < perr) & dual_ok
+            if h_stop and not config.domaxiters and needs_h:
+                stop = stop | ((i > 2) & (Hsq <= config.hnormtol))
+            done = stop | diverged_i
+
+            if use_adaptive:
+                # Experimental adaptive rho (admm.m:724-741): scalar
+                # wdiff = Hprev - Hsq, growth clamp 5 — the engine's
+                # exact formula applied to the consensus H.
+                wdiff = Hprev - Hsq
+                rhoprev = rho
+                safe = jnp.abs(wdiff) > eps
+                rho_c = jnp.where(
+                    safe, rho * rhoprev / jnp.where(safe, wdiff, 1.0), rho)
+                rhodiff = jnp.abs(rho_c - rhoprev)
+                growth = 5.0
+                rho_c = jnp.where(rhodiff >= rhoprev * growth, rho_c / growth, rho_c)
+                rho_c = jnp.where(rhodiff <= rhoprev / growth, rho_c * growth, rho_c)
+                do_adapt = (i > 2) & jnp.logical_not(done)
+                rho = jnp.where(do_adapt, rho_c, rho)
+            elif config.rbadaptive:
                 # Residual balancing on the consensus residuals with the
                 # scaled-dual rescale (ADMMConfig.rbadaptive; the
                 # adaptive-consensus-ADMM idea of Xu et al. 2017).
@@ -136,19 +224,27 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
                 shrink = dn_lin > config.rbmu * pn_lin
                 factor = jnp.where(grow, config.rbtau,
                                    jnp.where(shrink, 1.0 / config.rbtau, 1.0))
-                factor = jnp.where(stop, 1.0, factor).astype(rho.dtype)
+                factor = jnp.where(done, 1.0, factor).astype(rho.dtype)
                 rho = rho * factor
                 ui = ui / factor
 
-            hp, hd, hpe, hde = hist
+            hp, hd, hpe, hde, hh = hist
             hist = (
                 hp.at[k].set(pnorm), hd.at[k].set(dnorm),
                 hpe.at[k].set(perr), hde.at[k].set(derr),
+                hh.at[k].set(Hsq) if needs_h else (),
             )
-            return (k + 1, xi, z, ui, xbar, rho, stop, hist)
+            return (k + 1, xi, z, ui, xbar, wu_new if needs_h else (),
+                    rho, done, diverged | diverged_i, Hsq if needs_h else Hprev,
+                    hist)
 
-        k, xi, z, ui, xbar, rho_f, done, hist = lax.while_loop(cond, body, carry0)
+        (k, xi, z, ui, xbar, _wu, rho_f, done, diverged, _H,
+         hist) = lax.while_loop(cond, body, carry0)
         ubar = jnp.mean(ui, axis=0)
+        out_hist = {"pnorm": hist[0], "dnorm": hist[1],
+                    "perr": hist[2], "derr": hist[3]}
+        if needs_h:
+            out_hist["Hnormsq"] = hist[4]
         return {
             "steps": k,
             "xopt": xbar,        # the reference returns xbar as x (:1260)
@@ -157,9 +253,8 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
             "xi": xi,
             "ui": ui,
             "rho_final": rho_f,
-            "diverged": jnp.asarray(False),
-            "hist": {"pnorm": hist[0], "dnorm": hist[1],
-                     "perr": hist[2], "derr": hist[3]},
+            "diverged": diverged,
+            "hist": out_hist,
         }
 
     return jax.jit(run)
@@ -174,35 +269,48 @@ def consensus_admm(
     *,
     mesh: Optional[Mesh] = None,
     nshards: Optional[int] = None,
+    xi0=None,
+    ui0=None,
+    z0=None,
 ) -> ADMMResults:
     """Generic consensus ADMM.
 
     ``local_prox(z, ui, rho, data) -> xi`` computes ALL per-shard local
     solves at once on stacked (W, n) arrays whose leading axis is sharded;
     ``global_prox(xbar, ubar, rho, W, data) -> z`` is the replicated
-    global update.  Both must be module-level functions (caching
+    global update (under relaxation its first argument is the relaxed
+    aggregate x̂bar).  Both must be module-level functions (caching
     contract).  ``data`` is a pytree of operands; leaves with a leading
     shard axis should already be device_put with the shard sharding.
+
+    ``xi0``/``ui0`` (shape (W, n)) and ``z0`` (shape (n,)) warm-start the
+    consensus state — the sharded analog of the engine's x0/z0/u0
+    (admm.m:252-259); pass the xi/ui from a previous solve's
+    ``results.extra`` or an orbax checkpoint to resume.
     """
-    if config.stopcond != "standard":
+    if config.fast:
         raise NotImplementedError(
-            "consensus_admm supports stopcond='standard' only (the "
-            "reference's consensus path); use the core engine for H-norm "
-            "stopping"
-        )
-    if config.adaptive:
-        raise NotImplementedError(
-            "the reference's experimental adaptive mode is not wired into "
-            "the consensus loop; use rbadaptive"
+            "fast/accelerated momentum is not defined for the consensus "
+            "splitting (see module docstring); use relax/rbadaptive"
         )
     if mesh is None:
         mesh = make_mesh()
     W = nshards if nshards is not None else mesh.devices.size
 
+    leaves = jax.tree_util.tree_leaves(data)
+    rdtype = leaves[0].dtype if leaves else jnp.float32
+    xi0 = jnp.zeros((W, n), rdtype) if xi0 is None else jnp.asarray(xi0, rdtype)
+    ui0 = jnp.zeros((W, n), rdtype) if ui0 is None else jnp.asarray(ui0, rdtype)
+    z0 = jnp.zeros((n,), rdtype) if z0 is None else jnp.asarray(z0, rdtype)
+    if xi0.shape != (W, n) or ui0.shape != (W, n):
+        raise ValueError(
+            f"xi0/ui0 must have shape {(W, n)}; got {xi0.shape}/{ui0.shape}"
+        )
+
     runner = _cached_consensus_runner(local_prox, global_prox, config, W, n)
-    data = jax.block_until_ready(data)
+    data, xi0, ui0, z0 = jax.block_until_ready((data, xi0, ui0, z0))
     t0 = time.perf_counter()  # loop-only wall clock
-    out = jax.block_until_ready(runner(data))
+    out = jax.block_until_ready(runner(data, xi0, ui0, z0))
 
     res = ADMMResults.from_raw(
         {k: v for k, v in out.items() if k not in ("xi", "ui")}, config
@@ -225,7 +333,7 @@ def _lasso_local_prox(z, ui, rho, d):
 
 def _lasso_local_prox_dynamic(z, ui, rho, d):
     # rho-parameterized per-shard solve via batched eigh of D_i^T D_i
-    # (valid for any runtime rho — the rbadaptive path).
+    # (valid for any runtime rho — the adaptive/rbadaptive paths).
     rhs = d["Dtsi"] + rho * (z[None, :] - ui)
     y = jnp.einsum("wji,wj->wi", d["V"], rhs)
     y = y / (d["w"] + rho)
@@ -245,13 +353,17 @@ def consensus_lasso(
     *,
     mesh: Optional[Mesh] = None,
     nshards: Optional[int] = None,
+    xi0=None,
+    ui0=None,
+    z0=None,
 ) -> ADMMResults:
     """Solve LASSO by consensus ADMM with data rows sharded over a mesh.
 
     Mirrors ``lasso(..., options.parallel)`` + the consensus closures
     (solvers/lasso.m:196-224, getProxOps.m:367-442).  ``nshards`` defaults
     to the mesh size (the reference defaults slices to the worker count,
-    errorcheck.m:240-265).
+    errorcheck.m:240-265).  ``xi0``/``ui0``/``z0`` warm-start (resume)
+    the sharded state — see ``consensus_admm``.
     """
     if mesh is None:
         mesh = make_mesh()
@@ -277,7 +389,7 @@ def consensus_lasso(
     # Per-shard setup, batched + sharded: Gram, D^T s, and either the
     # rho-folded inverse (static rho; the reference's per-slice Cholesky
     # caches, getProxOps.m:404-442) or a batched eigh (dynamic rho).
-    if config.rbadaptive:
+    if config.dynamic_rho:
 
         @partial(jax.jit, out_shardings=(shard_spec, shard_spec, shard_spec))
         def setup_dyn(Di, si):
@@ -291,7 +403,7 @@ def consensus_lasso(
         data = {"w": w, "V": V, "Dtsi": Dtsi, "lam": jnp.asarray(lam, Dtsi.dtype)}
         return consensus_admm(
             _lasso_local_prox_dynamic, _lasso_global_prox, data, n, config,
-            mesh=mesh, nshards=W,
+            mesh=mesh, nshards=W, xi0=xi0, ui0=ui0, z0=z0,
         )
 
     @partial(jax.jit, out_shardings=(shard_spec, shard_spec))
@@ -307,5 +419,5 @@ def consensus_lasso(
 
     return consensus_admm(
         _lasso_local_prox, _lasso_global_prox, data, n, config,
-        mesh=mesh, nshards=W,
+        mesh=mesh, nshards=W, xi0=xi0, ui0=ui0, z0=z0,
     )

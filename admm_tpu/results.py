@@ -99,3 +99,9 @@ class ADMMResults:
     @property
     def restarted(self):
         return self.trace("restarted") if "restarted" in self.hist else None
+
+    @property
+    def wvals(self):
+        """Stacked w = [x; z; rho*u] per iteration (admm.m:680-682);
+        recorded under ``record_iterates``."""
+        return self.trace("wvals") if "wvals" in self.hist else None

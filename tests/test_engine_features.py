@@ -188,3 +188,42 @@ def test_vmap_batched_instances():
         assert np.linalg.norm(np.asarray(xs[b]) - truex) < 1e-2
     # Lanes converge at different iteration counts.
     assert len(set(np.asarray(steps).tolist())) >= 1
+
+
+def test_wvals_trace():
+    """record_iterates must also record the stacked w = [x; z; rho*u]
+    (reference admm.m:680-682)."""
+    P, Q, r, s, truex = _instance()
+    res = model(P, Q, r, s, ADMMConfig(maxiters=500, record_iterates=True))
+    w = res.wvals
+    n = len(truex)
+    assert w is not None and w.shape == (res.steps, 3 * n)
+    k = res.steps - 1
+    expect = np.concatenate([
+        res.trace("xvals")[k],
+        res.trace("zvals")[k],
+        res.rho_final * res.trace("uvals")[k],
+    ])
+    np.testing.assert_allclose(w[k], expect, rtol=1e-12)
+
+
+def test_fused_zu_rejects_non_identity_splitting():
+    """hooks.fused_zu assumes A=1, B=-1, c=0; any other splitting must be
+    refused up front rather than silently computing a wrong dual update
+    (the kernel's u-update is u + x - z)."""
+
+    def fused(x, u, rho):
+        return x, u
+
+    def pf(x, z, u, rho):
+        return x
+
+    def pg(x, z, u, rho):
+        return z
+
+    for bad in (dict(A=2.0), dict(B=1.0), dict(c=np.ones(4))):
+        kw = dict(A=1.0, B=-1.0, c=0.0)
+        kw.update(bad)
+        with pytest.raises(ValueError, match="fused_zu"):
+            admm(pf, pg, ADMMConfig(maxiters=2), m=4,
+                 hooks=Hooks(fused_zu=fused), **kw)

@@ -31,3 +31,25 @@ def test_lp_unique_feasible_point():
     relerror = np.mean(np.abs((Dx - s) / Dx))
     assert abs((trueobj - objopt) / objopt) <= errtol
     assert relerror <= errtol
+
+
+def test_lp_altproxg_override():
+    """args.altproxg replaces the z-prox (reference
+    linearprogram.m:162-171): a box projection must be honored and keep
+    iterates inside the box."""
+    import jax.numpy as jnp
+
+    from admm_tpu import ADMMConfig, linearprogram
+
+    def boxg(x, z, u, rho, d):
+        return jnp.clip(x + u, 0.0, 10.0)
+
+    rng = np.random.default_rng(3)
+    n = 16
+    truex = np.abs(rng.standard_normal(n))
+    D = rng.standard_normal((n, n))
+    s = D @ truex
+    b = rng.standard_normal(n)
+    res = linearprogram(b, D, s, ADMMConfig(maxiters=2000), altproxg=boxg)
+    z = np.asarray(res.zopt)
+    assert z.min() >= -1e-10 and z.max() <= 10.0 + 1e-8

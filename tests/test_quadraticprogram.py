@@ -81,3 +81,31 @@ def test_qp_bound_normalization():
     r1 = quadraticprogram(np.diag(d), q, 0.0, lb, ub, ADMMConfig(maxiters=5000))
     r2 = quadraticprogram(np.diag(d), q, 0.0, ub, lb, ADMMConfig(maxiters=5000))
     np.testing.assert_allclose(np.asarray(r1.xopt), np.asarray(r2.xopt), atol=1e-10)
+
+
+def test_qp_standard_altproxg_override():
+    """altproxg must also reach the STANDARD form's z-prox (reference
+    getProxOps.m:664-666 applies it in both forms; round 1 only wired
+    the bounded form)."""
+    import jax.numpy as jnp
+
+    from admm_tpu import ADMMConfig, quadraticprogram
+
+    seen = []
+
+    def traced_g(x, z, u, rho, d):
+        seen.append(True)
+        return jnp.maximum(x + u, 0.0)
+
+    rng = np.random.default_rng(4)
+    n = 12
+    truex = np.abs(rng.standard_normal(n))
+    D = rng.standard_normal((n, n))
+    s = D @ truex
+    P = rng.standard_normal((n, n))
+    P = P @ P.T + n * np.eye(n)
+    q = rng.standard_normal(n)
+    res = quadraticprogram(P, q, 0.0, D, s, ADMMConfig(maxiters=2000),
+                           altproxg=traced_g)
+    assert seen, "altproxg was never traced into the standard-form loop"
+    assert np.asarray(res.zopt).min() >= -1e-10
