@@ -13,13 +13,15 @@ Three distributed forms, matching SURVEY.md section 2.7:
 
 - consensus ADMM (global-variable LASSO): `consensus.consensus_lasso`
 - transpose-reduction unwrapped ADMM (SVM): `transpose_reduction`
-- engine-generic sliced proximal updates: `sliced.make_sliced_prox`
+- engine-generic sliced proximal updates (even or uneven slices,
+  'xminf'/'zming'/'both'): `sliced.make_sliced_prox`,
+  `sliced.make_parallel_proxes`
 """
 
 from .mesh import make_mesh, pad_rows, shard_rows
 from .consensus import consensus_admm, consensus_lasso
 from .transpose_reduction import unwrapped_admm_sharded, linearsvm_sharded
-from .sliced import make_sliced_prox
+from .sliced import make_parallel_proxes, make_sliced_prox
 from .multihost import global_mesh, initialize_cluster
 
 __all__ = [
@@ -32,5 +34,6 @@ __all__ = [
     "consensus_lasso",
     "unwrapped_admm_sharded",
     "linearsvm_sharded",
+    "make_parallel_proxes",
     "make_sliced_prox",
 ]

@@ -230,7 +230,7 @@ def huberfittest(seed=0, rows=512, cols=32, errtol=1e-3, quiet=True,
     return _report(quiet, test, results)
 
 
-def linearprogramtest(seed=0, rows=64, cols=64, errtol=1e-6, quiet=True,
+def linearprogramtest(seed=0, rows=64, cols=64, errtol=1e-10, quiet=True,
                       config=ADMMConfig(), **overrides):
     """Square full-rank D with nonnegative planted x: unique feasible point
     (testers/linearprogramtest.m:108-138)."""

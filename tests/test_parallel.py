@@ -302,3 +302,129 @@ def test_consensus_fast_raises():
     with _pytest.raises(NotImplementedError):
         consensus_admm(_nan_local, _ok_global, {}, 8,
                        ADMMConfig(maxiters=5, fast=True))
+
+
+def test_sliced_prox_uneven_slices_match_unsliced():
+    """Uneven slicemaker slices (1000 elements over 8 workers -> 125 each,
+    via the remainder-spreading rule) wired through make_sliced_prox must
+    reproduce the unsliced computation EXACTLY — including a genuinely
+    uneven hand-made split (reference admm.m:343-467 +
+    errorcheck.m:216-267)."""
+    import jax.numpy as jnp
+
+    from admm_tpu.utils.validate import slicemaker
+
+    n = 1000
+    mesh = make_mesh()
+    lengths = [300, 200, 150, 100, 100, 75, 50, 25]  # deliberately uneven
+    assert sum(lengths) == n
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    L = max(lengths)
+    starts_dev = jnp.asarray(starts)
+
+    def prox_slice(x, z, u, rho, k):
+        lo = starts_dev[k]
+        # Fixed-size window; entries past lengths[k] are masked out by
+        # the wrapper's gather map.
+        seg = jax.lax.dynamic_slice(
+            jnp.pad(z - u, (0, L)), (lo,), (L,))
+        return seg * rho
+
+    from admm_tpu.parallel import make_sliced_prox
+
+    prox = make_sliced_prox(prox_slice, lengths, mesh)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(n))
+    z = jnp.asarray(rng.standard_normal(n))
+    u = jnp.asarray(rng.standard_normal(n))
+    out = np.asarray(prox(x, z, u, 1.7))
+    np.testing.assert_array_equal(out, np.asarray(1.7 * (z - u)))
+
+    # And the slicemaker even-split route (0 -> balanced remainder).
+    bal = slicemaker(0, n, 8)
+    assert bal == [125] * 8
+    prox2 = make_sliced_prox(prox_slice_balanced(bal, n), bal, mesh)
+    out2 = np.asarray(prox2(x, z, u, 2.0))
+    np.testing.assert_array_equal(out2, np.asarray(2.0 * (z - u)))
+
+
+def prox_slice_balanced(lengths, n):
+    import jax.numpy as jnp
+
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    L = max(lengths)
+    starts_dev = jnp.asarray(starts)
+
+    def prox_slice(x, z, u, rho, k):
+        seg = jax.lax.dynamic_slice(
+            jnp.pad(z - u, (0, L)), (starts_dev[k],), (L,))
+        return seg * rho
+
+    return prox_slice
+
+
+def test_parallel_both_inside_engine():
+    """parallel='both' (admm.m:343-467): BOTH proxes slice-parallel with
+    uneven slices, solving the model problem through the jitted engine to
+    the closed-form answer."""
+    import jax.numpy as jnp
+
+    from admm_tpu import Hooks, admm
+    from admm_tpu.ops.solve import SymShiftSolver
+    from admm_tpu.parallel import make_parallel_proxes
+
+    rng = np.random.default_rng(6)
+    n = 100  # not divisible by 8 -> uneven even-split slices (13x4 + 12x4)
+    P = rng.standard_normal((n, n))
+    Q = rng.standard_normal((n, n))
+    r = rng.standard_normal(n)
+    s = rng.standard_normal(n)
+
+    cfg = ADMMConfig(maxiters=5000)
+    PtPinv = jnp.asarray(
+        SymShiftSolver.from_matrix(P.T @ P).materialize_inverse(cfg.rho))
+    QtQinv = jnp.asarray(
+        SymShiftSolver.from_matrix(Q.T @ Q).materialize_inverse(cfg.rho))
+    Ptr = jnp.asarray(P.T @ r)
+    Qts = jnp.asarray(Q.T @ s)
+
+    from admm_tpu.utils.validate import slicemaker
+
+    lengths = slicemaker(0, n, 8)
+    assert len(set(lengths)) > 1  # genuinely uneven
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    L = max(lengths)
+    starts_dev = jnp.asarray(starts)
+
+    def rows_of(Minv, b, k):
+        block = jax.lax.dynamic_slice(
+            jnp.pad(Minv, ((0, L), (0, 0))), (starts_dev[k], 0), (L, n))
+        return block @ b
+
+    def prox_f_slice(x, z, u, rho, k):
+        return rows_of(PtPinv, Ptr + rho * (z - u), k)
+
+    def prox_g_slice(x, z, u, rho, k):
+        return rows_of(QtQinv, Qts + rho * (x + u), k)
+
+    prox_f, prox_g = make_parallel_proxes(
+        prox_f_slice, prox_g_slice, "both", (lengths, lengths),
+        nx=n, nz=n, mesh=make_mesh())
+
+    res = admm(prox_f, prox_g, cfg, A=1.0, B=-1.0, c=0.0, m=n)
+    truex = np.linalg.solve(P.T @ P + Q.T @ Q, P.T @ r + Q.T @ s)
+    np.testing.assert_allclose(np.asarray(res.xopt), truex, atol=1e-3)
+
+
+def test_parallel_proxes_validation():
+    from admm_tpu.parallel import make_parallel_proxes
+
+    def f(x, z, u, rho, k):
+        return x
+
+    with pytest.raises(ValueError, match="xminf"):
+        make_parallel_proxes(f, f, "bogus", 0, nx=8, nz=8)
+    with pytest.raises(ValueError, match="both"):
+        make_parallel_proxes(f, f, "xminf", ([4, 4], [4, 4]), nx=8, nz=8)
+    with pytest.raises(ValueError, match="slicesx"):
+        make_parallel_proxes(f, f, "both", 0, nx=8, nz=8)
