@@ -2,7 +2,15 @@
 contributing virtual CPU devices to one global mesh.  Validates that the
 distributed layer's collectives and the consensus solver run across
 process boundaries — the single-host stand-in for a multi-host pod
-(parallel/multihost.py)."""
+(parallel/multihost.py).
+
+Skip policy: a worker prints a sentinel line immediately after
+``jax.distributed.initialize`` succeeds.  Only a failure BEFORE the
+sentinel (jax.distributed unavailable / timed out) skips; any failure
+after it — assertion, NaN, crash in the validated cross-process math —
+FAILS the test (round-1 review: `if rc != 0: skip` masked real
+distributed-path regressions as environment flakes).
+"""
 
 import os
 import subprocess
@@ -13,30 +21,54 @@ from pathlib import Path
 import pytest
 
 _REPO = str(Path(__file__).resolve().parent.parent)
+_SENTINEL = "DIST_INIT_OK"
 
 
-def _run_workers(worker_code: str, procs: int = 2, timeout: int = 300) -> int:
+def _run_workers(worker_code: str, procs: int = 2, timeout: int = 300):
+    """Run the worker code in ``procs`` processes; returns
+    (rc, initialized, output) where ``initialized`` is True when every
+    worker got past jax.distributed.initialize."""
     env = dict(os.environ)
     env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("XLA_FLAGS", None)  # workers set their own device count
     children = [
-        subprocess.Popen([sys.executable, "-c", worker_code, str(i)], env=env)
+        subprocess.Popen(
+            [sys.executable, "-c", worker_code, str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
         for i in range(procs)
     ]
-    rc = 0
+    rc, outs = 0, []
     for c in children:
         try:
-            rc |= c.wait(timeout=timeout)
+            out, _ = c.communicate(timeout=timeout)
+            rc |= c.returncode
         except subprocess.TimeoutExpired:
             c.kill()
+            out, _ = c.communicate()
             rc |= 1
-    return rc
+        outs.append(out or "")
+    initialized = all(_SENTINEL in o for o in outs)
+    return rc, initialized, "\n--- worker ---\n".join(outs)
+
+
+def _check(rc, initialized, output):
+    if rc != 0 and not initialized:
+        pytest.skip("jax.distributed unavailable in this environment:\n"
+                    + output[-2000:])
+    assert rc == 0, (
+        "cross-process worker FAILED after jax.distributed.initialize — "
+        "a real distributed-path regression, not an environment flake:\n"
+        + output[-4000:]
+    )
 
 
 def test_consensus_lasso_across_two_processes():
     """consensus_lasso must run UNMODIFIED over a mesh spanning two
     jax.distributed processes (global device_put + cross-process
-    all-reduce consensus aggregation)."""
+    all-reduce consensus aggregation), and agree with the single-process
+    serial solve."""
     code = textwrap.dedent('''
         import os, sys
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
@@ -45,22 +77,25 @@ def test_consensus_lasso_across_two_processes():
         jax.config.update("jax_platforms", "cpu")
         pid = int(sys.argv[1])
         jax.distributed.initialize("127.0.0.1:47217", 2, pid)
+        print("DIST_INIT_OK", flush=True)
         assert len(jax.devices()) == 4
         import numpy as np
-        from admm_tpu import ADMMConfig
+        from admm_tpu import ADMMConfig, lasso
         from admm_tpu.parallel import consensus_lasso, make_mesh
         rng = np.random.default_rng(0)
         D = rng.standard_normal((64, 8))
         s = rng.standard_normal(64)
-        res = consensus_lasso(D, s, 0.1, ADMMConfig(maxiters=200),
+        res = consensus_lasso(D, s, 0.1, ADMMConfig(maxiters=500),
                               mesh=make_mesh())
         z = np.asarray(jax.device_get(res.zopt))
         assert np.isfinite(z).all()
         assert res.steps > 0
+        obj = lambda x: 0.5*np.sum((D@x - s)**2) + 0.1*np.sum(np.abs(x))
+        ser = lasso(D, s, 0.1, ADMMConfig(maxiters=2000))
+        f_par, f_ser = obj(z), obj(np.asarray(jax.device_get(ser.xopt)))
+        assert abs(f_par - f_ser) <= 1e-2 * abs(f_ser), (f_par, f_ser)
     ''')
-    rc = _run_workers(code)
-    if rc != 0:
-        pytest.skip("jax.distributed unavailable in this environment")
+    _check(*_run_workers(code))
 
 
 def test_sharded_svm_across_two_processes():
@@ -74,6 +109,7 @@ def test_sharded_svm_across_two_processes():
         jax.config.update("jax_platforms", "cpu")
         pid = int(sys.argv[1])
         jax.distributed.initialize("127.0.0.1:47219", 2, pid)
+        print("DIST_INIT_OK", flush=True)
         import numpy as np
         from admm_tpu import ADMMConfig
         from admm_tpu.parallel import linearsvm_sharded, make_mesh
@@ -85,6 +121,27 @@ def test_sharded_svm_across_two_processes():
         assert np.isfinite(x).all()
         assert x[0] > 0 and x[1] < 0  # separator orientation recovered
     ''')
-    rc = _run_workers(code)
-    if rc != 0:
+    _check(*_run_workers(code))
+
+
+def test_worker_failure_is_not_masked():
+    """A worker that dies AFTER jax.distributed.initialize must FAIL the
+    suite (pytest.fail via _check's assert), proving the skip guard can
+    no longer eat real regressions."""
+    code = textwrap.dedent('''
+        import os, sys
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=2")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        pid = int(sys.argv[1])
+        jax.distributed.initialize("127.0.0.1:47221", 2, pid)
+        print("DIST_INIT_OK", flush=True)
+        assert False, "deliberate post-init failure"
+    ''')
+    rc, initialized, output = _run_workers(code)
+    if rc != 0 and not initialized:
         pytest.skip("jax.distributed unavailable in this environment")
+    assert rc != 0 and initialized
+    with pytest.raises(AssertionError, match="regression"):
+        _check(rc, initialized, output)
