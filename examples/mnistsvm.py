@@ -28,10 +28,18 @@ def read_idx_images(path, border=4):
     """Parse an idx3-ubyte image file (the readMNIST logic,
     mnistsvm.m:188-256): trim ``border`` pixels per side, scale to [0,1]."""
     with open(path, "rb") as f:
-        magic, count, rows, cols = struct.unpack(">IIII", f.read(16))
+        header = f.read(16)
+        if len(header) < 16:
+            raise ValueError(f"{path}: not an idx3-ubyte image file "
+                             "(truncated header)")
+        magic, count, rows, cols = struct.unpack(">IIII", header)
         if magic != 0x00000803:
             raise ValueError(f"{path}: not an idx3-ubyte image file")
         data = np.frombuffer(f.read(), dtype=np.uint8)
+    if data.size != count * rows * cols:
+        raise ValueError(
+            f"{path}: payload has {data.size} bytes, header promises "
+            f"{count}x{rows}x{cols}")
     imgs = data.reshape(count, rows, cols).astype(np.float64) / 255.0
     return imgs[:, border : rows - border, border : cols - border]
 
@@ -39,10 +47,19 @@ def read_idx_images(path, border=4):
 def read_idx_labels(path):
     """Parse an idx1-ubyte label file."""
     with open(path, "rb") as f:
-        magic, count = struct.unpack(">II", f.read(8))
+        header = f.read(8)
+        if len(header) < 8:
+            raise ValueError(f"{path}: not an idx1-ubyte label file "
+                             "(truncated header)")
+        magic, count = struct.unpack(">II", header)
         if magic != 0x00000801:
             raise ValueError(f"{path}: not an idx1-ubyte label file")
-        return np.frombuffer(f.read(), dtype=np.uint8).astype(np.int64)
+        labels = np.frombuffer(f.read(), dtype=np.uint8).astype(np.int64)
+    if labels.size != count:
+        raise ValueError(
+            f"{path}: payload has {labels.size} labels, header promises "
+            f"{count}")
+    return labels
 
 
 def synthetic_mnist(n_train=6000, n_test=1000, side=20, seed=0):

@@ -73,3 +73,52 @@ def test_idx_label_parser_against_reference_file():
     labels = read_idx_labels(path)
     assert len(labels) == 10000
     assert set(np.unique(labels)) <= set(range(10))
+
+
+def test_idx_loader_round_trip(tmp_path):
+    """Write a synthetic idx3/idx1 pair and round-trip the readers
+    (reference readMNIST, mnistsvm.m:188-256): big-endian magic/shape
+    headers, border trim, /255 scaling, and the magic-number guards."""
+    import struct
+
+    import numpy as np
+
+    from examples.mnistsvm import read_idx_images, read_idx_labels
+
+    rng = np.random.default_rng(0)
+    count, rows, cols, border = 7, 28, 28, 4
+    imgs = rng.integers(0, 256, size=(count, rows, cols), dtype=np.uint8)
+    labels = rng.integers(0, 10, size=count, dtype=np.uint8)
+
+    img_path = tmp_path / "imgs.idx3-ubyte"
+    with open(img_path, "wb") as f:
+        f.write(struct.pack(">IIII", 0x00000803, count, rows, cols))
+        f.write(imgs.tobytes())
+    lab_path = tmp_path / "labels.idx1-ubyte"
+    with open(lab_path, "wb") as f:
+        f.write(struct.pack(">II", 0x00000801, count))
+        f.write(labels.tobytes())
+
+    out = read_idx_images(img_path, border=border)
+    assert out.shape == (count, rows - 2 * border, cols - 2 * border)
+    expected = imgs[:, border:rows - border, border:cols - border] / 255.0
+    np.testing.assert_allclose(out, expected)
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+    got = read_idx_labels(lab_path)
+    np.testing.assert_array_equal(got, labels.astype(np.int64))
+
+    # Magic-number guards: swapping the files must raise, and a
+    # little-endian header (the classic byte-order bug) must raise.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="idx3"):
+        read_idx_images(lab_path)
+    with _pytest.raises(ValueError, match="idx1"):
+        read_idx_labels(img_path)
+    bad = tmp_path / "bad.idx3-ubyte"
+    with open(bad, "wb") as f:
+        f.write(struct.pack("<IIII", 0x00000803, count, rows, cols))
+        f.write(imgs.tobytes())
+    with _pytest.raises(ValueError, match="idx3"):
+        read_idx_images(bad)
