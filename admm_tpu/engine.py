@@ -42,6 +42,7 @@ from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .config import ADMMConfig
@@ -142,6 +143,9 @@ def admm(
     hooks: Hooks = Hooks(),
     dtype=None,
     data=None,
+    parallel: Optional[str] = None,
+    slices=None,
+    mesh=None,
 ) -> ADMMResults:
     """Solve min f(x) + g(z) s.t. A x + B z = c with scaled-dual ADMM.
 
@@ -149,6 +153,14 @@ def admm(
     are the user proximal operators (reference admm.m:24-31).  Under
     relaxation (config.relax != 1) ``prox_g``'s first argument is the
     relaxed Axhat, exactly as in the reference (admm.m:515-532).
+
+    ``parallel`` in {'xminf', 'zming', 'both'} mirrors the reference's
+    options.parallel (admm.m:343-467): the corresponding prox argument is
+    then a PER-SLICE prox ``prox_slice(x, z, u, rho, k)`` and is wrapped
+    into a shard_map over a device mesh; ``slices`` is a slicemaker spec
+    (scalar block size, 0 for an even split, a vector of lengths, or a
+    (slicesx, slicesz) pair for 'both' — errorcheck.m:216-267).  Sliced
+    proxes do not take the ``data`` argument (wrap it in a closure).
 
     ``shape_x`` / ``shape_z`` generalize nA/nB to matrix-valued iterates
     (covariance selection; reference admm.m:478-492).
@@ -204,6 +216,22 @@ def admm(
             shape_c = (m,)
         c_arr = jnp.broadcast_to(c_arr, shape_c)
     u0 = jnp.zeros(c_arr.shape, dtype) if u0 is None else jnp.asarray(u0, dtype)
+
+    if parallel is not None:
+        # Engine-level sliced prox parity (admm.m:343-467); sizes come
+        # from the resolved iterate shapes.
+        from .parallel.sliced import make_parallel_proxes
+
+        if data is not None:
+            raise ValueError(
+                "parallel= sliced proxes do not take the data argument; "
+                "close over problem data in the per-slice prox instead"
+            )
+        nx = int(np.prod(shape_x)) if len(shape_x) != 1 else shape_x[0]
+        nz = int(np.prod(shape_z)) if len(shape_z) != 1 else shape_z[0]
+        prox_f, prox_g = make_parallel_proxes(
+            prox_f, prox_g, parallel, slices, nx=nx, nz=nz, mesh=mesh
+        )
 
     if hooks.fused_zu is not None:
         _check_fused_splitting(A, B, c_arr)

@@ -369,10 +369,16 @@ def consensus_lasso(
         mesh = make_mesh()
     axis = mesh.axis_names[0]
     W = nshards if nshards is not None else mesh.devices.size
-    if W != mesh.devices.size:
-        # Shard count must equal the mesh extent (static shapes); build a
-        # sub-mesh over the first W devices.
+    if W < mesh.devices.size:
+        # Fewer shards than devices: build a sub-mesh over the first W.
         mesh = make_mesh(W, axis)
+    elif W % mesh.devices.size:
+        # More shards than devices is fine (each device batches several
+        # slices — e.g. benchmarking the 8-shard program on one chip),
+        # as long as the stacked axis shards evenly.
+        raise ValueError(
+            f"nshards={W} must be a multiple of the mesh size "
+            f"{mesh.devices.size}")
 
     D = np.asarray(D)
     s = np.asarray(s)

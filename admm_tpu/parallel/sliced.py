@@ -26,6 +26,7 @@ feature.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional, Sequence, Union
 
 import jax
@@ -56,6 +57,10 @@ def make_sliced_prox(
 ) -> Callable:
     """Build an engine-compatible prox from a per-slice prox.
 
+    Cached on (prox_slice, slices, mesh): repeat calls return the SAME
+    wrapper object, so the engine's compiled-runner cache stays warm
+    across solves (the module-level-function caching contract).
+
     ``prox_slice(x, z, u, rho, k)`` receives the FULL iterates plus the
     slice index k (the reference's xminfi(x, z, u, rho, k) contract,
     admm.m:416-436).
@@ -71,6 +76,13 @@ def make_sliced_prox(
     """
     if mesh is None:
         mesh = make_mesh()
+    if np.ndim(slices) != 0:
+        slices = tuple(int(v) for v in slices)
+    return _cached_sliced_prox(prox_slice, slices, mesh)
+
+
+@functools.lru_cache(maxsize=128)
+def _cached_sliced_prox(prox_slice, slices, mesh):
     axis = mesh.axis_names[0]
     W = mesh.devices.size
 

@@ -65,8 +65,14 @@ def unwrapped_admm_sharded(
         mesh = make_mesh()
     axis = mesh.axis_names[0]
     W = nshards if nshards is not None else mesh.devices.size
-    if W != mesh.devices.size:
+    if W < mesh.devices.size:
         mesh = make_mesh(W, axis)
+    elif W % mesh.devices.size:
+        # More shards than devices batches slices per device (see
+        # consensus.py) — allowed when the stacked axis shards evenly.
+        raise ValueError(
+            f"nshards={W} must be a multiple of the mesh size "
+            f"{mesh.devices.size}")
 
     D = np.asarray(D)
     m, n = D.shape

@@ -109,4 +109,12 @@ def main(smoke: bool = False):
 if __name__ == "__main__":
     import sys
 
-    main(smoke="--smoke" in sys.argv)
+    if "--matrix" in sys.argv:
+        # Per-solver TPU timing + f32 oracle accuracy matrix
+        # (benchmarks/matrix.py); writes BENCH_MATRIX.json.  The default
+        # (driver) mode stays the single headline JSON line above.
+        from benchmarks.matrix import main as matrix_main
+
+        matrix_main(smoke="--smoke" in sys.argv)
+    else:
+        main(smoke="--smoke" in sys.argv)

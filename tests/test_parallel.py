@@ -428,3 +428,51 @@ def test_parallel_proxes_validation():
         make_parallel_proxes(f, f, "xminf", ([4, 4], [4, 4]), nx=8, nz=8)
     with pytest.raises(ValueError, match="slicesx"):
         make_parallel_proxes(f, f, "both", 0, nx=8, nz=8)
+
+
+def test_engine_parallel_kwarg():
+    """The engine's parallel=/slices= arguments (reference
+    options.parallel, admm.m:343-467): per-slice proxes passed straight
+    to admm(), uneven slices, identical answer to the serial solve."""
+    import jax.numpy as jnp
+
+    from admm_tpu import admm
+    from admm_tpu.ops.solve import SymShiftSolver
+
+    rng = np.random.default_rng(9)
+    n = 96
+    P = rng.standard_normal((n, n))
+    Q = rng.standard_normal((n, n))
+    r = rng.standard_normal(n)
+    s = rng.standard_normal(n)
+
+    cfg = ADMMConfig(maxiters=5000)
+    PtPinv = jnp.asarray(
+        SymShiftSolver.from_matrix(P.T @ P).materialize_inverse(cfg.rho))
+    QtQinv = jnp.asarray(
+        SymShiftSolver.from_matrix(Q.T @ Q).materialize_inverse(cfg.rho))
+    Ptr, Qts = jnp.asarray(P.T @ r), jnp.asarray(Q.T @ s)
+
+    lengths = [20, 16, 12, 12, 12, 12, 8, 4]
+    assert sum(lengths) == n
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    L = max(lengths)
+    sd = jnp.asarray(starts)
+
+    def prox_f_slice(x, z, u, rho, k):
+        blk = jax.lax.dynamic_slice(
+            jnp.pad(PtPinv, ((0, L), (0, 0))), (sd[k], 0), (L, n))
+        return blk @ (Ptr + rho * (z - u))
+
+    def prox_g(x, z, u, rho):
+        return QtQinv @ (Qts + rho * (x + u))
+
+    res = admm(prox_f_slice, prox_g, cfg, A=1.0, B=-1.0, c=0.0, m=n,
+               parallel="xminf", slices=lengths)
+    truex = np.linalg.solve(P.T @ P + Q.T @ Q, P.T @ r + Q.T @ s)
+    np.testing.assert_allclose(np.asarray(res.xopt), truex, atol=1e-3)
+
+    # data= and parallel= are mutually exclusive (caching contract).
+    with pytest.raises(ValueError, match="data"):
+        admm(prox_f_slice, prox_g, cfg, A=1.0, B=-1.0, c=0.0, m=n,
+             parallel="xminf", slices=lengths, data={"x": jnp.zeros(2)})
