@@ -3,6 +3,7 @@
     python -m admm_tpu demo <solver>            run a solver's demo test
     python -m admm_tpu test <solver> [opts]     solvertester scale sweep
     python -m admm_tpu bench [--smoke]          headline benchmark
+    python -m admm_tpu matrix [--smoke]         per-solver timing + f32 matrix
     python -m admm_tpu scaling [--devices N]    consensus weak-scaling sweep
     python -m admm_tpu list                     list solvers
 
@@ -39,6 +40,11 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="headline benchmark (one JSON line)")
     b.add_argument("--smoke", action="store_true")
+
+    mx = sub.add_parser(
+        "matrix", help="per-solver timing + f32 oracle accuracy matrix")
+    mx.add_argument("--smoke", action="store_true")
+    mx.add_argument("--out", default="BENCH_MATRIX.json")
 
     s = sub.add_parser("scaling", help="consensus weak-scaling sweep")
     s.add_argument("--devices", type=int, default=8)
@@ -79,6 +85,12 @@ def main(argv=None):
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         mod.main(smoke=args.smoke)
+        return 0
+
+    if args.cmd == "matrix":
+        from benchmarks.matrix import main as matrix_main
+
+        matrix_main(smoke=args.smoke, out_path=args.out)
         return 0
 
     if args.cmd == "scaling":
