@@ -55,6 +55,9 @@ def _row(name, shape, iters, res, bytes_per_iter=None, extra=None):
         out["pct_of_roofline"] = round(100.0 * roof_ms * ips / 1e3, 1)
     if extra:
         out.update(extra)
+    # Progress line per row (flushed: TPU compiles take minutes, so a
+    # silent multi-row run is indistinguishable from a hang).
+    print(json.dumps(out), flush=True)
     return out
 
 
@@ -279,12 +282,22 @@ def accuracy_matrix(smoke=False):
                 row[k] = (round(float(test[k]), 8)
                           if isinstance(test[k], (int, float, np.floating))
                           else test[k])
+        print(json.dumps(row), flush=True)
         rows.append(row)
     return rows
 
 
 def main(smoke=False, out_path="BENCH_MATRIX.json"):
     import jax
+
+    # Persistent compile cache: the matrix compiles ~30 programs, and on
+    # the remote-compile TPU relay each costs minutes — caching makes
+    # reruns (and the driver's headline bench) near-free.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     platform = jax.devices()[0].platform
     t0 = time.time()
@@ -298,8 +311,6 @@ def main(smoke=False, out_path="BENCH_MATRIX.json"):
         "f32_oracle_accuracy": acc,
     }
     Path(out_path).write_text(json.dumps(doc, indent=1))
-    for row in timing + acc:
-        print(json.dumps(row))
     print(f"# wrote {out_path} ({platform}, {doc['wall_s']}s)")
     return doc
 
