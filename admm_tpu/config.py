@@ -55,10 +55,10 @@ class ADMMConfig:
 
     TPU-specific additions (no reference equivalent):
 
-    - ``record_iterates``: also record full per-iteration x/z/u traces
-      (the reference records these unconditionally, admm.m:607-610; here
-      they are opt-in because a (maxiters, n) buffer is HBM-expensive).
-    - ``unroll``: lax.while_loop body unroll factor hint.
+    - ``record_iterates``: also record full per-iteration x/z/u/w traces
+      (the reference records these unconditionally, admm.m:607-610,
+      680-682; here they are opt-in because a (maxiters, n) buffer is
+      HBM-expensive).
     """
 
     rho: float = 1.0
