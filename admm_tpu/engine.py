@@ -284,13 +284,27 @@ def _check_fused_splitting(A, B, c=None):
         )
 
 
+def _highest_precision(fn):
+    """Pin f32 matmuls to full precision inside the traced program: the
+    TPU MXU's default f32 matmul uses bf16 passes, which corrupts the
+    solver algebra (see timed_solver's rationale in models/_common.py).
+    The per-iteration applies are HBM-bound GEMVs, so this is free;
+    explicitly-bf16 streams are unaffected."""
+    @functools.wraps(fn)
+    def wrapper(*args):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args)
+    return wrapper
+
+
 @functools.lru_cache(maxsize=128)
 def _cached_runner(prox_f, prox_g, config: ADMMConfig, hooks: Hooks, jit: bool,
                    has_data: bool = True):
     """Cross-call runner cache (see the caching contract in ``admm``).
     Also covers the closure path: repeat solves with the SAME prox
     callables and config reuse the compiled program."""
-    runner = _build_runner(prox_f, prox_g, config, hooks, has_data=has_data)
+    runner = _highest_precision(
+        _build_runner(prox_f, prox_g, config, hooks, has_data=has_data))
     return jax.jit(runner) if jit else runner
 
 
@@ -305,7 +319,8 @@ def make_admm_runner(prox_f, prox_g, config, A, B, hooks=Hooks(), dtype=None,
     B = as_linop(B)
     if hooks.fused_zu is not None:
         _check_fused_splitting(A, B)  # c is a runtime arg here; documented
-    run = _build_runner(prox_f, prox_g, config, hooks, has_data=has_data)
+    run = _highest_precision(
+        _build_runner(prox_f, prox_g, config, hooks, has_data=has_data))
     if has_data:
         return lambda x0, z0, u0, c, data: run(x0, z0, u0, c, A, B, data)
     return lambda x0, z0, u0, c: run(x0, z0, u0, c, A, B, ())

@@ -69,12 +69,25 @@ def normal_equations_data(D, s):
 
 def timed_solver(fn):
     """Record whole-solver wall time as ``results.solverruntime``
-    (reference: tic/toc around each solver, e.g. solvers/lasso.m:117,243)."""
+    (reference: tic/toc around each solver, e.g. solvers/lasso.m:117,243).
+
+    Also pins matmuls to full f32 precision for the solver's setup
+    computations (Grams, factorizations): the TPU MXU's default f32
+    matmul runs bf16 passes, which measurably corrupts the solver
+    algebra — the LP KKT projection diverges outright and the QP/BP
+    oracles miss their f32 bars.  The setup GEMMs are one-time and the
+    per-iteration applies are HBM-bound GEMVs, so full precision is
+    free in wall-clock (verified in BENCH_MATRIX.json).  Explicitly
+    bf16 inputs (FatShiftSolver streams) are unaffected — the precision
+    flag only governs how f32 inputs are decomposed."""
 
     @wraps(fn)
     def wrapper(*args, **kwargs):
+        import jax
+
         t0 = time.perf_counter()
-        results = fn(*args, **kwargs)
+        with jax.default_matmul_precision("highest"):
+            results = fn(*args, **kwargs)
         results.solverruntime = time.perf_counter() - t0
         return results
 

@@ -79,6 +79,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ADMMConfig
+from ..engine import _highest_precision
 from ..ops.prox import soft_threshold
 from ..results import ADMMResults
 from .mesh import make_mesh, pad_rows, shard_rows
@@ -257,7 +258,7 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
             "hist": out_hist,
         }
 
-    return jax.jit(run)
+    return jax.jit(_highest_precision(run))
 
 
 def consensus_admm(
@@ -399,6 +400,10 @@ def consensus_lasso(
 
         @partial(jax.jit, out_shardings=(shard_spec, shard_spec, shard_spec))
         def setup_dyn(Di, si):
+            with jax.default_matmul_precision("highest"):
+                return _setup_dyn_body(Di, si)
+
+        def _setup_dyn_body(Di, si):
             G = jnp.einsum("wij,wik->wjk", Di, Di)
             G = 0.5 * (G + jnp.swapaxes(G, -1, -2))
             w, V = jnp.linalg.eigh(G)
@@ -414,6 +419,10 @@ def consensus_lasso(
 
     @partial(jax.jit, out_shardings=(shard_spec, shard_spec))
     def setup(Di, si):
+        with jax.default_matmul_precision("highest"):
+            return _setup_body(Di, si)
+
+    def _setup_body(Di, si):
         G = jnp.einsum("wij,wik->wjk", Di, Di)
         G = G + config.rho * jnp.eye(n, dtype=Di.dtype)[None]
         Minv = jnp.linalg.inv(G)

@@ -36,6 +36,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ADMMConfig
+from ..engine import _highest_precision
 from ..ops.prox import hinge_prox, zero_one_prox
 from ..results import ADMMResults
 from .mesh import make_mesh, pad_rows, shard_rows
@@ -98,8 +99,9 @@ def unwrapped_admm_sharded(
     # underdetermined D degrades gracefully instead of returning garbage).
     @jax.jit
     def gram_inv(Di):
-        G = jnp.einsum("wij,wik->jk", Di, Di)
-        return jnp.linalg.pinv(0.5 * (G + G.T))
+        with jax.default_matmul_precision("highest"):
+            G = jnp.einsum("wij,wik->jk", Di, Di)
+            return jnp.linalg.pinv(0.5 * (G + G.T))
 
     Winv = gram_inv(Di_dev)
 
@@ -224,7 +226,7 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
             "hist": h,
         }
 
-    return jax.jit(run)
+    return jax.jit(_highest_precision(run))
 
 
 # Module-level SVM shard functions (caching contract: per-row C rides in
