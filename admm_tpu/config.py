@@ -85,6 +85,14 @@ class ADMMConfig:
     quiet: bool = True
     record_iterates: bool = False
     jit: bool = True
+    # TPU matmul precision for the compiled loop: 'highest' (default)
+    # runs f32 matmuls at true f32 — the MXU's default bf16-pass mode
+    # corrupts the KKT/projection solvers (LP diverges; see
+    # docs/RESULTS.md round 2).  Free for the HBM-bound serial solvers.
+    # For the compute-bound BATCHED paths (models/paths.py) it is a
+    # real knob: 'default' trades a small accuracy floor for +66%
+    # batched throughput (v5e, B=128 lasso path).
+    matmul_precision: str = "highest"
 
     def __post_init__(self):
         if self.stopcond not in ("standard", "hnorm", "both"):
@@ -103,6 +111,10 @@ class ADMMConfig:
             raise ValueError("choose one adaptive-rho mode: adaptive or rbadaptive")
         if self.rbadaptive and self.fast:
             raise ValueError("rbadaptive applies to the standard iteration only")
+        if self.matmul_precision not in ("default", "high", "highest"):
+            raise ValueError(
+                "matmul_precision must be default|high|highest, got "
+                f"{self.matmul_precision!r}")
 
     @property
     def alg(self) -> int:

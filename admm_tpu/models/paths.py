@@ -14,6 +14,7 @@ shared across the batch: only the scalar regularizer is mapped.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any
 
@@ -22,10 +23,27 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ADMMConfig
-from ..engine import make_admm_runner
+from ..engine import Hooks, _build_runner, _with_matmul_precision
+from ..linop import as_linop
 from .lasso import make_prox_ops as _lasso_make_prox_ops
 from .linearsvm import make_prox_ops as _svm_make_prox_ops
 from ._common import merge_config
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_path_runner(prox_f, prox_g, obj, config: ADMMConfig,
+                        mapped_keys: frozenset, data_keys: frozenset):
+    """Compiled-vmap cache for path solves.  Without this, every path
+    call would build a fresh runner lambda and jax.jit would recompile
+    the whole batched program (a multi-second cost that once masqueraded
+    as 5 ms/batch-iteration of steady-state time).  The constraint
+    operators A/B flow through as call-time arguments (in_axes=None) so
+    matrix constraints (SVM's A = D) don't poison the cache key."""
+    run = _with_matmul_precision(
+        _build_runner(prox_f, prox_g, config, Hooks(obj=obj), has_data=True),
+        config.matmul_precision)
+    axes = {k: (0 if k in mapped_keys else None) for k in data_keys}
+    return jax.jit(jax.vmap(run, in_axes=(0, 0, 0, 0, None, None, axes)))
 
 
 @dataclasses.dataclass
@@ -47,6 +65,15 @@ def lasso_path(D, s, lams, config: ADMMConfig = ADMMConfig(), **overrides) -> Pa
 
     Shares the one-time factorization across the path; maps only the
     scalar ``lam`` leaf of the data pytree.
+
+    Follows the library's full-f32-precision invariant
+    (ADMMConfig.matmul_precision='highest').  Unlike the serial solvers
+    (HBM-bound GEMVs where full precision is free), the batched
+    x-update is a compute-bound GEMM, so here the knob is a real
+    trade: measured on v5e at B=128/1500x5000, 'highest' runs 425k
+    instance-iters/s and ``matmul_precision='default'`` (bf16 MXU
+    passes) 706k (+66%) at a small accuracy floor the soft-threshold
+    iteration tolerates.
     """
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
@@ -56,18 +83,15 @@ def lasso_path(D, s, lams, config: ADMMConfig = ADMMConfig(), **overrides) -> Pa
     data = dict(data)
     data["lam"] = lams  # mapped leaf
 
-    from ..engine import Hooks
-
-    runner = make_admm_runner(prox_f, prox_g, config, 1.0, -1.0,
-                              hooks=Hooks(obj=obj), has_data=True)
-    data_axes = {k: (0 if k == "lam" else None) for k in data}
+    vrun = _cached_path_runner(prox_f, prox_g, obj, config,
+                               frozenset({"lam"}), frozenset(data))
     L = lams.shape[0]
     zeros = jnp.zeros((L, n), D.dtype)
+    A, B = as_linop(1.0), as_linop(-1.0)
 
-    vrun = jax.jit(jax.vmap(runner, in_axes=(0, 0, 0, 0, data_axes)))
     jax.block_until_ready(data)
     t0 = time.perf_counter()  # loop-only wall clock (setup flushed)
-    out = jax.block_until_ready(vrun(zeros, zeros, zeros, zeros, data))
+    out = jax.block_until_ready(vrun(zeros, zeros, zeros, zeros, A, B, data))
     return PathResults(
         xopt=out["xopt"], zopt=out["zopt"], uopt=out["uopt"],
         steps=out["steps"], lams=lams,
@@ -94,12 +118,11 @@ def linearsvm_c_path(D, ell, Cs, config: ADMMConfig = ADMMConfig(), *,
     data["C"] = Cs
     data["Dplus"] = jnp.linalg.pinv(D)
 
-    from ..engine import Hooks
     from .unwrapped import _prox_f
 
-    runner = make_admm_runner(_prox_f, prox_g, config, D, -1.0,
-                              hooks=Hooks(obj=obj), has_data=True)
-    data_axes = {k: (0 if k == "C" else None) for k in data}
+    vrun = _cached_path_runner(_prox_f, prox_g, obj, config,
+                               frozenset({"C"}), frozenset(data))
+    A, B = as_linop(D), as_linop(-1.0)
     L = Cs.shape[0]
     kx, kz, ku = jax.random.split(jax.random.PRNGKey(seed), 3)
     x0 = jnp.broadcast_to(jax.random.uniform(kx, (n,), dtype=D.dtype), (L, n))
@@ -107,10 +130,9 @@ def linearsvm_c_path(D, ell, Cs, config: ADMMConfig = ADMMConfig(), *,
     u0 = jnp.broadcast_to(jax.random.uniform(ku, (m,), dtype=D.dtype), (L, m))
     c0 = jnp.zeros((L, m), D.dtype)
 
-    vrun = jax.jit(jax.vmap(runner, in_axes=(0, 0, 0, 0, data_axes)))
     jax.block_until_ready(data)
     t0 = time.perf_counter()  # loop-only wall clock (setup flushed)
-    out = jax.block_until_ready(vrun(x0, z0, u0, c0, data))
+    out = jax.block_until_ready(vrun(x0, z0, u0, c0, A, B, data))
     return PathResults(
         xopt=out["xopt"], zopt=out["zopt"], uopt=out["uopt"],
         steps=out["steps"], lams=Cs,

@@ -226,6 +226,23 @@ def timing_matrix(smoke=False):
     rows.append(_row("consensus_lasso_8shard_f32", f"{m}x{n}", iters, res,
                      bytes_per_iter=8 * n * n * 4))  # 8 shard Minv streams
 
+    # --- batched regularization path: one vmapped program, B lambdas ----
+    from admm_tpu.models.paths import lasso_path
+
+    m, n, B = 1500 // sc, 5000 // sc, 128
+    Dp = rng.standard_normal((m, n)).astype(f32)
+    Dp /= np.sqrt(np.sum(Dp**2, axis=0, keepdims=True))
+    sp = (Dp @ (rng.standard_normal(n) * (rng.random(n) < 0.1))).astype(f32)
+    lmax = float(np.max(np.abs(Dp.T @ sp)))
+    lams = np.geomspace(0.001 * lmax, 0.5 * lmax, B).astype(f32)
+    iters = it(300)
+    for tag, kw in (("highest", {}),
+                    ("bf16pass", {"matmul_precision": "default"})):
+        res = _run_twice(lambda kw=kw: lasso_path(Dp, sp, lams, cfg(iters), **kw))
+        rows.append(_row(f"lasso_path_B{B}_{tag}", f"{m}x{n}", iters, res,
+                         extra={"inst_iters_per_sec":
+                                round(B * iters / res.runtime, 1)}))
+
     return rows
 
 
