@@ -85,6 +85,15 @@ class ADMMConfig:
     quiet: bool = True
     record_iterates: bool = False
     jit: bool = True
+    # Iterations per while_loop step (TPU addition).  The device loop
+    # turnaround costs ~17 us/step on v5e — comparable to the whole
+    # iteration body for small/mid problems — so unrolling K reference
+    # iterations into one loop step amortizes it (up to ~2x at n~1024).
+    # Semantics are EXACT: sub-steps after convergence are computed but
+    # discarded via done-masking, so results and step counts match
+    # unroll=1 bit-for-bit; the only cost is up to K-1 wasted sub-steps
+    # in the final loop turn (and K-times-larger compiled body).
+    unroll: int = 1
     # TPU matmul precision for the compiled loop: 'highest' (default)
     # runs f32 matmuls at true f32 — the MXU's default bf16-pass mode
     # corrupts the KKT/projection solvers (LP diverges; see
@@ -115,6 +124,8 @@ class ADMMConfig:
             raise ValueError(
                 "matmul_precision must be default|high|highest, got "
                 f"{self.matmul_precision!r}")
+        if self.unroll < 1:
+            raise ValueError(f"unroll must be >= 1, got {self.unroll}")
 
     @property
     def alg(self) -> int:

@@ -284,17 +284,26 @@ def _check_fused_splitting(A, B, c=None):
         )
 
 
-def _highest_precision(fn):
-    """Pin f32 matmuls to full precision inside the traced program: the
-    TPU MXU's default f32 matmul uses bf16 passes, which corrupts the
-    solver algebra (see timed_solver's rationale in models/_common.py).
-    The per-iteration applies are HBM-bound GEMVs, so this is free;
-    explicitly-bf16 streams are unaffected."""
+def _with_matmul_precision(fn, precision: str):
+    """Pin f32 matmuls to the configured precision inside the traced
+    program (ADMMConfig.matmul_precision): the TPU MXU's default f32
+    matmul uses bf16 passes, which corrupts the solver algebra (see
+    timed_solver's rationale in models/_common.py).  The serial solvers'
+    applies are HBM-bound GEMVs, so 'highest' is free there;
+    explicitly-bf16 streams are unaffected.  'default' leaves the
+    ambient mode (used by the compute-bound batched paths)."""
+    if precision == "default":
+        return fn
+
     @functools.wraps(fn)
     def wrapper(*args):
-        with jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision(precision):
             return fn(*args)
     return wrapper
+
+
+def _highest_precision(fn):
+    return _with_matmul_precision(fn, "highest")
 
 
 @functools.lru_cache(maxsize=128)
@@ -303,8 +312,9 @@ def _cached_runner(prox_f, prox_g, config: ADMMConfig, hooks: Hooks, jit: bool,
     """Cross-call runner cache (see the caching contract in ``admm``).
     Also covers the closure path: repeat solves with the SAME prox
     callables and config reuse the compiled program."""
-    runner = _highest_precision(
-        _build_runner(prox_f, prox_g, config, hooks, has_data=has_data))
+    runner = _with_matmul_precision(
+        _build_runner(prox_f, prox_g, config, hooks, has_data=has_data),
+        config.matmul_precision)
     return jax.jit(runner) if jit else runner
 
 
@@ -319,8 +329,9 @@ def make_admm_runner(prox_f, prox_g, config, A, B, hooks=Hooks(), dtype=None,
     B = as_linop(B)
     if hooks.fused_zu is not None:
         _check_fused_splitting(A, B)  # c is a runtime arg here; documented
-    run = _highest_precision(
-        _build_runner(prox_f, prox_g, config, hooks, has_data=has_data))
+    run = _with_matmul_precision(
+        _build_runner(prox_f, prox_g, config, hooks, has_data=has_data),
+        config.matmul_precision)
     if has_data:
         return lambda x0, z0, u0, c, data: run(x0, z0, u0, c, A, B, data)
     return lambda x0, z0, u0, c: run(x0, z0, u0, c, A, B, ())
@@ -404,7 +415,7 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
         def cond(carry: _Carry):
             return jnp.logical_and(carry.k < N, jnp.logical_not(carry.done))
 
-        def body(carry: _Carry):
+        def step(carry: _Carry):
             k = carry.k            # 0-based index of this iteration
             i = k + 1              # reference's 1-based iteration counter
             rho = carry.rho
@@ -603,13 +614,33 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
                 diverged=carry.diverged | diverged_i,
                 hist=h,
             )
-            # No explicit done-freeze needed: unbatched runs never enter
-            # the body once cond is false, and under vmap JAX's while_loop
-            # batching rule already per-lane-selects the ENTIRE carry
-            # against the lane predicate (the done flag in cond), so
-            # converged lanes freeze automatically — verified by the
-            # exact path-vs-solo agreement test in test_paths.py.
+            # No explicit done-freeze needed at unroll=1: unbatched runs
+            # never enter the body once cond is false, and under vmap
+            # JAX's while_loop batching rule already per-lane-selects the
+            # ENTIRE carry against the lane predicate (the done flag in
+            # cond), so converged lanes freeze automatically — verified
+            # by the exact path-vs-solo agreement test in test_paths.py.
             return new
+
+        K = max(int(cfg.unroll), 1)
+        if K == 1:
+            body = step
+        else:
+            def body(carry: _Carry):
+                # K reference iterations per device loop step
+                # (ADMMConfig.unroll): amortizes the ~17us while_loop
+                # turnaround.  Sub-steps past convergence OR past the
+                # iteration cap are discarded by the mask (k >= N must
+                # freeze too, else the clamped history write at k = N
+                # would corrupt the last slot when N % K != 0), so
+                # semantics match unroll=1 exactly.
+                for _ in range(K):
+                    stop = jnp.logical_or(carry.done, carry.k >= N)
+                    new = step(carry)
+                    carry = jax.tree_util.tree_map(
+                        lambda old, upd: jnp.where(stop, old, upd),
+                        carry, new)
+                return carry
 
         final = lax.while_loop(cond, body, carry0)
         return {

@@ -227,3 +227,35 @@ def test_fused_zu_rejects_non_identity_splitting():
         with pytest.raises(ValueError, match="fused_zu"):
             admm(pf, pg, ADMMConfig(maxiters=2), m=4,
                  hooks=Hooks(fused_zu=fused), **kw)
+
+
+@pytest.mark.parametrize("kw", [dict(), dict(fast=True, fasttype="weak"),
+                                dict(relax=1.5), dict(stopcond="both",
+                                                      convtest=True)])
+def test_unroll_is_exact(kw):
+    """unroll=K must reproduce unroll=1 bit-for-bit: same step count,
+    same solution, same residual history (including when maxiters is
+    not divisible by K and when the stop fires mid-unroll-group)."""
+    P, Q, r, s, truex = _instance()
+    base = model(P, Q, r, s, ADMMConfig(maxiters=1001, **kw))
+    for K in (3, 8):
+        res = model(P, Q, r, s, ADMMConfig(maxiters=1001, unroll=K, **kw))
+        assert res.steps == base.steps, (K, res.steps, base.steps)
+        np.testing.assert_array_equal(np.asarray(res.xopt),
+                                      np.asarray(base.xopt))
+        np.testing.assert_array_equal(res.pnorm, base.pnorm)
+        np.testing.assert_array_equal(res.derr, base.derr)
+
+
+def test_unroll_respects_maxiters_cap():
+    """With N % K != 0 the unrolled loop must stop exactly at maxiters
+    and leave the trailing history slots untouched."""
+    P, Q, r, s, _ = _instance()
+    res = model(P, Q, r, s, ADMMConfig(maxiters=10, domaxiters=True, unroll=4))
+    assert res.steps == 10
+    assert len(res.pnorm) == 10 and np.isfinite(res.pnorm).all()
+
+
+def test_unroll_validation():
+    with pytest.raises(ValueError, match="unroll"):
+        ADMMConfig(unroll=0)
