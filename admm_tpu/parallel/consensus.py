@@ -79,7 +79,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ADMMConfig
-from ..engine import _highest_precision
+from ..engine import _with_matmul_precision
 from ..ops.prox import soft_threshold
 from ..results import ADMMResults
 from .mesh import make_mesh, pad_rows, shard_rows
@@ -124,7 +124,7 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
         def cond(c):
             return jnp.logical_and(c[0] < N, jnp.logical_not(c[7]))
 
-        def body(c):
+        def step(c):
             (k, xi, z, ui, xbar_prev, wu_prev, rho, done, diverged,
              Hprev, hist) = c
             i = k + 1  # reference's 1-based counter
@@ -239,6 +239,22 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
                     rho, done, diverged | diverged_i, Hsq if needs_h else Hprev,
                     hist)
 
+        K = max(int(config.unroll), 1)
+        if K == 1:
+            body = step
+        else:
+            def body(c):
+                # K iterations per device loop step (ADMMConfig.unroll);
+                # sub-steps past done or past the cap are mask-discarded
+                # — exact semantics, amortized loop turnaround (see
+                # engine.py).
+                for _ in range(K):
+                    stop = jnp.logical_or(c[7], c[0] >= N)
+                    new = step(c)
+                    c = jax.tree_util.tree_map(
+                        lambda old, upd: jnp.where(stop, old, upd), c, new)
+                return c
+
         (k, xi, z, ui, xbar, _wu, rho_f, done, diverged, _H,
          hist) = lax.while_loop(cond, body, carry0)
         ubar = jnp.mean(ui, axis=0)
@@ -258,7 +274,7 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
             "hist": out_hist,
         }
 
-    return jax.jit(_highest_precision(run))
+    return jax.jit(_with_matmul_precision(run, config.matmul_precision))
 
 
 def consensus_admm(

@@ -36,7 +36,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ADMMConfig
-from ..engine import _highest_precision
+from ..engine import _with_matmul_precision
 from ..ops.prox import hinge_prox, zero_one_prox
 from ..results import ADMMResults
 from .mesh import make_mesh, pad_rows, shard_rows
@@ -157,7 +157,7 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
         def cond(c):
             return jnp.logical_and(c[0] < N, jnp.logical_not(c[5]))
 
-        def body(c):
+        def step(c):
             k, x, zi, ui, wparts, done, diverged, hist = c
             i = k + 1
 
@@ -204,6 +204,20 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
             return (k + 1, x, zi, ui, wparts_new, stop | bad,
                     diverged | bad, hist)
 
+        K = max(int(config.unroll), 1)
+        if K == 1:
+            body = step
+        else:
+            def body(c):
+                # K iterations per loop step, mask-discarded past done or
+                # the cap — exact semantics (see engine.py unroll).
+                for _ in range(K):
+                    stop = jnp.logical_or(c[5], c[0] >= N)
+                    new = step(c)
+                    c = jax.tree_util.tree_map(
+                        lambda old, upd: jnp.where(stop, old, upd), c, new)
+                return c
+
         k, x, zi, ui, _, _, diverged, hist = lax.while_loop(cond, body, carry0)
 
         objopt = ()
@@ -226,7 +240,7 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
             "hist": h,
         }
 
-    return jax.jit(_highest_precision(run))
+    return jax.jit(_with_matmul_precision(run, config.matmul_precision))
 
 
 # Module-level SVM shard functions (caching contract: per-row C rides in

@@ -55,7 +55,13 @@ def main(smoke: bool = False):
     lam = float(0.1 * np.max(np.abs(D.T @ s)))
 
     iters = 100 if smoke else 2000
-    cfg = ADMMConfig(maxiters=iters, domaxiters=True)
+    # unroll=16: K exact iterations per device loop step — amortizes the
+    # loop turnaround AND lets XLA keep the two stream matrices resident
+    # in VMEM across sub-iterations (they fit: 60 MB < 128 MB VMEM),
+    # cutting HBM traffic.  Measured sweep on this workload (f32):
+    # K=1 8.9k, 4 16.4k, 8 20.8k, 16 23.7k, 32 25.2k iter/s; bf16 peaks
+    # at K=16.  Semantics are bit-exact (ADMMConfig.unroll).
+    cfg = ADMMConfig(maxiters=iters, domaxiters=True, unroll=16)
 
     # Warm-up (compile), then the timed run.
     lasso(D, s, lam, cfg)

@@ -83,8 +83,12 @@ def timing_matrix(smoke=False):
     it = lambda n: max(n // (10 if smoke else 1), 10)
     rows = []
 
-    def cfg(iters):
-        return ADMMConfig(maxiters=iters, domaxiters=True)
+    def cfg(iters, unroll=4):
+        # unroll=4 is the recommended production config (exact
+        # semantics, amortized loop turnaround — see ADMMConfig.unroll);
+        # the lasso_fat_f32_unroll1 row keeps the unrolled-off delta
+        # visible.
+        return ADMMConfig(maxiters=iters, domaxiters=True, unroll=unroll)
 
     # --- model: two dense n-by-n inverse applies per iteration ----------
     n = 2048 // sc
@@ -104,6 +108,9 @@ def timing_matrix(smoke=False):
     lam = float(0.1 * np.max(np.abs(D.T @ sv)))
     iters = it(2000)
     streams = 2 * m * n  # FatShiftSolver: two m-by-n matvec streams
+    res = _run_twice(lambda: lasso(D, sv, lam, cfg(iters, unroll=1)))
+    rows.append(_row("lasso_fat_f32_unroll1", f"{m}x{n}", iters, res,
+                     bytes_per_iter=streams * 4))
     res = _run_twice(lambda: lasso(D, sv, lam, cfg(iters)))
     rows.append(_row("lasso_fat_f32", f"{m}x{n}", iters, res,
                      bytes_per_iter=streams * 4))

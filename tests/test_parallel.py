@@ -476,3 +476,19 @@ def test_engine_parallel_kwarg():
     with pytest.raises(ValueError, match="data"):
         admm(prox_f_slice, prox_g, cfg, A=1.0, B=-1.0, c=0.0, m=n,
              parallel="xminf", slices=lengths, data={"x": jnp.zeros(2)})
+
+
+def test_consensus_and_sharded_unroll_exact():
+    """unroll must be exact for the distributed runners too: same steps
+    and same solution as unroll=1."""
+    D, s, lam, _ = _lasso_instance(7, 512, 32)
+    base = consensus_lasso(D, s, lam, ADMMConfig(maxiters=1001))
+    un = consensus_lasso(D, s, lam, ADMMConfig(maxiters=1001, unroll=4))
+    assert un.steps == base.steps
+    np.testing.assert_array_equal(np.asarray(un.zopt), np.asarray(base.zopt))
+
+    Dsvm, ell = _svm_instance(1, 64, 64, 0.5)
+    b2 = linearsvm_sharded(Dsvm, ell, 1.0, ADMMConfig(maxiters=501))
+    u2 = linearsvm_sharded(Dsvm, ell, 1.0, ADMMConfig(maxiters=501, unroll=3))
+    assert u2.steps == b2.steps
+    np.testing.assert_array_equal(np.asarray(u2.xopt), np.asarray(b2.xopt))
