@@ -76,9 +76,15 @@ def main(smoke: bool = False):
     res_bf16 = lasso(D, s, lam, cfg, stream_dtype=jnp.bfloat16)
     bf16_iters_per_sec = iters / res_bf16.runtime
 
-    baseline = _numpy_lasso_iters_per_sec(
-        D.astype(np.float64), s.astype(np.float64), lam, cfg.rho,
-        iters=20 if smoke else 50,
+    # Best of 3 passes: the 1-vCPU host shares cores with background
+    # work, and a contended numpy pass understates the baseline (seen:
+    # 46-150 iter/s spread), which would overstate vs_baseline.
+    baseline = max(
+        _numpy_lasso_iters_per_sec(
+            D.astype(np.float64), s.astype(np.float64), lam, cfg.rho,
+            iters=20 if smoke else 50,
+        )
+        for _ in range(3)
     )
 
     # Secondary target (BASELINE.json): time-to-1e-6 residual, taken

@@ -183,7 +183,9 @@ def timing_matrix(smoke=False):
     slp = (Dlp @ truex).astype(f32)
     blp = (rng.random(n) + 0.5).astype(f32)
     iters = it(1000)
-    res = _run_twice(lambda: linearprogram(blp, Dlp, slp, cfg(iters)))
+    # LP/QP-standard run at unroll=1 — their triangular-solve bodies do
+    # not amortize and unrolling COSTS ~25% there (docs/RESULTS.md).
+    res = _run_twice(lambda: linearprogram(blp, Dlp, slp, cfg(iters, unroll=1)))
     rows.append(_row("linearprogram_f32", f"n={n}", iters, res,
                      bytes_per_iter=3 * n * n * 4))  # Minv, MinvDt, tri pair
 
@@ -191,7 +193,7 @@ def timing_matrix(smoke=False):
     Pq = (Pq @ Pq.T + n * np.eye(n)).astype(f32)
     qv = rng.standard_normal(n).astype(f32)
     res = _run_twice(
-        lambda: quadraticprogram(Pq, qv, 0.0, Dlp, slp, cfg(iters)))
+        lambda: quadraticprogram(Pq, qv, 0.0, Dlp, slp, cfg(iters, unroll=1)))
     rows.append(_row("quadraticprogram_standard_f32", f"n={n}", iters, res,
                      bytes_per_iter=3 * n * n * 4))
 
