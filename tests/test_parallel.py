@@ -492,3 +492,42 @@ def test_consensus_and_sharded_unroll_exact():
     u2 = linearsvm_sharded(Dsvm, ell, 1.0, ADMMConfig(maxiters=501, unroll=3))
     assert u2.steps == b2.steps
     np.testing.assert_array_equal(np.asarray(u2.xopt), np.asarray(b2.xopt))
+
+
+def test_engine_parallel_composes_with_unroll():
+    """parallel= sliced proxes must compose with unroll (the sliced
+    shard_map runs inside the masked unrolled step)."""
+    import jax.numpy as jnp
+
+    from admm_tpu import admm
+    from admm_tpu.ops.solve import SymShiftSolver
+
+    rng = np.random.default_rng(11)
+    n = 64
+    P = rng.standard_normal((n, n))
+    Q = rng.standard_normal((n, n))
+    r = rng.standard_normal(n)
+    s = rng.standard_normal(n)
+
+    cfg1 = ADMMConfig(maxiters=3000)
+    cfgK = ADMMConfig(maxiters=3000, unroll=4)
+    PtPinv = jnp.asarray(
+        SymShiftSolver.from_matrix(P.T @ P).materialize_inverse(cfg1.rho))
+    QtQinv = jnp.asarray(
+        SymShiftSolver.from_matrix(Q.T @ Q).materialize_inverse(cfg1.rho))
+    Ptr, Qts = jnp.asarray(P.T @ r), jnp.asarray(Q.T @ s)
+    slice_len = n // 8
+
+    def prox_f_slice(x, z, u, rho, k):
+        rows = jax.lax.dynamic_slice_in_dim(PtPinv, k * slice_len, slice_len, 0)
+        return rows @ (Ptr + rho * (z - u))
+
+    def prox_g(x, z, u, rho):
+        return QtQinv @ (Qts + rho * (x + u))
+
+    r1 = admm(prox_f_slice, prox_g, cfg1, A=1.0, B=-1.0, c=0.0, m=n,
+              parallel="xminf", slices=slice_len)
+    rK = admm(prox_f_slice, prox_g, cfgK, A=1.0, B=-1.0, c=0.0, m=n,
+              parallel="xminf", slices=slice_len)
+    assert rK.steps == r1.steps
+    np.testing.assert_array_equal(np.asarray(rK.xopt), np.asarray(r1.xopt))
