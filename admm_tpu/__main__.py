@@ -35,7 +35,7 @@ def main(argv=None):
     t.add_argument("--maxscale", type=int, default=6)
     t.add_argument("--trials", type=int, default=3)
     t.add_argument("--testtype", default="square",
-                   choices=["square", "fat", "skinny"])
+                   choices=["square", "fat", "skinny", "morepos", "moreneg"])
     t.add_argument("--seed", type=int, default=None)
 
     b = sub.add_parser("bench", help="headline benchmark (one JSON line)")

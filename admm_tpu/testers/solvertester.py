@@ -69,10 +69,21 @@ def _shape(solver: str, scale: int, testtype: str):
         # the closed-form oracle is ill-conditioned; use square instead.
         testtype = "square"
     if solver == "linearsvm":
-        # Floor at 256 samples/class: below that the separator-slope and
-        # unwrapped-ADMM objective criteria (linearsvmtest) are dominated
-        # by sampling noise rather than solver behavior.
-        return max(n, 256), max(n, 256)
+        # Class-imbalance presets (solvertester.m:530-539 — the
+        # reference's code, whose inline comments have the names
+        # swapped; behavior follows the code): 'morepos' gives
+        # mpos = ceil(2^(s-1)/2), mneg = 2^s; 'moreneg' the mirror.
+        # Floor at 256 samples/class: below that the separator-slope
+        # and unwrapped-ADMM objective criteria (linearsvmtest) are
+        # dominated by sampling noise rather than solver behavior.
+        small = -(-2 ** (scale - 1) // 2)  # ceil
+        if testtype == "morepos":
+            mpos, mneg = small, n
+        elif testtype == "moreneg":
+            mpos, mneg = n, small
+        else:
+            mpos = mneg = n
+        return max(mpos, 256), max(mneg, 256)
     if testtype == "fat":
         return 2 ** max(scale - 1, 1), n
     if testtype == "skinny":
@@ -143,8 +154,9 @@ def solvertester(
         for t in range(trials):
             trial_seed = int(master.integers(0, 2**31 - 1))
             if solver == "linearsvm":
+                # (rows, cols) carries (mpos, mneg) for the SVM presets.
                 res, _, test = tester(
-                    seed=trial_seed, mpos=rows, mneg=rows, errtol=errtol,
+                    seed=trial_seed, mpos=rows, mneg=cols, errtol=errtol,
                     quiet=True, config=config, **tester_kwargs)
             else:
                 res, test = tester(

@@ -56,3 +56,19 @@ def test_solvertester_sweep_deterministic():
 def test_solvertester_unknown_solver():
     with pytest.raises(ValueError, match="unknown solver"):
         solvertester("nope", 4, 4, 1)
+
+
+def test_svm_imbalance_presets():
+    """'morepos'/'moreneg' class-imbalance presets
+    (solvertester.m:530-539) must sweep green with unequal class
+    sizes."""
+    from admm_tpu.testers.solvertester import _shape, solvertester
+
+    mpos, mneg = _shape("linearsvm", 10, "morepos")
+    assert mpos < mneg  # reference code: 'morepos' -> more NEG rows
+    mpos, mneg = _shape("linearsvm", 10, "moreneg")
+    assert mpos > mneg
+
+    rep = solvertester("linearsvm", 4, 4, trials=1, seed=0,
+                       testtype="moreneg")
+    assert not rep.any_failed
