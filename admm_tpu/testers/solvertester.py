@@ -130,13 +130,16 @@ def solvertester(
     seed: Optional[int] = None,
     quiet: bool = True,
     save_plot: Optional[str] = None,
+    scaler: Optional[Callable] = None,
     **tester_kwargs,
 ) -> SolverTestReport:
     """Run ``trials`` random instances per scale in 2^minscale..2^maxscale.
 
     Seeding policy per solvertester.m:108-112/157: a fixed ``seed`` makes
     the whole sweep deterministic; otherwise per-trial seeds are drawn
-    fresh.
+    fresh.  ``scaler(scale) -> (rows, cols)`` overrides the shape presets
+    (the reference's options.scaler handle, solvertester.m:349-356,
+    526-529; for linearsvm the pair is (mpos, mneg)).
     """
     if solver not in _TESTERS:
         raise ValueError(f"unknown solver {solver!r}; known: {sorted(_TESTERS)}")
@@ -150,7 +153,10 @@ def solvertester(
     failed = np.zeros((len(scales), trials), dtype=bool)
 
     for i, sc in enumerate(scales):
-        rows, cols = _shape(solver, sc, testtype)
+        if scaler is not None:
+            rows, cols = (int(v) for v in scaler(sc))
+        else:
+            rows, cols = _shape(solver, sc, testtype)
         for t in range(trials):
             trial_seed = int(master.integers(0, 2**31 - 1))
             if solver == "linearsvm":

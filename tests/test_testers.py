@@ -72,3 +72,19 @@ def test_svm_imbalance_presets():
     rep = solvertester("linearsvm", 4, 4, trials=1, seed=0,
                        testtype="moreneg")
     assert not rep.any_failed
+
+
+def test_custom_scaler_handle():
+    """options.scaler parity (solvertester.m:349-356): a user callable
+    maps scale -> shape and overrides the presets."""
+    from admm_tpu.testers.solvertester import solvertester
+
+    seen = []
+
+    def scaler(s):
+        seen.append(s)
+        return (3 * 2**s, 2**s)
+
+    rep = solvertester("lasso", 4, 5, trials=1, seed=0, scaler=scaler)
+    assert seen == [4, 5]
+    assert not rep.any_failed
