@@ -14,7 +14,6 @@ The CLI analog of the reference's interactive MATLAB session entry points
 from __future__ import annotations
 
 import argparse
-import sys
 
 _SOLVERS = [
     "model", "lasso", "basispursuit", "totalvariation", "lad", "huberfit",
@@ -76,15 +75,9 @@ def main(argv=None):
         return 1 if report.any_failed else 0
 
     if args.cmd == "bench":
-        sys.path.insert(0, ".")
-        import importlib.util
-        from pathlib import Path
+        from benchmarks.headline import main as bench_main
 
-        bench_path = Path(__file__).resolve().parent.parent / "bench.py"
-        spec = importlib.util.spec_from_file_location("bench", bench_path)
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        mod.main(smoke=args.smoke)
+        bench_main(smoke=args.smoke)
         return 0
 
     if args.cmd == "matrix":

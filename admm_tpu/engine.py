@@ -42,7 +42,6 @@ from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
 from .config import ADMMConfig
@@ -227,8 +226,16 @@ def admm(
                 "parallel= sliced proxes do not take the data argument; "
                 "close over problem data in the per-slice prox instead"
             )
-        nx = int(np.prod(shape_x)) if len(shape_x) != 1 else shape_x[0]
-        nz = int(np.prod(shape_z)) if len(shape_z) != 1 else shape_z[0]
+        if len(shape_x) != 1 or len(shape_z) != 1:
+            # The sliced gather reassembles a FLAT vector; matrix-valued
+            # iterates (covariance selection) would come back flattened
+            # and break the loop's shapes — the reference slices vectors
+            # only (admm.m:343-467).
+            raise ValueError(
+                "parallel= supports 1-D (vector) iterates only; got "
+                f"shape_x={tuple(shape_x)}, shape_z={tuple(shape_z)}"
+            )
+        nx, nz = shape_x[0], shape_z[0]
         prox_f, prox_g = make_parallel_proxes(
             prox_f, prox_g, parallel, slices, nx=nx, nz=nz, mesh=mesh
         )
@@ -290,10 +297,10 @@ def _with_matmul_precision(fn, precision: str):
     matmul uses bf16 passes, which corrupts the solver algebra (see
     timed_solver's rationale in models/_common.py).  The serial solvers'
     applies are HBM-bound GEMVs, so 'highest' is free there;
-    explicitly-bf16 streams are unaffected.  'default' leaves the
-    ambient mode (used by the compute-bound batched paths)."""
-    if precision == "default":
-        return fn
+    explicitly-bf16 streams are unaffected.  'default' is ALSO set
+    explicitly — the loop trace may run under timed_solver's ambient
+    'highest' context (for the one-time setup algebra), and the config
+    must win inside the loop."""
 
     @functools.wraps(fn)
     def wrapper(*args):
@@ -304,6 +311,31 @@ def _with_matmul_precision(fn, precision: str):
 
 def _highest_precision(fn):
     return _with_matmul_precision(fn, "highest")
+
+
+def unrolled_body(step, K: int, N: int, flags):
+    """Wrap a single-iteration ``step`` into a while_loop body running K
+    masked sub-steps (ADMMConfig.unroll; shared by the core engine and
+    the consensus/transpose-reduction runners).
+
+    ``flags(carry) -> (k, done)`` extracts the iteration counter and the
+    stop flag.  Sub-steps past ``done`` OR past the iteration cap are
+    discarded by the mask — k >= N must freeze too, else the clamped
+    history write at k = N would corrupt the last slot when N % K != 0 —
+    so results, step counts, and histories match K=1 bit-for-bit."""
+    if K <= 1:
+        return step
+
+    def body(carry):
+        for _ in range(K):
+            k, done = flags(carry)
+            stop = jnp.logical_or(done, k >= N)
+            new = step(carry)
+            carry = jax.tree_util.tree_map(
+                lambda old, upd: jnp.where(stop, old, upd), carry, new)
+        return carry
+
+    return body
 
 
 @functools.lru_cache(maxsize=128)
@@ -597,10 +629,20 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
 
             # ---- per-iteration console table (admm.m:318-330, 661-673) ----
             if not cfg.quiet:
-                jax.debug.print(
-                    "{i}\tpnorm {p:.4e}\tperr {pe:.4e}\tdnorm {d:.4e}"
-                    "\tderr {de:.4e}",
-                    i=i, p=pnorm, pe=perr, d=dnorm, de=derr,
+                # Gate on the live mask: under unroll > 1 the discarded
+                # sub-steps past done/maxiters still EXECUTE (their
+                # results are masked away) and must not print phantom
+                # rows that disagree with the recorded history.
+                active = jnp.logical_and(carry.k < N,
+                                         jnp.logical_not(carry.done))
+                lax.cond(
+                    active,
+                    lambda: jax.debug.print(
+                        "{i}\tpnorm {p:.4e}\tperr {pe:.4e}\tdnorm {d:.4e}"
+                        "\tderr {de:.4e}",
+                        i=i, p=pnorm, pe=perr, d=dnorm, de=derr,
+                    ),
+                    lambda: None,
                 )
 
             new = _Carry(
@@ -622,26 +664,8 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
             # by the exact path-vs-solo agreement test in test_paths.py.
             return new
 
-        K = max(int(cfg.unroll), 1)
-        if K == 1:
-            body = step
-        else:
-            def body(carry: _Carry):
-                # K reference iterations per device loop step
-                # (ADMMConfig.unroll): amortizes the ~17us while_loop
-                # turnaround.  Sub-steps past convergence OR past the
-                # iteration cap are discarded by the mask (k >= N must
-                # freeze too, else the clamped history write at k = N
-                # would corrupt the last slot when N % K != 0), so
-                # semantics match unroll=1 exactly.
-                for _ in range(K):
-                    stop = jnp.logical_or(carry.done, carry.k >= N)
-                    new = step(carry)
-                    carry = jax.tree_util.tree_map(
-                        lambda old, upd: jnp.where(stop, old, upd),
-                        carry, new)
-                return carry
-
+        body = unrolled_body(step, int(cfg.unroll), N,
+                             lambda c: (c.k, c.done))
         final = lax.while_loop(cond, body, carry0)
         return {
             "steps": final.k,

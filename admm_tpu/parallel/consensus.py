@@ -19,6 +19,18 @@ lassonorms feeds them to the engine via specialnorms, admm.m:612-616):
 and Boyd errors computed from the consensus aggregates (the reference's
 engine sees x = xbar, u = ubar via altu; admm.m:639-658).
 
+DELIBERATE reference parity quirk: the stopping test compares these
+SQUARED residuals against the LINEAR Boyd tolerances perr/derr — that
+is exactly what the reference does (lassonorms returns squares and the
+engine's pnorm < perr test never unsquares them, admm.m:705-715), so a
+consensus solve stops at a residual around sqrt(tolerance), i.e.
+earlier in -log-residual terms than a serial solve with the same
+abstol/reltol.  Matching the reference's observable behavior wins over
+dimensional purity here; tighten abstol/reltol (or use stopcond
+'hnorm'/'both') for a stricter consensus stop.  The rbadaptive
+balancing rule DOES unsquare before comparing, so rbmu keeps its
+engine meaning.
+
 This module exposes the pattern as a GENERIC engine — ``consensus_admm``
 takes pluggable per-shard and global proximal operators (module-level
 functions over a data pytree, the same caching contract as the core
@@ -79,7 +91,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ADMMConfig
-from ..engine import _with_matmul_precision
+from ..engine import _with_matmul_precision, unrolled_body
 from ..ops.prox import soft_threshold
 from ..results import ADMMResults
 from .mesh import make_mesh, pad_rows, shard_rows
@@ -239,22 +251,8 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
                     rho, done, diverged | diverged_i, Hsq if needs_h else Hprev,
                     hist)
 
-        K = max(int(config.unroll), 1)
-        if K == 1:
-            body = step
-        else:
-            def body(c):
-                # K iterations per device loop step (ADMMConfig.unroll);
-                # sub-steps past done or past the cap are mask-discarded
-                # — exact semantics, amortized loop turnaround (see
-                # engine.py).
-                for _ in range(K):
-                    stop = jnp.logical_or(c[7], c[0] >= N)
-                    new = step(c)
-                    c = jax.tree_util.tree_map(
-                        lambda old, upd: jnp.where(stop, old, upd), c, new)
-                return c
-
+        body = unrolled_body(step, int(config.unroll), N,
+                             lambda c: (c[0], c[7]))
         (k, xi, z, ui, xbar, _wu, rho_f, done, diverged, _H,
          hist) = lax.while_loop(cond, body, carry0)
         ubar = jnp.mean(ui, axis=0)

@@ -91,9 +91,15 @@ def _cached_sliced_prox(prox_slice, slices, mesh):
     else:
         lengths = [int(v) for v in slices]
         if len(lengths) > W:
+            # Static-shape divergence from the reference: its parfor path
+            # queues any slice count over the pool (admm.m:430-434); here
+            # one device computes one slice, so the count must fit the
+            # mesh.  slices=0 (even split) always fits.
             raise ValueError(
-                f"{len(lengths)} slices > {W} mesh devices; use a bigger "
-                "mesh or rebalance with slicemaker(0, n, workers)"
+                f"{len(lengths)} slices > {W} mesh devices: on TPU each "
+                "device computes exactly one slice per step. Use slices=0 "
+                "for a mesh-balanced even split, or a vector of at most "
+                f"{W} lengths"
             )
         lengths = lengths + [0] * (W - len(lengths))
     L = max(lengths)
@@ -147,8 +153,11 @@ def make_parallel_proxes(
       per-slice.
 
     Returns ``(prox_f, prox_g)`` ready for ``admm(...)``.  Slice specs
-    are balanced over the mesh device count by ``slicemaker``
-    (errorcheck.m:216-267).
+    go through ``slicemaker`` (errorcheck.m:216-267): 0 balances evenly
+    over the mesh device count; a scalar block size k or an explicit
+    length vector is used as-is and must yield at most one slice per
+    device (each TPU device computes exactly one slice — unlike the
+    reference's parfor queue, which accepts any slice count).
     """
     if parallel not in ("xminf", "zming", "both"):
         raise ValueError(

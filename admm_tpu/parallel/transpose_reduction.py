@@ -36,7 +36,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ADMMConfig
-from ..engine import _with_matmul_precision
+from ..engine import _with_matmul_precision, unrolled_body
 from ..ops.prox import hinge_prox, zero_one_prox
 from ..results import ADMMResults
 from .mesh import make_mesh, pad_rows, shard_rows
@@ -204,20 +204,8 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
             return (k + 1, x, zi, ui, wparts_new, stop | bad,
                     diverged | bad, hist)
 
-        K = max(int(config.unroll), 1)
-        if K == 1:
-            body = step
-        else:
-            def body(c):
-                # K iterations per loop step, mask-discarded past done or
-                # the cap — exact semantics (see engine.py unroll).
-                for _ in range(K):
-                    stop = jnp.logical_or(c[5], c[0] >= N)
-                    new = step(c)
-                    c = jax.tree_util.tree_map(
-                        lambda old, upd: jnp.where(stop, old, upd), c, new)
-                return c
-
+        body = unrolled_body(step, int(config.unroll), N,
+                             lambda c: (c[0], c[5]))
         k, x, zi, ui, _, _, diverged, hist = lax.while_loop(cond, body, carry0)
 
         objopt = ()

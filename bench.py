@@ -1,122 +1,10 @@
-"""Benchmark: ADMM iterations/sec/chip on LASSO with dense D (1500 x 5000).
+"""Driver entry: the headline benchmark (one JSON line).
 
-The north-star metric from BASELINE.json ("ADMM iterations/sec/chip at
-lasso n=5000").  The reference publishes no numbers (BASELINE.md), so
-``vs_baseline`` compares against a faithful single-process NumPy
-implementation of the same iteration run on this host — a stand-in for
-the reference's single-process MATLAB loop (admm.m:496-743), which uses
-the same BLAS-bound operations.
+Thin wrapper so the repo-root contract (`python bench.py [--smoke]`)
+and the installed console script (`admm-tpu bench`, which imports
+benchmarks.headline from the wheel) share one implementation."""
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "iter/s", "vs_baseline": N}
-"""
-
-import json
-import time
-
-import numpy as np
-
-
-def _numpy_lasso_iters_per_sec(D, s, lam, rho, iters=50):
-    """The reference's serial fat-lasso iteration in NumPy: Woodbury
-    x-update via cached Cholesky (solvers/lasso.m:169-172,
-    getProxOps.m:1198-1205) + soft-threshold z + dual update."""
-    import scipy.linalg as sla
-
-    m, n = D.shape
-    Dts = D.T @ s
-    G = D @ D.T / rho + np.eye(m)
-    L = sla.cholesky(G, lower=True)
-    x = np.zeros(n)
-    z = np.zeros(n)
-    u = np.zeros(n)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = Dts + rho * (z - u)
-        w = sla.solve_triangular(L.T, sla.solve_triangular(L, D @ y, lower=True))
-        x = y / rho - (D.T @ w) / rho**2
-        v = x + u
-        z = np.sign(v) * np.maximum(np.abs(v) - lam / rho, 0.0)
-        u = u + x - z
-    dt = time.perf_counter() - t0
-    return iters / dt
-
-
-def main(smoke: bool = False):
-    from admm_tpu import ADMMConfig
-    from admm_tpu.models.lasso import lasso
-
-    m, n = (96, 320) if smoke else (1500, 5000)
-    rng = np.random.default_rng(0)
-    testx = rng.standard_normal(n) * (rng.random(n) < 0.1)
-    D = rng.standard_normal((m, n)).astype(np.float32)
-    D = D / np.sqrt(np.sum(D**2, axis=0, keepdims=True))
-    s = (D @ testx + np.sqrt(0.001) * rng.standard_normal(m)).astype(np.float32)
-    lam = float(0.1 * np.max(np.abs(D.T @ s)))
-
-    iters = 100 if smoke else 2000
-    # unroll=16: K exact iterations per device loop step — amortizes the
-    # loop turnaround AND lets XLA keep the two stream matrices resident
-    # in VMEM across sub-iterations (they fit: 60 MB < 128 MB VMEM),
-    # cutting HBM traffic.  Measured sweep on this workload (f32):
-    # K=1 8.9k, 4 16.4k, 8 20.8k, 16 23.7k, 32 25.2k iter/s; bf16 peaks
-    # at K=16.  Semantics are bit-exact (ADMMConfig.unroll).
-    cfg = ADMMConfig(maxiters=iters, domaxiters=True, unroll=16)
-
-    # Warm-up (compile), then the timed run.
-    lasso(D, s, lam, cfg)
-    res = lasso(D, s, lam, cfg)
-    iters_per_sec = iters / res.runtime
-
-    # bf16-stream perf mode (FatShiftSolver stream_dtype): ~1.45x on TPU,
-    # at a small accuracy floor — reported separately, not the headline.
-    import jax.numpy as jnp
-
-    lasso(D, s, lam, cfg, stream_dtype=jnp.bfloat16)
-    res_bf16 = lasso(D, s, lam, cfg, stream_dtype=jnp.bfloat16)
-    bf16_iters_per_sec = iters / res_bf16.runtime
-
-    # Best of 3 passes: the 1-vCPU host shares cores with background
-    # work, and a contended numpy pass understates the baseline (seen:
-    # 46-150 iter/s spread), which would overstate vs_baseline.
-    baseline = max(
-        _numpy_lasso_iters_per_sec(
-            D.astype(np.float64), s.astype(np.float64), lam, cfg.rho,
-            iters=20 if smoke else 50,
-        )
-        for _ in range(3)
-    )
-
-    # Secondary target (BASELINE.json): time-to-1e-6 residual, taken
-    # per-element (RMS): pnorm <= 1e-6 * sqrt(n).  (The absolute 1e-6
-    # 2-norm is below the f32 floor at n=5000.)  Both implementations run
-    # the identical update sequence, so the trajectory and step count
-    # match; only seconds/step differ.
-    pnorm = np.asarray(res.pnorm)
-    thresh = 1e-6 * np.sqrt(D.shape[1])
-    hit = np.nonzero(pnorm <= thresh)[0]
-    steps_1e6 = int(hit[0]) + 1 if len(hit) else None
-    t_1e6 = None if steps_1e6 is None else steps_1e6 / iters_per_sec
-    t_1e6_np = None if steps_1e6 is None else steps_1e6 / baseline
-
-    print(
-        json.dumps(
-            {
-                "metric": "lasso_n5000_admm_iterations_per_sec_per_chip",
-                "value": round(iters_per_sec, 2),
-                "unit": "iter/s",
-                "vs_baseline": round(iters_per_sec / baseline, 3),
-                "numpy_baseline_iters_per_sec": round(baseline, 2),
-                "bf16_stream_iters_per_sec": round(bf16_iters_per_sec, 2),
-                "steps_to_rms_residual_1e-6": steps_1e6,
-                "time_to_rms_residual_1e-6_s": None if t_1e6 is None else round(t_1e6, 4),
-                "baseline_time_to_rms_residual_1e-6_s": (
-                    None if t_1e6_np is None else round(t_1e6_np, 4)
-                ),
-            }
-        )
-    )
-
+from benchmarks.headline import main
 
 if __name__ == "__main__":
     import sys
@@ -124,7 +12,7 @@ if __name__ == "__main__":
     if "--matrix" in sys.argv:
         # Per-solver TPU timing + f32 oracle accuracy matrix
         # (benchmarks/matrix.py); writes BENCH_MATRIX.json.  The default
-        # (driver) mode stays the single headline JSON line above.
+        # (driver) mode stays the single headline JSON line.
         from benchmarks.matrix import main as matrix_main
 
         matrix_main(smoke="--smoke" in sys.argv)

@@ -46,3 +46,27 @@ def test_bf16_warmstart_plus_polish_recovers_accuracy():
     gap_polished = abs(f_polished - f_exact)
     assert polished.steps <= 200
     assert gap_polished <= max(0.2 * gap_coarse, 1e-7)
+
+
+def test_matmul_precision_default_reaches_serial_loop():
+    """ADMMConfig(matmul_precision='default') must actually govern the
+    compiled loop even under timed_solver's ambient 'highest' context
+    (the config wraps the trace innermost) — regression guard for the
+    silently-inert-config finding."""
+    from admm_tpu.engine import _with_matmul_precision
+
+    seen = []
+
+    def probe(x):
+        import jax
+
+        # At trace time the ambient precision reflects the innermost
+        # context manager.
+        seen.append(jax.config.jax_default_matmul_precision)
+        return x
+
+    import jax
+
+    with jax.default_matmul_precision("highest"):
+        _with_matmul_precision(probe, "default")(1.0)
+    assert seen and str(seen[0]) == "default"

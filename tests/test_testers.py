@@ -88,3 +88,13 @@ def test_custom_scaler_handle():
     rep = solvertester("lasso", 4, 5, trials=1, seed=0, scaler=scaler)
     assert seen == [4, 5]
     assert not rep.any_failed
+
+
+def test_imbalance_preset_survives_floor():
+    """The 256-sample floor must preserve the morepos/moreneg ratio at
+    small sweep scales instead of collapsing to balanced 256x256."""
+    from admm_tpu.testers.solvertester import _shape
+
+    mpos, mneg = _shape("linearsvm", 4, "morepos")
+    assert min(mpos, mneg) >= 256
+    assert mneg / mpos == 4.0  # 2^4 / ceil(2^3/2) = 16/4
