@@ -69,11 +69,12 @@ def lasso_path(D, s, lams, config: ADMMConfig = ADMMConfig(), **overrides) -> Pa
     Follows the library's full-f32-precision invariant
     (ADMMConfig.matmul_precision='highest').  Unlike the serial solvers
     (HBM-bound GEMVs where full precision is free), the batched
-    x-update is a compute-bound GEMM, so here the knob is a real
-    trade: measured on v5e at B=128/1500x5000, 'highest' runs 425k
-    instance-iters/s and ``matmul_precision='default'`` (bf16 MXU
-    passes) 706k (+66%) at a small accuracy floor the soft-threshold
-    iteration tolerates.
+    x-update is a compute-bound GEMM, so here the knob is a real trade
+    (measured on v5e at B=128/1500x5000): 'highest' 431k
+    instance-iters/s; ``'high'`` (3-pass) 498k (+16%) at an objective
+    gap of ~3e-05 — effectively f32-exact, the recommended speed tier;
+    ``'default'`` (bf16 passes) 750k (+74%) with up to percent-level
+    gaps the soft-threshold iteration tolerates.
     """
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
