@@ -124,6 +124,42 @@ def test_sharded_svm_across_two_processes():
     _check(*_run_workers(code))
 
 
+def test_sliced_prox_across_two_processes():
+    """The third distributed form (SURVEY.md 2.7) — engine-generic
+    sliced proximal updates via shard_map — must also run over a
+    cross-process mesh, with uneven slices reassembling exactly."""
+    code = textwrap.dedent('''
+        import os, sys
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=2")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        pid = int(sys.argv[1])
+        jax.distributed.initialize("127.0.0.1:47223", 2, pid)
+        print("DIST_INIT_OK", flush=True)
+        import numpy as np
+        import jax.numpy as jnp
+        from admm_tpu.parallel import make_mesh, make_sliced_prox
+        from admm_tpu.utils.validate import slicemaker
+        mesh = make_mesh()          # 4 devices over 2 processes
+        n = 4 * 4 + 3               # uneven slices
+        lengths = slicemaker(0, n, 4)
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        L = max(lengths)
+        sd = jnp.asarray(starts)
+        def prox_slice(x, z, u, rho, k):
+            seg = jax.lax.dynamic_slice(jnp.pad(z - u, (0, L)), (sd[k],), (L,))
+            return seg * rho
+        prox = make_sliced_prox(prox_slice, lengths, mesh)
+        rng = np.random.default_rng(0)
+        zv = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        uv = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        out = np.asarray(jax.device_get(prox(zv, zv, uv, 1.5)))
+        np.testing.assert_array_equal(out, np.asarray(1.5 * (zv - uv)))
+    ''')
+    _check(*_run_workers(code))
+
+
 def test_worker_failure_is_not_masked():
     """A worker that dies AFTER jax.distributed.initialize must FAIL the
     suite (pytest.fail via _check's assert), proving the skip guard can
