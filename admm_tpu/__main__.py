@@ -75,19 +75,19 @@ def main(argv=None):
         return 1 if report.any_failed else 0
 
     if args.cmd == "bench":
-        from benchmarks.headline import main as bench_main
+        from admm_tpu.benchmarks.headline import main as bench_main
 
         bench_main(smoke=args.smoke)
         return 0
 
     if args.cmd == "matrix":
-        from benchmarks.matrix import main as matrix_main
+        from admm_tpu.benchmarks.matrix import main as matrix_main
 
         matrix_main(smoke=args.smoke, out_path=args.out)
         return 0
 
     if args.cmd == "scaling":
-        from benchmarks.scaling import weak_scaling
+        from admm_tpu.benchmarks.scaling import weak_scaling
 
         counts = [w for w in (1, 2, 4, 8) if w <= args.devices]
         weak_scaling(device_counts=counts, rows_per_shard=args.rows_per_shard,

@@ -16,7 +16,7 @@ module measures, on the real chip:
     in f64 numpy.  This is the evidence that the f32 perf mode is
     usable per solver (the CPU oracle suite runs f64-only).
 
-Run:  python bench.py --matrix   (or python -m benchmarks.matrix)
+Run:  python bench.py --matrix   (or python -m admm_tpu.benchmarks.matrix)
 Writes BENCH_MATRIX.json at the repo root and prints one summary JSON
 line per row.
 """

@@ -309,10 +309,6 @@ def _with_matmul_precision(fn, precision: str):
     return wrapper
 
 
-def _highest_precision(fn):
-    return _with_matmul_precision(fn, "highest")
-
-
 def unrolled_body(step, K: int, N: int, flags):
     """Wrap a single-iteration ``step`` into a while_loop body running K
     masked sub-steps (ADMMConfig.unroll; shared by the core engine and

@@ -87,6 +87,15 @@ def _cached_sliced_prox(prox_slice, slices, mesh):
     W = mesh.devices.size
 
     if np.ndim(slices) == 0:
+        if int(slices) <= 0:
+            # 0 means 'even split' only where slicemaker resolves it
+            # first (make_parallel_proxes / admm(parallel=)); here a
+            # scalar is the per-slice LENGTH and must be positive.
+            raise ValueError(
+                "make_sliced_prox scalar slices is the per-slice length "
+                "and must be positive; for an even split pass "
+                "slicemaker(0, n, W) lengths or use make_parallel_proxes"
+            )
         lengths = [int(slices)] * W
     else:
         lengths = [int(v) for v in slices]
@@ -97,9 +106,9 @@ def _cached_sliced_prox(prox_slice, slices, mesh):
             # mesh.  slices=0 (even split) always fits.
             raise ValueError(
                 f"{len(lengths)} slices > {W} mesh devices: on TPU each "
-                "device computes exactly one slice per step. Use slices=0 "
-                "for a mesh-balanced even split, or a vector of at most "
-                f"{W} lengths"
+                "device computes exactly one slice per step. Pass a "
+                f"vector of at most {W} lengths (slicemaker(0, n, {W}) "
+                "builds a mesh-balanced even split)"
             )
         lengths = lengths + [0] * (W - len(lengths))
     L = max(lengths)

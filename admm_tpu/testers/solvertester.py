@@ -150,6 +150,12 @@ def solvertester(
     """
     if solver not in _TESTERS:
         raise ValueError(f"unknown solver {solver!r}; known: {sorted(_TESTERS)}")
+    if testtype in ("morepos", "moreneg") and solver != "linearsvm":
+        # Refuse instead of silently degrading to a balanced square
+        # sweep — the imbalance presets only mean something for the SVM
+        # (solvertester.m:530-539).
+        raise ValueError(
+            f"testtype {testtype!r} is linearsvm-only; got solver {solver!r}")
     tester = _TESTERS[solver]
     if errtol is None:
         errtol = _DEFAULT_ERRTOL.get(solver, 1e-3)

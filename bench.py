@@ -4,16 +4,16 @@ Thin wrapper so the repo-root contract (`python bench.py [--smoke]`)
 and the installed console script (`admm-tpu bench`, which imports
 benchmarks.headline from the wheel) share one implementation."""
 
-from benchmarks.headline import main
+from admm_tpu.benchmarks.headline import main
 
 if __name__ == "__main__":
     import sys
 
     if "--matrix" in sys.argv:
         # Per-solver TPU timing + f32 oracle accuracy matrix
-        # (benchmarks/matrix.py); writes BENCH_MATRIX.json.  The default
+        # (admm_tpu/benchmarks/matrix.py); writes BENCH_MATRIX.json.  The default
         # (driver) mode stays the single headline JSON line.
-        from benchmarks.matrix import main as matrix_main
+        from admm_tpu.benchmarks.matrix import main as matrix_main
 
         matrix_main(smoke="--smoke" in sys.argv)
     else:

@@ -29,7 +29,7 @@ def test_profiler_trace(tmp_path):
 
 
 def test_weak_scaling_harness_runs():
-    from benchmarks.scaling import weak_scaling
+    from admm_tpu.benchmarks.scaling import weak_scaling
 
     results, effs = weak_scaling(
         device_counts=(1, 2), rows_per_shard=64, cols=16, iters=20, quiet=True
