@@ -49,3 +49,22 @@ def test_svm_c_path_runs():
     # Each lane recovers a separator with positive slope parameter x1.
     x = np.asarray(path.xopt)
     assert np.all(np.isfinite(x))
+
+
+def test_lasso_path_unroll_exact():
+    """vmap x unroll interplay: the batched path with unroll=4 must
+    match unroll=1 lane-for-lane (per-lane stop masking composes with
+    the unroll discard mask)."""
+    import numpy as np
+
+    from admm_tpu import ADMMConfig
+    from admm_tpu.models.paths import lasso_path
+
+    rng = np.random.default_rng(0)
+    D = rng.standard_normal((64, 32))
+    s = rng.standard_normal(64)
+    lams = np.geomspace(0.01, 1.0, 8)
+    base = lasso_path(D, s, lams, ADMMConfig(maxiters=501))
+    un = lasso_path(D, s, lams, ADMMConfig(maxiters=501, unroll=4))
+    np.testing.assert_array_equal(np.asarray(un.steps), np.asarray(base.steps))
+    np.testing.assert_array_equal(np.asarray(un.xopt), np.asarray(base.xopt))
