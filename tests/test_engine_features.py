@@ -259,3 +259,26 @@ def test_unroll_respects_maxiters_cap():
 def test_unroll_validation():
     with pytest.raises(ValueError, match="unroll"):
         ADMMConfig(unroll=0)
+
+
+def test_unroll_divergence_detection_exact():
+    """A broken prox must be caught by the convtest monitor at the SAME
+    step under unroll=K as under unroll=1 (the diverged flag freezes the
+    remaining sub-steps of the group)."""
+    P, Q, r, s, _ = _instance()
+    from admm_tpu.models.model import make_prox_ops
+
+    cfg1 = ADMMConfig(maxiters=200, convtest=True)
+    cfgK = ADMMConfig(maxiters=200, convtest=True, unroll=4)
+    prox_f, prox_g, obj, data = make_prox_ops(P, Q, r, s, cfg1)
+
+    def broken_g(x, z, u, rho, d):
+        return -prox_g(x, z, u, rho, d)  # sign error (convergencechecking.m)
+
+    n = P.shape[1]
+    r1 = admm(prox_f, broken_g, cfg1, A=1.0, B=-1.0, c=0.0,
+              m=n, nA=n, nB=n, data=data)
+    rK = admm(prox_f, broken_g, cfgK, A=1.0, B=-1.0, c=0.0,
+              m=n, nA=n, nB=n, data=data)
+    assert r1.diverged and rK.diverged
+    assert r1.steps == rK.steps
