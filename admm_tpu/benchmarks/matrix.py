@@ -208,12 +208,24 @@ def timing_matrix(smoke=False):
     rows.append(_row("quadraticprogram_bounded_f32", f"n={n2}", iters2, res,
                      bytes_per_iter=n2 * n2 * 4))
 
-    # --- covariance selection: eigh INSIDE the loop ---------------------
+    # --- covariance selection: eigh INSIDE the loop vs Newton-Schulz ----
+    # prox_method='ns' evaluates the same spectral prox as matmul-only
+    # Newton-Schulz square-root work (ops/matfun.py) — measured 2.5-4.5x
+    # the eigh path on v5e (5.9x at the tuned ns_iters=14), final
+    # solutions matching to ~2e-7.
     n = 256 // sc
     A = rng.standard_normal((4 * n, n)).astype(f32)
     iters = it(200)
     res = _run_twice(lambda: covarianceselection(A, 0.1, cfg(iters)))
     rows.append(_row("covarianceselection_f32", f"n={n}", iters, res))
+    res = _run_twice(
+        lambda: covarianceselection(A, 0.1, cfg(iters), prox_method="ns"))
+    rows.append(_row("covarianceselection_ns_f32", f"n={n}", iters, res))
+    n = 512 // sc
+    A = rng.standard_normal((4 * n, n)).astype(f32)
+    res = _run_twice(
+        lambda: covarianceselection(A, 0.1, cfg(iters), prox_method="ns"))
+    rows.append(_row("covarianceselection_ns_f32", f"n={n}", iters, res))
 
     # --- linear SVM: serial + 8-shard transpose reduction on-chip -------
     m, n = 4096 // sc, 512 // sc
@@ -289,6 +301,8 @@ def accuracy_matrix(smoke=False):
         ("quadraticprogram", p.quadraticprogramtest, {"form": "standard"}),
         ("quadraticprogram_bounded", p.quadraticprogramtest, {"form": "bounded"}),
         ("covarianceselection", p.covarianceselectiontest, {}),
+        ("covarianceselection_ns", p.covarianceselectiontest,
+         {"prox_method": "ns"}),
         ("linearsvm", p.linearsvmtest, {}),
     ):
         errtol = _F32_ERRTOL.get(name.split("_")[0], 1e-3)

@@ -15,17 +15,28 @@ x-update:  eigendecompose rho (Z - U) - S = Q diag(e) Q^T,
            X = Q diag((e + sqrt(e^2 + 4 rho)) / (2 rho)) Q^T
 z-update:  soft_threshold(U + X, lambda / rho)   (matrix-elementwise)
 
-TPU design: the per-iteration eigh batches under vmap and maps onto the
-MXU for the two n-by-n reconstruction matmuls; everything else is VPU
-elementwise work fused by XLA.
+TPU design: two x-prox evaluation strategies, selected by
+``prox_method``:
+
+- ``'eigh'`` (default, exact): per-iteration symmetric eigh; batches
+  under vmap, reconstruction matmuls hit the MXU, but the
+  eigendecomposition itself is latency-bound on TPU.
+- ``'ns'`` (TPU performance mode): the same spectral function evaluated
+  as (W + sqrt(W^2 + 4 rho I)) / (2 rho) with a Newton-Schulz matrix
+  square root (ops/matfun.py) — pure n^3 matmul work, no eigh inside
+  the loop.  ``ns_iters`` (static, default 20) covers kappa(W^2+4rho I)
+  up to ~1e7 at machine precision.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax.numpy as jnp
 
 from ..config import ADMMConfig
 from ..engine import Hooks, admm
+from ..ops.matfun import covsel_ns_prox
 from ..ops.prox import covsel_eig_prox, soft_threshold
 from ..results import ADMMResults
 from . import register
@@ -34,6 +45,18 @@ from ._common import bind_data, merge_config, timed_solver
 
 def _prox_f(X, Z, U, rho, d):
     return covsel_eig_prox(rho * (Z - U) - d["S"], rho)
+
+
+@functools.lru_cache(maxsize=32)
+def _ns_prox_f(ns_iters: int):
+    """Module-level-cached NS x-prox so repeat solves with the same
+    ``ns_iters`` reuse the engine's compiled runner (the caching
+    contract keys on function identity — see engine._cached_runner)."""
+
+    def prox(X, Z, U, rho, d):
+        return covsel_ns_prox(rho * (Z - U) - d["S"], rho, ns_iters)
+
+    return prox
 
 
 def _prox_g(X, Z, U, rho, d):
@@ -45,17 +68,26 @@ def _obj(X, Z, d):
     return jnp.trace(d["S"] @ X) - logdet + d["lam"] * jnp.sum(jnp.abs(Z))
 
 
-def make_prox_ops(S, lam, config: ADMMConfig = ADMMConfig()):
+def make_prox_ops(S, lam, config: ADMMConfig = ADMMConfig(), *,
+                  prox_method: str = "eigh", ns_iters: int = 20):
     """Build (prox_f, prox_g, obj, data) from the empirical covariance S
-    (getProxOps.m:669-750)."""
+    (getProxOps.m:669-750).
+
+    ``prox_method='ns'`` swaps the eigh x-prox for the Newton-Schulz
+    matmul-only evaluation (``ns_iters`` square-root steps, static).
+    """
+    if prox_method not in ("eigh", "ns"):
+        raise ValueError(f"prox_method must be 'eigh' or 'ns', got {prox_method!r}")
     S = jnp.asarray(S)
     data = {"S": S, "lam": jnp.asarray(lam, S.dtype)}
-    return _prox_f, _prox_g, _obj, data
+    pf = _prox_f if prox_method == "eigh" else _ns_prox_f(int(ns_iters))
+    return pf, _prox_g, _obj, data
 
 
 @register("covarianceselection")
-def _registry_entry(S, lam, config=ADMMConfig(), **_):
-    pf, pg, obj, data = make_prox_ops(S, lam, config)
+def _registry_entry(S, lam, config=ADMMConfig(), prox_method="eigh", ns_iters=20, **_):
+    pf, pg, obj, data = make_prox_ops(S, lam, config,
+                                      prox_method=prox_method, ns_iters=ns_iters)
     return bind_data(pf, pg, obj, data)
 
 
@@ -69,12 +101,17 @@ def empirical_covariance(D):
 
 
 @timed_solver
-def covarianceselection(D=None, lam=None, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
+def covarianceselection(D=None, lam=None, config: ADMMConfig = ADMMConfig(), *,
+                        prox_method: str = "eigh", ns_iters: int = 20,
+                        **overrides) -> ADMMResults:
     """Solve covariance selection (reference solvers/covarianceselection.m:80).
 
     ``D`` holds samples in rows; the empirical covariance is formed here
     (covarianceselection.m:145).  Iterates are n-by-n matrices with zero
     initial state (covarianceselection.m:164-166).
+
+    ``prox_method='ns'`` selects the matmul-only Newton-Schulz x-prox —
+    the TPU performance mode (no eigh inside the compiled loop).
     """
     if D is None:
         # Zero-arg demo mode (reference solvers, e.g. lasso.m:122-129).
@@ -86,7 +123,9 @@ def covarianceselection(D=None, lam=None, config: ADMMConfig = ADMMConfig(), **o
     D = jnp.asarray(D)
     S = empirical_covariance(D)
     n = S.shape[0]
-    prox_f, prox_g, obj, data = make_prox_ops(S, lam, config)
+    prox_f, prox_g, obj, data = make_prox_ops(S, lam, config,
+                                              prox_method=prox_method,
+                                              ns_iters=ns_iters)
     zero = jnp.zeros((n, n), dtype=S.dtype)
     return admm(
         prox_f, prox_g, config,

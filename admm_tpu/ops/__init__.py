@@ -19,6 +19,7 @@ from .prox import (
     covsel_eig_prox,
 )
 from .solve import SymShiftSolver, WoodburySolver, kkt_eq_solver
+from .matfun import ns_sqrtm, covsel_ns_prox
 
 __all__ = [
     "soft_threshold",
@@ -31,4 +32,6 @@ __all__ = [
     "SymShiftSolver",
     "WoodburySolver",
     "kkt_eq_solver",
+    "ns_sqrtm",
+    "covsel_ns_prox",
 ]

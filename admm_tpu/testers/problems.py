@@ -306,9 +306,14 @@ def quadraticprogramtest(seed=0, rows=48, cols=48, errtol=1e-5, quiet=True,
 
 
 def covarianceselectiontest(seed=0, rows=256, cols=32, errtol=1e-3, quiet=True,
-                            config=ADMMConfig(), lam=1.0, **overrides):
+                            config=ADMMConfig(), lam=1.0, prox_method="eigh",
+                            **overrides):
     """Sparse SPD inverse covariance, Gaussian samples
-    (testers/covarianceselectiontest.m:112-154)."""
+    (testers/covarianceselectiontest.m:112-154).
+
+    ``prox_method`` selects the x-prox evaluation ('eigh' exact /
+    'ns' Newton-Schulz TPU mode) so the on-device accuracy sweep can
+    certify both."""
     cfg = merge_config(config, dict(
         objevals=overrides.pop("objevals", True),
         maxiters=overrides.pop("maxiters", 1000),
@@ -332,7 +337,7 @@ def covarianceselectiontest(seed=0, rows=256, cols=32, errtol=1e-3, quiet=True,
     def obj(X, Z):
         return float(np.trace(S @ X) - np.linalg.slogdet(X)[1] + lam * np.sum(np.abs(Z)))
 
-    results = covarianceselection(D, lam, cfg)
+    results = covarianceselection(D, lam, cfg, prox_method=prox_method)
     X = np.asarray(results.xopt)
     failed = not (obj(X, X) < obj(Sinv, Sinv))
     test = dict(solver="covarianceselection", seed=seed, truexopt=Sinv,

@@ -3,9 +3,13 @@ testers/covarianceselectiontest.m:112-154: build a sparse SPD inverse
 covariance, sample Gaussians, and require the ADMM objective to beat the
 true inverse covariance's objective.  Exercises matrix-valued iterates."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from admm_tpu import ADMMConfig, covarianceselection
+from admm_tpu.ops.matfun import covsel_ns_prox, ns_sqrtm
+from admm_tpu.ops.prox import covsel_eig_prox
 
 
 def _make_instance(seed, rows, cols):
@@ -46,3 +50,65 @@ def test_covsel_beats_truth_objective():
     # X must be symmetric positive definite.
     np.testing.assert_allclose(X, X.T, atol=1e-8)
     assert np.linalg.eigvalsh(X).min() > 0
+
+
+def test_ns_sqrtm_matches_eigh_sqrt():
+    rng = np.random.default_rng(7)
+    for n, scale in [(16, 1.0), (64, 10.0), (96, 100.0)]:
+        M = rng.standard_normal((n, n))
+        W = (M + M.T) / 2 * scale
+        A = W @ W + 4.0 * np.eye(n)  # SPD, kappa up to ~1e6 at scale=100
+        e, Q = np.linalg.eigh(A)
+        ref = (Q * np.sqrt(e)) @ Q.T
+        got = np.asarray(ns_sqrtm(jnp.asarray(A)))
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-9 * np.linalg.norm(ref))
+
+
+def test_ns_sqrtm_batched():
+    rng = np.random.default_rng(8)
+    M = rng.standard_normal((3, 24, 24))
+    A = M @ np.swapaxes(M, -1, -2) + 0.5 * np.eye(24)
+    got = np.asarray(ns_sqrtm(jnp.asarray(A)))
+    for i in range(3):
+        e, Q = np.linalg.eigh(A[i])
+        ref = (Q * np.sqrt(e)) @ Q.T
+        np.testing.assert_allclose(got[i], ref, atol=1e-10 * np.linalg.norm(ref))
+
+
+def test_covsel_ns_prox_matches_eig_prox():
+    rng = np.random.default_rng(9)
+    for rho in (0.1, 1.0, 10.0):
+        M = rng.standard_normal((48, 48)) * 10.0
+        W = jnp.asarray((M + M.T) / 2)
+        ref = np.asarray(covsel_eig_prox(W, rho))
+        got = np.asarray(covsel_ns_prox(W, rho))
+        np.testing.assert_allclose(got, ref, atol=1e-9 * np.linalg.norm(ref))
+
+
+def test_covsel_solver_ns_matches_eigh():
+    """Full solve with prox_method='ns' tracks the eigh path: same step
+    count and matching optimum (the NS prox is exact to machine
+    precision at the default iteration count)."""
+    lam = 1.0
+    D, _, _ = _make_instance(3, 256, 24)
+    cfg = ADMMConfig(maxiters=400, convtest=True)
+    res_eig = covarianceselection(D, lam, cfg)
+    res_ns = covarianceselection(D, lam, cfg, prox_method="ns")
+    assert not res_ns.diverged
+    assert int(res_ns.steps) == int(res_eig.steps)
+    np.testing.assert_allclose(
+        np.asarray(res_ns.xopt), np.asarray(res_eig.xopt), atol=1e-7
+    )
+
+
+def test_covsel_ns_prox_f32_accuracy():
+    """f32 NS prox stays within f32-eigh-level accuracy of the f64
+    reference — the on-device precision story for the TPU mode."""
+    rng = np.random.default_rng(11)
+    M = rng.standard_normal((64, 64)) * 5.0
+    W64 = jnp.asarray((M + M.T) / 2, dtype=jnp.float64)
+    ref = np.asarray(covsel_eig_prox(W64, 1.0))
+    with jax.default_matmul_precision("highest"):
+        got32 = np.asarray(covsel_ns_prox(W64.astype(jnp.float32), 1.0))
+    rel = np.linalg.norm(got32 - ref) / np.linalg.norm(ref)
+    assert rel < 5e-6, rel
