@@ -41,7 +41,11 @@ def _run_twice(solve):
 
 
 def _row(name, shape, iters, res, bytes_per_iter=None, extra=None):
-    ips = iters / res.runtime
+    # Bill throughput to the iterations that actually ran: a timing row
+    # that NaN-exits early (nanguard) must not report an inflated rate.
+    steps = int(np.asarray(res.steps))
+    finite = bool(np.all(np.isfinite(np.asarray(res.xopt))))
+    ips = max(steps, 1) / res.runtime
     out = {
         "solver": name,
         "shape": shape,
@@ -49,6 +53,10 @@ def _row(name, shape, iters, res, bytes_per_iter=None, extra=None):
         "iters_per_sec": round(ips, 1),
         "ms_per_iter": round(1e3 / ips, 4),
     }
+    if steps != iters or not finite:
+        out["valid"] = False
+        out["steps_ran"] = steps
+        out["finite"] = finite
     if bytes_per_iter:
         roof_ms = bytes_per_iter / (_HBM_GBPS * 1e9) * 1e3
         out["roofline_ms_per_iter"] = round(roof_ms, 4)
@@ -183,19 +191,31 @@ def timing_matrix(smoke=False):
     slp = (Dlp @ truex).astype(f32)
     blp = (rng.random(n) + 0.5).astype(f32)
     iters = it(1000)
-    # LP/QP-standard run at unroll=1 — their triangular-solve bodies do
-    # not amortize and unrolling COSTS ~25% there (docs/RESULTS.md).
-    res = _run_twice(lambda: linearprogram(blp, Dlp, slp, cfg(iters, unroll=1)))
+    # kkt_mode='affine' (the default) folds the whole KKT solve into one
+    # n-by-n GEMV — no in-loop triangular pair, so LP/QP-standard now
+    # unroll like every other GEMV body (they previously required
+    # unroll=1; the chol row keeps that old profile visible).
+    res = _run_twice(lambda: linearprogram(blp, Dlp, slp, cfg(iters)))
     rows.append(_row("linearprogram_f32", f"n={n}", iters, res,
+                     bytes_per_iter=n * n * 4))  # one K1 stream
+    res = _run_twice(lambda: linearprogram(blp, Dlp, slp, cfg(iters, unroll=1),
+                                           kkt_mode="chol"))
+    rows.append(_row("linearprogram_chol_f32", f"n={n}", iters, res,
                      bytes_per_iter=3 * n * n * 4))  # Minv, MinvDt, tri pair
 
+    # QP-standard uses its own well-conditioned constraint block: the
+    # LP's reference-style all-positive D makes kappa(D Minv D^T) ~
+    # kappa(D)^2 * kappa(P) and the f32 setup Cholesky NaNs (caught by
+    # the nanguard, but a diverged run is not a timing measurement).
     Pq = rng.standard_normal((n, n)).astype(f32)
     Pq = (Pq @ Pq.T + n * np.eye(n)).astype(f32)
     qv = rng.standard_normal(n).astype(f32)
+    Dqp = (rng.standard_normal((n, n)) / np.sqrt(n)).astype(f32)
+    sqp = (Dqp @ truex).astype(f32)
     res = _run_twice(
-        lambda: quadraticprogram(Pq, qv, 0.0, Dlp, slp, cfg(iters, unroll=1)))
+        lambda: quadraticprogram(Pq, qv, 0.0, Dqp, sqp, cfg(iters)))
     rows.append(_row("quadraticprogram_standard_f32", f"n={n}", iters, res,
-                     bytes_per_iter=3 * n * n * 4))
+                     bytes_per_iter=n * n * 4))
 
     n2 = 2048 // sc
     Pb = rng.standard_normal((n2, n2)).astype(f32)

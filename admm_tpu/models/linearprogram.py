@@ -44,40 +44,51 @@ def _obj(x, z, d):
     return jnp.dot(d["b"], x)
 
 
-def make_prox_ops(b, D, s, config: ADMMConfig = ADMMConfig(), altproxg=None):
+def make_prox_ops(b, D, s, config: ADMMConfig = ADMMConfig(), altproxg=None,
+                  kkt_mode: str = "affine"):
     """Build (prox_f, prox_g, obj, data) for the LP (getProxOps.m:459-542).
 
-    Static rho (the default) folds the whole KKT factorization at setup
-    (StaticKKTSolver) — no per-iteration refactorization; dynamic-rho
-    configs keep the rho-parameterized Schur path.
+    Static rho (the default) folds the whole KKT solve at setup into one
+    affine map x = K1 b1 + x0 (kkt_eq_solver.materialize_affine) — a
+    single n-by-n GEMV per iteration, no in-loop triangular solves, so
+    the body unrolls like any GEMV solver.  ``kkt_mode='chol'`` keeps
+    the factored apply (two GEMVs + triangular pair) for
+    ill-conditioned constraint blocks; dynamic-rho configs use the
+    rho-parameterized Schur path regardless.
 
     ``altproxg(x, z, u, rho, data) -> z`` replaces the nonnegativity
     projection (the reference's args.altproxg, linearprogram.m:162-171);
     pass a module-level function to keep the compile cache warm."""
+    if kkt_mode not in ("affine", "chol"):
+        raise ValueError(f"kkt_mode must be 'affine' or 'chol', got {kkt_mode!r}")
     b = jnp.asarray(b)
     D = jnp.asarray(D)
     s = jnp.asarray(s)
     kkt = kkt_eq_solver.from_matrices(D, P=None)
     if not config.dynamic_rho:
-        kkt = kkt.materialize(config.rho)
+        kkt = (kkt.materialize_affine(config.rho, s) if kkt_mode == "affine"
+               else kkt.materialize(config.rho))
     data = {"b": b, "s": s, "kkt": kkt}
     prox_g = altproxg if altproxg is not None else _prox_g
     return _prox_f, prox_g, _obj, data
 
 
 @register("linearprogram")
-def _registry_entry(b, D, s, config=ADMMConfig(), **_):
-    pf, pg, obj, data = make_prox_ops(b, D, s, config)
+def _registry_entry(b, D, s, config=ADMMConfig(), kkt_mode="affine", **_):
+    pf, pg, obj, data = make_prox_ops(b, D, s, config, kkt_mode=kkt_mode)
     return bind_data(pf, pg, obj, data)
 
 
 @timed_solver
 def linearprogram(b=None, D=None, s=None, config: ADMMConfig = ADMMConfig(),
-                  altproxg=None, **overrides) -> ADMMResults:
+                  altproxg=None, kkt_mode: str = "affine",
+                  **overrides) -> ADMMResults:
     """Solve the standard-form LP (reference solvers/linearprogram.m:81).
 
     Constraint wiring: A = 1, B = -1, c = 0 in R^n.  ``altproxg``
     replaces the z-prox (reference linearprogram.m:162-171).
+    ``kkt_mode``: 'affine' (default — fully-folded one-GEMV x-prox) or
+    'chol' (factored apply; see make_prox_ops).
     """
     if b is None:
         # Zero-arg demo mode (reference solvers, e.g. lasso.m:122-129).
@@ -89,7 +100,9 @@ def linearprogram(b=None, D=None, s=None, config: ADMMConfig = ADMMConfig(),
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     n = D.shape[1]
-    prox_f, prox_g, obj, data = make_prox_ops(b, D, s, config, altproxg=altproxg)
+    prox_f, prox_g, obj, data = make_prox_ops(b, D, s, config,
+                                              altproxg=altproxg,
+                                              kkt_mode=kkt_mode)
     return admm(
         prox_f, prox_g, config,
         A=1.0, B=-1.0, c=0.0, m=n, nA=n, nB=n,

@@ -63,16 +63,22 @@ def _obj(x, z, d):
 
 def make_prox_ops_standard(
     P, q, D, s, config: ADMMConfig = ADMMConfig(),
-    altproxg: Optional[Callable] = None,
+    altproxg: Optional[Callable] = None, kkt_mode: str = "affine",
 ):
     """Standard (equality + nonnegativity) form (getProxOps.m:1397-1412).
-    Static rho folds the KKT factorization once at setup.
+    Static rho folds the whole KKT solve once at setup into the affine
+    map x = K1 b1 + x0 (one GEMV per iteration, unrollable — see
+    kkt_eq_solver.materialize_affine); ``kkt_mode='chol'`` keeps the
+    factored two-GEMV + triangular-pair apply.
 
     ``altproxg(x, z, u, rho, data) -> z`` replaces the nonnegativity
     projection (the reference's args.altproxg, getProxOps.m:664-666)."""
+    if kkt_mode not in ("affine", "chol"):
+        raise ValueError(f"kkt_mode must be 'affine' or 'chol', got {kkt_mode!r}")
     kkt = kkt_eq_solver.from_matrices(jnp.asarray(D), P=jnp.asarray(P))
     if not config.dynamic_rho:
-        kkt = kkt.materialize(config.rho)
+        kkt = (kkt.materialize_affine(config.rho, jnp.asarray(s))
+               if kkt_mode == "affine" else kkt.materialize(config.rho))
     data = {
         "q": jnp.asarray(q),
         "s": jnp.asarray(s),
@@ -104,9 +110,11 @@ def make_prox_ops_bounded(
 
 
 @register("quadraticprogram")
-def _registry_entry(P, q, D=None, s=None, lb=None, ub=None, config=ADMMConfig(), **_):
+def _registry_entry(P, q, D=None, s=None, lb=None, ub=None, config=ADMMConfig(),
+                    kkt_mode="affine", **_):
     if D is not None:
-        pf, pg, data = make_prox_ops_standard(P, q, D, s, config)
+        pf, pg, data = make_prox_ops_standard(P, q, D, s, config,
+                                              kkt_mode=kkt_mode)
     else:
         pf, pg, data = make_prox_ops_bounded(P, q, lb, ub, config)
     return bind_data(pf, pg, None, data)
@@ -116,7 +124,7 @@ def _registry_entry(P, q, D=None, s=None, lb=None, ub=None, config=ADMMConfig(),
 def quadraticprogram(
     P=None, q=None, r=None, cons1=None, cons2=None,
     config: ADMMConfig = ADMMConfig(), altproxg: Optional[Callable] = None,
-    **overrides
+    kkt_mode: str = "affine", **overrides
 ) -> ADMMResults:
     """Solve a QP (reference solvers/quadraticprogram.m:99).
 
@@ -125,6 +133,7 @@ def quadraticprogram(
     two vectors of length n select the bounded form (bounds are
     normalized so lb <= ub elementwise, quadraticprogram.m:340-350).
     ``altproxg`` replaces the z-prox in either form (getProxOps.m:664-666).
+    ``kkt_mode`` ('affine' default / 'chol') applies to the standard form.
     """
     if P is None:
         # Zero-arg demo mode (reference solvers, e.g. lasso.m:122-129).
@@ -140,7 +149,7 @@ def quadraticprogram(
 
     if c1.ndim == 2:
         prox_f, prox_g, data = make_prox_ops_standard(
-            P, q, c1, cons2, config, altproxg=altproxg)
+            P, q, c1, cons2, config, altproxg=altproxg, kkt_mode=kkt_mode)
     else:
         u_ = jnp.asarray(cons2)
         lb, ub = jnp.minimum(c1, u_), jnp.maximum(c1, u_)

@@ -220,8 +220,68 @@ class kkt_eq_solver:
         # x = Minv b1 - MinvDt y;  y = cho_solve(S, D Minv b1 - b2)
         return StaticKKTSolver(Minv, Minv @ self.D.T, self.D, cf, lower)
 
+    def materialize_affine(self, rho, b2) -> "AffineKKTSolver":
+        """Fold the ENTIRE fixed-rho KKT solve into one affine map.
+
+        The constraint right-hand side b2 is a per-problem constant (the
+        engine calls the x-prox with the same s every iteration), so
+
+            x = Minv b1 - MinvDt S^{-1} (D Minv b1 - b2)
+              = K1 b1 + x0,
+            K1 = Minv - MinvDt S^{-1} D Minv,   x0 = MinvDt S^{-1} b2
+
+        — the upper-left block of the KKT inverse applied by ONE n-by-n
+        GEMV per iteration.  No triangular solves inside the loop, so the
+        body unrolls as well as any GEMV solver (LP/QP-standard
+        previously preferred unroll=1 because the triangular pair does
+        not amortize).  For the LP (V=None), K1 is (1/rho) times the
+        orthogonal projector onto null(D) — the same structure as the
+        basis-pursuit prox.  Forward error of the explicit-inverse apply
+        is O(kappa(KKT) eps), same order as the factored solve's forward
+        error; the f64 oracle bar (LP 1e-10) holds — see
+        tests/test_linearprogram.py.
+        """
+        inv_diag = 1.0 / (self.w + rho)
+        S = (self.G * inv_diag[None, :]) @ self.G.T
+        S = 0.5 * (S + S.T)
+        cf = jax.scipy.linalg.cho_factor(S)
+        if self.V is None:
+            Minv = jnp.diag(inv_diag)
+        else:
+            Minv = (self.V * inv_diag[None, :]) @ self.V.T
+        MinvDt = Minv @ self.D.T
+        K1 = Minv - MinvDt @ jax.scipy.linalg.cho_solve(cf, self.D @ Minv)
+        K1 = 0.5 * (K1 + K1.T)  # exact symmetry of the KKT inverse block
+        x0 = MinvDt @ jax.scipy.linalg.cho_solve(cf, jnp.asarray(b2))
+        return AffineKKTSolver(K1, x0)
+
     def tree_flatten(self):
         return (self.D, self.V, self.w, self.G), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+class AffineKKTSolver:
+    """Fully-folded fixed-rho KKT apply (see
+    kkt_eq_solver.materialize_affine): x = K1 @ b1 + x0.
+
+    ``solve`` keeps the (b1, b2, rho) signature of the other KKT solvers
+    for drop-in use by the LP/QP x-prox; b2 and rho are ignored — both
+    were folded into (K1, x0) at setup.
+    """
+
+    def __init__(self, K1, x0):
+        self.K1 = K1
+        self.x0 = x0
+
+    def solve(self, b1, b2=None, rho=None):
+        return self.K1 @ b1 + self.x0
+
+    def tree_flatten(self):
+        return (self.K1, self.x0), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):

@@ -33,6 +33,42 @@ def test_lp_unique_feasible_point():
     assert relerror <= errtol
 
 
+def test_lp_qp_affine_kkt_matches_chol():
+    """The fully-folded affine KKT apply (kkt_mode='affine', the
+    default) must track the factored apply on a problem with a
+    nontrivial nullspace: identical step counts and ~1e-14 agreement."""
+    from admm_tpu import quadraticprogram
+
+    rng = np.random.default_rng(42)
+    m, n = 48, 96
+    truex = np.abs(rng.standard_normal(n))
+    D = np.abs(rng.standard_normal((m, n)))
+    s = D @ truex
+    b = rng.random(n) + 0.5
+    cfg = ADMMConfig(maxiters=20000)
+    r_aff = linearprogram(b, D, s, cfg)
+    r_chol = linearprogram(b, D, s, cfg, kkt_mode="chol")
+    assert int(r_aff.steps) == int(r_chol.steps)
+    xa, xc = np.asarray(r_aff.xopt), np.asarray(r_chol.xopt)
+    np.testing.assert_allclose(xa, xc, atol=1e-12 * np.linalg.norm(xc))
+    assert np.linalg.norm(D @ xa - s) / np.linalg.norm(s) < 1e-12
+
+    P0 = rng.standard_normal((n, n))
+    P = P0 @ P0.T + n * np.eye(n)
+    q = rng.standard_normal(n)
+    r_aff = quadraticprogram(P, q, 0.0, D, s, cfg)
+    r_chol = quadraticprogram(P, q, 0.0, D, s, cfg, kkt_mode="chol")
+    assert int(r_aff.steps) == int(r_chol.steps)
+    np.testing.assert_allclose(
+        np.asarray(r_aff.xopt), np.asarray(r_chol.xopt),
+        atol=1e-12 * np.linalg.norm(np.asarray(r_chol.xopt)))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        linearprogram(b, D, s, cfg, kkt_mode="bogus")
+
+
 def test_lp_altproxg_override():
     """args.altproxg replaces the z-prox (reference
     linearprogram.m:162-171): a box projection must be honored and keep

@@ -51,6 +51,36 @@ def test_svm_c_path_runs():
     assert np.all(np.isfinite(x))
 
 
+def test_covsel_path_matches_individual_solves():
+    """Graphical-lasso path (batched NS prox) tracks per-lambda serial
+    solves lane-for-lane, including matrix-valued iterate shapes."""
+    from admm_tpu import covarianceselection
+    from admm_tpu.models.paths import covsel_path
+
+    rng = np.random.default_rng(2)
+    n = 16
+    Sinv = np.eye(n)
+    Sinv[1, 5] = Sinv[5, 1] = 0.8
+    D = rng.multivariate_normal(np.zeros(n), np.linalg.inv(Sinv), size=200)
+    lams = np.array([2.0, 0.5, 0.1])
+
+    cfg = ADMMConfig(maxiters=500)
+    path = covsel_path(D, lams, cfg)
+    assert path.xopt.shape == (3, n, n)
+
+    for i, lam in enumerate(lams):
+        solo = covarianceselection(D, float(lam), cfg, prox_method="ns")
+        np.testing.assert_allclose(
+            np.asarray(path.xopt[i]), np.asarray(solo.xopt), atol=1e-8)
+        assert int(path.steps[i]) == int(solo.steps)
+    # Larger lambda -> sparser off-diagonal pattern (path semantics).
+    offdiag_nnz = [
+        (np.abs(np.asarray(path.zopt[i]) - np.diag(np.diag(np.asarray(path.zopt[i])))) > 1e-8).sum()
+        for i in range(3)
+    ]
+    assert offdiag_nnz[0] <= offdiag_nnz[-1]
+
+
 def test_lasso_path_unroll_exact():
     """vmap x unroll interplay: the batched path with unroll=4 must
     match unroll=1 lane-for-lane (per-lane stop masking composes with
