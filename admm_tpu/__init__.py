@@ -31,7 +31,7 @@ from .models import (
     unwrappedadmm,
 )
 
-from .models.paths import covsel_path, lasso_path, linearsvm_c_path
+from .models.paths import covsel_path, lasso_path, linearsvm_c_path, tv_path
 from . import parallel, testers, utils  # noqa: F401  (subpackage access)
 
 __version__ = "0.1.0"
@@ -63,5 +63,6 @@ __all__ = [
     "unwrappedadmm",
     "lasso_path",
     "covsel_path",
+    "tv_path",
     "linearsvm_c_path",
 ]

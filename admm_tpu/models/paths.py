@@ -152,6 +152,44 @@ def covsel_path(D, lams, config: ADMMConfig = ADMMConfig(), *,
     )
 
 
+def tv_path(s, lams, config: ADMMConfig = ADMMConfig(), *,
+            solver: str = "auto", **overrides) -> PathResults:
+    """1-D TV denoising for every lambda in ``lams`` in one vmapped
+    program (denoising-strength sweep).
+
+    The TV x-prox cache — the diagonalized (or cyclic-reduction)
+    (I + rho D^T D) solve — is lambda-independent, so the whole path
+    shares one factorization and only the scalar threshold is mapped.
+    """
+    config = merge_config(config, overrides)
+    from .totalvariation import make_prox_ops as _tv_make_prox_ops
+
+    s = jnp.asarray(s)
+    n = s.shape[0]
+    lams = jnp.asarray(lams, s.dtype)
+    prox_f, prox_g, obj, data, D = _tv_make_prox_ops(
+        s, float(lams[0]), config, solver)
+    data = dict(data)
+    data["lam"] = lams  # mapped leaf
+
+    vrun = _cached_path_runner(prox_f, prox_g, obj, config,
+                               frozenset({"lam"}), frozenset(data))
+    L = lams.shape[0]
+    zeros = jnp.zeros((L, n), s.dtype)
+    A, B = as_linop(D), as_linop(-1.0)
+
+    jax.block_until_ready(data)
+    t0 = time.perf_counter()  # loop-only wall clock (setup flushed)
+    out = jax.block_until_ready(vrun(zeros, zeros, zeros, zeros, A, B, data))
+    return PathResults(
+        xopt=out["xopt"], zopt=out["zopt"], uopt=out["uopt"],
+        steps=out["steps"], lams=lams,
+        objopt=out.get("objopt"),
+        runtime=time.perf_counter() - t0,
+        hist={k: v for k, v in out["hist"].items() if not isinstance(v, tuple)},
+    )
+
+
 def linearsvm_c_path(D, ell, Cs, config: ADMMConfig = ADMMConfig(), *,
                      loss: str = "hinge", seed: int = 0, **overrides) -> PathResults:
     """Train the linear SVM for every C in ``Cs`` in one vmapped program

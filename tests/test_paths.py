@@ -81,6 +81,32 @@ def test_covsel_path_matches_individual_solves():
     assert offdiag_nnz[0] <= offdiag_nnz[-1]
 
 
+def test_tv_path_matches_individual_solves():
+    """TV denoising-strength sweep: lanes match serial solves for both
+    the dense and cyclic-reduction x-prox paths."""
+    from admm_tpu import totalvariation
+    from admm_tpu.models.paths import tv_path
+
+    rng = np.random.default_rng(4)
+    n = 128
+    clean = np.repeat(rng.standard_normal(8), n // 8)
+    s = clean + 0.3 * rng.standard_normal(n)
+    lams = np.array([2.0, 0.5, 0.05])
+
+    cfg = ADMMConfig(maxiters=2000)
+    for solver in ("dense", "cr"):
+        path = tv_path(s, lams, cfg, solver=solver)
+        assert path.xopt.shape == (3, n)
+        for i, lam in enumerate(lams):
+            solo = totalvariation(s, float(lam), cfg, solver=solver)
+            np.testing.assert_allclose(
+                np.asarray(path.xopt[i]), np.asarray(solo.xopt), atol=1e-8)
+            assert int(path.steps[i]) == int(solo.steps)
+    # Stronger lambda flattens more: TV seminorm decreases with lambda.
+    tvnorm = [np.abs(np.diff(np.asarray(path.xopt[i]))).sum() for i in range(3)]
+    assert tvnorm[0] <= tvnorm[1] <= tvnorm[2]
+
+
 def test_lasso_path_unroll_exact():
     """vmap x unroll interplay: the batched path with unroll=4 must
     match unroll=1 lane-for-lane (per-lane stop masking composes with
