@@ -43,7 +43,10 @@ def _run_twice(solve):
 def _row(name, shape, iters, res, bytes_per_iter=None, extra=None):
     # Bill throughput to the iterations that actually ran: a timing row
     # that NaN-exits early (nanguard) must not report an inflated rate.
-    steps = int(np.asarray(res.steps))
+    # Path rows carry per-lane step vectors; the batch runs until the
+    # slowest lane, so its max is the wall-clock-determining count.
+    steps_arr = np.asarray(res.steps)
+    steps = int(steps_arr.max()) if steps_arr.ndim else int(steps_arr)
     finite = bool(np.all(np.isfinite(np.asarray(res.xopt))))
     ips = max(steps, 1) / res.runtime
     out = {
