@@ -30,11 +30,21 @@ from .linearsvm import make_prox_ops as _svm_make_prox_ops
 from ._common import merge_config
 
 
-def _covsel_make(S, lam0, prox_method, ns_iters, config):
-    from .covarianceselection import make_prox_ops
+def _highest_precision_setup(fn):
+    """Run the path's setup algebra (Grams, eigendecompositions,
+    empirical covariances) under the library's full-f32-precision
+    invariant, exactly as timed_solver does for the serial solvers
+    (models/_common.py: the TPU default f32 matmul uses bf16 passes and
+    corrupts setup algebra).  The compiled loop's precision is still
+    governed by config.matmul_precision — _cached_path_runner sets it
+    explicitly inside, so the config wins there."""
 
-    return make_prox_ops(S, lam0, config, prox_method=prox_method,
-                         ns_iters=ns_iters)
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 @functools.lru_cache(maxsize=32)
@@ -67,6 +77,7 @@ class PathResults:
     hist: dict = dataclasses.field(default_factory=dict)
 
 
+@_highest_precision_setup
 def lasso_path(D, s, lams, config: ADMMConfig = ADMMConfig(), **overrides) -> PathResults:
     """Solve LASSO for every lambda in ``lams`` in one vmapped program.
 
@@ -109,6 +120,7 @@ def lasso_path(D, s, lams, config: ADMMConfig = ADMMConfig(), **overrides) -> Pa
     )
 
 
+@_highest_precision_setup
 def covsel_path(D, lams, config: ADMMConfig = ADMMConfig(), *,
                 prox_method: str = "ns", ns_iters: int = 20,
                 **overrides) -> PathResults:
@@ -129,8 +141,10 @@ def covsel_path(D, lams, config: ADMMConfig = ADMMConfig(), *,
     S = empirical_covariance(jnp.asarray(D))
     n = S.shape[0]
     lams = jnp.asarray(lams, S.dtype)
-    prox_f, prox_g, obj, data = _covsel_make(S, float(lams[0]), prox_method,
-                                             ns_iters, config)
+    from .covarianceselection import make_prox_ops as _covsel_make_prox_ops
+
+    prox_f, prox_g, obj, data = _covsel_make_prox_ops(
+        S, float(lams[0]), config, prox_method=prox_method, ns_iters=ns_iters)
     data = dict(data)
     data["lam"] = lams  # mapped leaf
 
@@ -152,6 +166,7 @@ def covsel_path(D, lams, config: ADMMConfig = ADMMConfig(), *,
     )
 
 
+@_highest_precision_setup
 def tv_path(s, lams, config: ADMMConfig = ADMMConfig(), *,
             solver: str = "auto", **overrides) -> PathResults:
     """1-D TV denoising for every lambda in ``lams`` in one vmapped
@@ -190,6 +205,7 @@ def tv_path(s, lams, config: ADMMConfig = ADMMConfig(), *,
     )
 
 
+@_highest_precision_setup
 def linearsvm_c_path(D, ell, Cs, config: ADMMConfig = ADMMConfig(), *,
                      loss: str = "hinge", seed: int = 0, **overrides) -> PathResults:
     """Train the linear SVM for every C in ``Cs`` in one vmapped program
