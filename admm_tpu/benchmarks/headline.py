@@ -54,14 +54,16 @@ def main(smoke: bool = False):
     s = (D @ testx + np.sqrt(0.001) * rng.standard_normal(m)).astype(np.float32)
     lam = float(0.1 * np.max(np.abs(D.T @ s)))
 
-    iters = 100 if smoke else 2000
-    # unroll=16: K exact iterations per device loop step — amortizes the
+    iters = 100 if smoke else 4096
+    # unroll=64: K exact iterations per device loop step — amortizes the
     # loop turnaround AND lets XLA keep the two stream matrices resident
     # in VMEM across sub-iterations (they fit: 60 MB < 128 MB VMEM),
-    # cutting HBM traffic.  Measured sweep on this workload (f32):
-    # K=1 8.9k, 4 16.4k, 8 20.8k, 16 23.7k, 32 25.2k iter/s; bf16 peaks
-    # at K=16.  Semantics are bit-exact (ADMMConfig.unroll).
-    cfg = ADMMConfig(maxiters=iters, domaxiters=True, unroll=16)
+    # cutting HBM traffic.  Measured sweep on this workload
+    # (experiments/unroll_sweep.py, f32, best of 3 x 4096 iters):
+    # K=16 29.4k, 32 33.4k, 64 35.8k iter/s (27.9 us/iter — at the
+    # measured XLA 2-GEMV VMEM-resident floor of ~30 us; bf16 36.7k).
+    # Semantics are bit-exact (ADMMConfig.unroll).
+    cfg = ADMMConfig(maxiters=iters, domaxiters=True, unroll=64)
 
     # Warm-up (compile), then the timed run.
     lasso(D, s, lam, cfg)
