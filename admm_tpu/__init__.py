@@ -32,6 +32,7 @@ from .models import (
 )
 
 from .models.paths import covsel_path, lasso_path, linearsvm_c_path, tv_path
+from .models.batch import huberfit_batch, lad_batch, lasso_batch, tv_batch
 from . import parallel, testers, utils  # noqa: F401  (subpackage access)
 
 __version__ = "0.1.0"
@@ -65,4 +66,8 @@ __all__ = [
     "covsel_path",
     "tv_path",
     "linearsvm_c_path",
+    "lasso_batch",
+    "tv_batch",
+    "lad_batch",
+    "huberfit_batch",
 ]

@@ -1,0 +1,175 @@
+"""Instance-batched solvers: B independent problem INSTANCES in one
+vmapped, jit-cached program.
+
+Complements models/paths.py — a path sweeps a hyperparameter on one
+fixed instance, whereas here the DATA varies per lane and every
+factorization that does not depend on it is shared:
+
+- ``lasso_batch``: sparse-code a batch of signals against ONE shared
+  dictionary (one Gram/Woodbury factorization; the per-lane x-update
+  GEMVs become (B, m) x (m, n) GEMMs on the MXU).  This is the classic
+  dictionary-coding workload — e.g. encoding image patches.
+- ``tv_batch``: denoise a batch of 1-D signals (the (I + rho D^T D)
+  factorization is signal-independent, so all lanes share it).
+- ``lad_batch`` / ``huberfit_batch``: robust regression of many
+  right-hand sides against one design matrix (one normal-equations
+  pseudo-inverse shared).
+
+The reference library solves instances one at a time in a MATLAB loop
+(e.g. solvers/lasso.m:77 called per signal); there is no batched
+equivalent to cite — this module is the TPU-native replacement for
+that outer loop.  Lanes converge independently: under vmap the engine's
+while_loop freezes finished lanes (per-lane predicate select), and
+``steps`` reports each lane's own iteration count.
+
+Engine caching contract: prox operators stay module-level functions
+over a ``data`` pytree; the vmapped runner is compiled once per
+(functions, config, mapped-leaf set) via paths._cached_path_runner and
+reused across calls, so steady-state timing contains no retracing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ADMMConfig
+from ..linop import as_linop
+from ._common import merge_config
+from .huberfit import make_prox_ops as _huber_make_prox_ops
+from .lad import make_prox_ops as _lad_make_prox_ops
+from .lasso import make_prox_ops as _lasso_make_prox_ops
+from .paths import _cached_path_runner, _highest_precision_setup
+from .totalvariation import make_prox_ops as _tv_make_prox_ops
+
+
+@dataclasses.dataclass
+class BatchResults:
+    """Stacked per-lane results: leading axis = instance index."""
+
+    xopt: Any
+    zopt: Any
+    uopt: Any
+    steps: Any       # (B,) iterations per instance
+    objopt: Any = None  # (B,) per-instance objective at the solution
+    runtime: float = 0.0
+    hist: dict = dataclasses.field(default_factory=dict)
+
+
+def _check_batch(S, m, what):
+    S = jnp.asarray(S)
+    if S.ndim != 2 or S.shape[1] != m:
+        raise ValueError(
+            f"{what} must be a (B, {m}) batch of row instances, got {S.shape}"
+        )
+    return S
+
+
+def _run(prox_f, prox_g, obj, config, mapped, data, x0, z0, u0, c0, A, B):
+    vrun = _cached_path_runner(prox_f, prox_g, obj, config,
+                               frozenset(mapped), frozenset(data))
+    jax.block_until_ready(data)
+    t0 = time.perf_counter()  # loop-only wall clock (setup flushed)
+    out = jax.block_until_ready(vrun(x0, z0, u0, c0, A, B, data))
+    return BatchResults(
+        xopt=out["xopt"], zopt=out["zopt"], uopt=out["uopt"],
+        steps=out["steps"], objopt=out.get("objopt"),
+        runtime=time.perf_counter() - t0,
+        hist={k: v for k, v in out["hist"].items() if not isinstance(v, tuple)},
+    )
+
+
+@_highest_precision_setup
+def lasso_batch(D, S, lams, config: ADMMConfig = ADMMConfig(), *,
+                stream_dtype=None, **overrides) -> BatchResults:
+    """Solve LASSO for every signal row of ``S`` (shape (B, m)) against
+    the shared dictionary ``D`` (shape (m, n)) in one vmapped program.
+
+    ``lams`` is a scalar (shared) or a (B,) vector (per-instance
+    regularization).  The x-update factorization depends only on
+    (D, rho), so all lanes share it; only the right-hand-side leaves
+    (s, D^T s, lam) are mapped.  ``stream_dtype`` applies to the shared
+    fat-branch stream matrices exactly as in ``lasso``.
+    """
+    config = merge_config(config, overrides)
+    D = jnp.asarray(D)
+    m, n = D.shape
+    S = _check_batch(S, m, "S").astype(D.dtype)
+    Bn = S.shape[0]
+    prox_f, prox_g, obj, data = _lasso_make_prox_ops(
+        D, S[0], 1.0, config, stream_dtype)
+    data = dict(data)
+    data["s"] = S
+    data["Dts"] = S @ D  # (B, n): per-lane D^T s in one GEMM
+    data["lam"] = jnp.broadcast_to(jnp.asarray(lams, D.dtype), (Bn,))
+
+    zeros = jnp.zeros((Bn, n), D.dtype)
+    return _run(prox_f, prox_g, obj, config, {"s", "Dts", "lam"}, data,
+                zeros, zeros, zeros, zeros, as_linop(1.0), as_linop(-1.0))
+
+
+@_highest_precision_setup
+def tv_batch(S, lams, config: ADMMConfig = ADMMConfig(), *,
+             solver: str = "auto", **overrides) -> BatchResults:
+    """1-D TV denoising of every signal row of ``S`` (shape (B, n)) in
+    one vmapped program.
+
+    The diagonalized (or cyclic-reduction) (I + rho D^T D) solve is
+    signal-independent and shared across lanes; ``lams`` is a scalar or
+    (B,) per-signal denoising strength.
+    """
+    config = merge_config(config, overrides)
+    S = jnp.asarray(S)
+    if S.ndim != 2:
+        raise ValueError(f"S must be a (B, n) batch of signals, got {S.shape}")
+    Bn, n = S.shape
+    prox_f, prox_g, obj, data, D = _tv_make_prox_ops(S[0], 1.0, config, solver)
+    data = dict(data)
+    data["s"] = S
+    data["lam"] = jnp.broadcast_to(jnp.asarray(lams, S.dtype), (Bn,))
+
+    zeros = jnp.zeros((Bn, n), S.dtype)
+    return _run(prox_f, prox_g, obj, config, {"s", "lam"}, data,
+                zeros, zeros, zeros, zeros, as_linop(D), as_linop(-1.0))
+
+
+def _rhs_batch(make_prox_ops, D, S, config):
+    """Shared LAD/Huber multi-RHS setup: one normal-equations
+    pseudo-inverse, per-lane right-hand sides (constraint offset c = s
+    is mapped through the runner's c argument)."""
+    D = jnp.asarray(D)
+    m, n = D.shape
+    S = _check_batch(S, m, "S").astype(D.dtype)
+    prox_f, prox_g, obj, data = make_prox_ops(D, S[0], config)
+    data = dict(data)
+    data["s"] = S
+    Bn = S.shape[0]
+    xz = jnp.zeros((Bn, n), D.dtype)
+    zz = jnp.zeros((Bn, m), D.dtype)
+    return prox_f, prox_g, obj, data, D, xz, zz, S
+
+
+@_highest_precision_setup
+def lad_batch(D, S, config: ADMMConfig = ADMMConfig(), **overrides) -> BatchResults:
+    """Least absolute deviations for every right-hand side row of ``S``
+    (shape (B, m)) against the shared design matrix ``D`` (m, n)."""
+    config = merge_config(config, overrides)
+    prox_f, prox_g, obj, data, Dj, xz, zz, S = _rhs_batch(
+        _lad_make_prox_ops, D, S, config)
+    return _run(prox_f, prox_g, obj, config, {"s"}, data,
+                xz, zz, zz, S, as_linop(Dj), as_linop(-1.0))
+
+
+@_highest_precision_setup
+def huberfit_batch(D, S, config: ADMMConfig = ADMMConfig(), **overrides) -> BatchResults:
+    """Huber fitting for every right-hand side row of ``S`` (shape
+    (B, m)) against the shared design matrix ``D`` (m, n)."""
+    config = merge_config(config, overrides)
+    prox_f, prox_g, obj, data, Dj, xz, zz, S = _rhs_batch(
+        _huber_make_prox_ops, D, S, config)
+    return _run(prox_f, prox_g, obj, config, {"s"}, data,
+                xz, zz, zz, S, as_linop(Dj), as_linop(-1.0))

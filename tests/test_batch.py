@@ -1,0 +1,166 @@
+"""Instance-batched solvers (models/batch.py): every lane must match
+the corresponding serial solve exactly (same trajectory, same steps)."""
+
+import numpy as np
+import pytest
+
+from admm_tpu import (
+    ADMMConfig,
+    huberfit,
+    huberfit_batch,
+    lad,
+    lad_batch,
+    lasso,
+    lasso_batch,
+    totalvariation,
+    tv_batch,
+)
+
+
+def _lasso_instances(B=3, m=48, n=96, seed=0):
+    rng = np.random.default_rng(seed)
+    D = rng.standard_normal((m, n))
+    D = D / np.sqrt(np.sum(D**2, axis=0, keepdims=True))
+    X = rng.standard_normal((B, n)) * (rng.random((B, n)) < 0.2)
+    S = X @ D.T + 0.02 * rng.standard_normal((B, m))
+    return D, S
+
+
+def test_lasso_batch_matches_serial_per_instance():
+    D, S = _lasso_instances()
+    lam = 0.1 * np.max(np.abs(S @ D))
+    cfg = ADMMConfig(maxiters=3000)
+    out = lasso_batch(D, S, lam, cfg)
+    assert out.xopt.shape == (3, 96)
+    for i in range(S.shape[0]):
+        solo = lasso(D, S[i], float(lam), cfg)
+        np.testing.assert_allclose(
+            np.asarray(out.xopt[i]), np.asarray(solo.xopt), atol=1e-8
+        )
+        assert int(out.steps[i]) == solo.steps
+        np.testing.assert_allclose(
+            float(out.objopt[i]), float(solo.objopt), rtol=1e-10
+        )
+
+
+def test_lasso_batch_per_instance_lambdas():
+    D, S = _lasso_instances(B=2)
+    lam0 = 0.1 * np.max(np.abs(S @ D))
+    lams = np.array([lam0, 0.3 * lam0])
+    cfg = ADMMConfig(maxiters=3000)
+    out = lasso_batch(D, S, lams, cfg)
+    for i, lam in enumerate(lams):
+        solo = lasso(D, S[i], float(lam), cfg)
+        np.testing.assert_allclose(
+            np.asarray(out.xopt[i]), np.asarray(solo.xopt), atol=1e-8
+        )
+
+
+def test_lasso_batch_skinny_and_fat_branches():
+    # m < n exercises FatShiftSolver sharing; m >= n the Gram inverse.
+    for m, n in ((32, 80), (80, 32)):
+        rng = np.random.default_rng(m)
+        D = rng.standard_normal((m, n))
+        D = D / np.sqrt(np.sum(D**2, axis=0, keepdims=True))
+        S = rng.standard_normal((2, m))
+        lam = 0.2 * np.max(np.abs(S @ D))
+        cfg = ADMMConfig(maxiters=2000)
+        out = lasso_batch(D, S, lam, cfg)
+        solo = lasso(D, S[1], float(lam), cfg)
+        np.testing.assert_allclose(
+            np.asarray(out.xopt[1]), np.asarray(solo.xopt), atol=1e-8
+        )
+
+
+def test_lasso_batch_rejects_bad_shapes():
+    D, S = _lasso_instances()
+    with pytest.raises(ValueError, match="batch"):
+        lasso_batch(D, S[0], 0.1)
+    with pytest.raises(ValueError, match="batch"):
+        lasso_batch(D, S[:, :-1], 0.1)
+
+
+def test_tv_batch_matches_serial_per_signal():
+    rng = np.random.default_rng(3)
+    n, B = 128, 3
+    steps = np.cumsum(rng.standard_normal((B, 5)), axis=1)
+    S = np.repeat(steps, n // 5 + 1, axis=1)[:, :n]
+    S = S + 0.1 * rng.standard_normal((B, n))
+    cfg = ADMMConfig(maxiters=2000)
+    out = tv_batch(S, 0.5, cfg)
+    assert out.xopt.shape == (B, n)
+    for i in range(B):
+        solo = totalvariation(S[i], 0.5, cfg)
+        np.testing.assert_allclose(
+            np.asarray(out.xopt[i]), np.asarray(solo.xopt), atol=1e-8
+        )
+        assert int(out.steps[i]) == solo.steps
+
+
+def test_tv_batch_cr_solver_lanes_agree():
+    # The cyclic-reduction large-n path shares its elimination across
+    # lanes too (solver='cr' forced at small n to keep the test fast).
+    rng = np.random.default_rng(4)
+    S = np.cumsum(rng.standard_normal((2, 256)), axis=1)
+    cfg = ADMMConfig(maxiters=800)
+    out = tv_batch(S, 0.3, cfg, solver="cr")
+    solo = totalvariation(S[0], 0.3, cfg, solver="cr")
+    np.testing.assert_allclose(
+        np.asarray(out.xopt[0]), np.asarray(solo.xopt), atol=1e-8
+    )
+
+
+def _rhs_instances(B=3, m=96, n=24, seed=5):
+    rng = np.random.default_rng(seed)
+    D = rng.standard_normal((m, n))
+    X = rng.standard_normal((B, n))
+    S = X @ D.T + 0.05 * rng.standard_normal((B, m))
+    S[:, ::10] += 3.0  # outliers — the robust losses' reason to exist
+    return D, S
+
+
+def test_lad_batch_matches_serial_per_rhs():
+    D, S = _rhs_instances()
+    cfg = ADMMConfig(maxiters=2000)
+    out = lad_batch(D, S, cfg)
+    for i in range(S.shape[0]):
+        solo = lad(D, S[i], cfg)
+        np.testing.assert_allclose(
+            np.asarray(out.xopt[i]), np.asarray(solo.xopt), atol=1e-8
+        )
+        assert int(out.steps[i]) == solo.steps
+
+
+def test_huberfit_batch_matches_serial_per_rhs():
+    D, S = _rhs_instances(seed=6)
+    cfg = ADMMConfig(maxiters=2000)
+    out = huberfit_batch(D, S, cfg)
+    for i in range(S.shape[0]):
+        solo = huberfit(D, S[i], cfg)
+        np.testing.assert_allclose(
+            np.asarray(out.xopt[i]), np.asarray(solo.xopt), atol=1e-8
+        )
+
+
+def test_batch_composes_with_engine_variants():
+    # Relaxation + unroll through the batched runner stays lane-exact.
+    D, S = _rhs_instances(seed=7)
+    cfg = ADMMConfig(maxiters=2000, relax=1.3, unroll=4)
+    out = lad_batch(D, S, cfg)
+    solo = lad(D, S[2], cfg)
+    np.testing.assert_allclose(
+        np.asarray(out.xopt[2]), np.asarray(solo.xopt), atol=1e-8
+    )
+    assert int(out.steps[2]) == solo.steps
+
+
+def test_batch_runner_is_cached_across_calls():
+    from admm_tpu.models.paths import _cached_path_runner
+
+    D, S = _lasso_instances(B=2)
+    lam = 0.1 * np.max(np.abs(S @ D))
+    cfg = ADMMConfig(maxiters=200)
+    lasso_batch(D, S, lam, cfg)
+    before = _cached_path_runner.cache_info().hits
+    lasso_batch(D, S + 0.01, lam, cfg)  # fresh data, same program
+    assert _cached_path_runner.cache_info().hits == before + 1
