@@ -32,7 +32,13 @@ from .models import (
 )
 
 from .models.paths import covsel_path, lasso_path, linearsvm_c_path, tv_path
-from .models.batch import huberfit_batch, lad_batch, lasso_batch, tv_batch
+from .models.batch import (
+    basispursuit_batch,
+    huberfit_batch,
+    lad_batch,
+    lasso_batch,
+    tv_batch,
+)
 from . import parallel, testers, utils  # noqa: F401  (subpackage access)
 
 __version__ = "0.1.0"
@@ -70,4 +76,5 @@ __all__ = [
     "tv_batch",
     "lad_batch",
     "huberfit_batch",
+    "basispursuit_batch",
 ]

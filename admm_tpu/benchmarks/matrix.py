@@ -35,8 +35,15 @@ _HBM_GBPS = 819.0
 
 def _run_twice(solve):
     """Warm-up (compile) + timed run; returns the timed results object.
-    Solver runtimes are loop-only (engine flushes setup first)."""
-    solve()
+    Solver runtimes are loop-only (engine flushes setup first).
+
+    The warm-up's steps are materialized TO HOST: on the remote-compile
+    relay, block_until_ready can return while the first compile is
+    still in flight, and anything timed before the device is truly
+    drained measures dispatch latency, not execution (observed: a
+    'warm' batched run reading 0.3 ms for a 90 ms program).  A host
+    transfer is a hard sync."""
+    np.asarray(solve().steps)
     return solve()
 
 
@@ -286,6 +293,25 @@ def timing_matrix(smoke=False):
         rows.append(_row(f"lasso_path_B{B}_{tag}", f"{m}x{n}", iters, res,
                          extra={"inst_iters_per_sec":
                                 round(B * iters / res.runtime, 1)}))
+
+    # --- instance batching: B distinct signals, one shared dictionary ---
+    from admm_tpu.models.batch import lasso_batch, tv_batch
+
+    Xb = (rng.standard_normal((B, n)) * (rng.random((B, n)) < 0.1)).astype(f32)
+    Sb = (Xb @ Dp.T + 0.03 * rng.standard_normal((B, m))).astype(f32)
+    lamb = float(0.1 * np.median(np.max(np.abs(Sb @ Dp), axis=1)))
+    res = _run_twice(lambda: lasso_batch(Dp, Sb, lamb, cfg(iters)))
+    rows.append(_row(f"lasso_batch_B{B}", f"{m}x{n}", iters, res,
+                     extra={"inst_iters_per_sec":
+                            round(B * iters / res.runtime, 1)}))
+
+    # B signals through the shared cyclic-reduction TV elimination.
+    ntv = 8192 // sc
+    Sig = np.cumsum(rng.standard_normal((B, ntv)), axis=1).astype(f32)
+    res = _run_twice(lambda: tv_batch(Sig, 1.0, cfg(iters), solver="cr"))
+    rows.append(_row(f"tv_batch_B{B}_cr", f"n={ntv}", iters, res,
+                     extra={"inst_iters_per_sec":
+                            round(B * iters / res.runtime, 1)}))
 
     return rows
 

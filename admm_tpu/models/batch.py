@@ -113,6 +113,47 @@ def lasso_batch(D, S, lams, config: ADMMConfig = ADMMConfig(), *,
 
 
 @_highest_precision_setup
+def basispursuit_batch(D, S, config: ADMMConfig = ADMMConfig(),
+                       **overrides) -> BatchResults:
+    """Basis pursuit for every measurement row of ``S`` (shape (B, m))
+    against the shared underdetermined sensing matrix ``D`` (m, n) —
+    batched compressed-sensing decoding.
+
+    The projection matrix P = I - D^T (D D^T)^{-1} D is measurement-
+    independent and shared; only the projection offset
+    q = D^T (D D^T)^{-1} s is per-lane (computed for all lanes in one
+    GEMM).  Same projection algebra as models/basispursuit.py
+    (reference basispursuit.m:116-120).
+    """
+    import jax.scipy.linalg as jsla
+
+    from .basispursuit import _obj, _prox_f, _prox_g
+
+    config = merge_config(config, overrides)
+    D = jnp.asarray(D)
+    m, n = D.shape
+    if m >= n:
+        raise ValueError(
+            "basis pursuit requires an underdetermined system (m < n); "
+            f"got D of shape {(m, n)} (reference basispursuit.m:192-203)"
+        )
+    S = _check_batch(S, m, "S").astype(D.dtype)
+    Bn = S.shape[0]
+
+    G = D @ D.T
+    cf = jsla.cho_factor(0.5 * (G + G.T))
+    GinvD = jsla.cho_solve(cf, D)
+    data = {
+        "P": jnp.eye(n, dtype=D.dtype) - D.T @ GinvD,
+        "q": S @ GinvD,  # (B, n): per-lane D^T (D D^T)^{-1} s
+    }
+
+    zeros = jnp.zeros((Bn, n), D.dtype)
+    return _run(_prox_f, _prox_g, _obj, config, {"q"}, data,
+                zeros, zeros, zeros, zeros, as_linop(1.0), as_linop(-1.0))
+
+
+@_highest_precision_setup
 def tv_batch(S, lams, config: ADMMConfig = ADMMConfig(), *,
              solver: str = "auto", **overrides) -> BatchResults:
     """1-D TV denoising of every signal row of ``S`` (shape (B, n)) in

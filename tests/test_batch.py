@@ -6,6 +6,8 @@ import pytest
 
 from admm_tpu import (
     ADMMConfig,
+    basispursuit,
+    basispursuit_batch,
     huberfit,
     huberfit_batch,
     lad,
@@ -78,6 +80,32 @@ def test_lasso_batch_rejects_bad_shapes():
         lasso_batch(D, S[0], 0.1)
     with pytest.raises(ValueError, match="batch"):
         lasso_batch(D, S[:, :-1], 0.1)
+
+
+def test_basispursuit_batch_matches_serial_per_measurement():
+    rng = np.random.default_rng(8)
+    m, n, B = 32, 96, 3
+    D = rng.standard_normal((m, n))
+    X = rng.standard_normal((B, n)) * (rng.random((B, n)) < 0.1)
+    S = X @ D.T  # exact measurements: BP recovers sparse X
+    cfg = ADMMConfig(maxiters=3000)
+    out = basispursuit_batch(D, S, cfg)
+    for i in range(B):
+        solo = basispursuit(D, S[i], cfg)
+        np.testing.assert_allclose(
+            np.asarray(out.xopt[i]), np.asarray(solo.xopt), atol=1e-8
+        )
+        assert int(out.steps[i]) == solo.steps
+    # Feasibility: each recovered lane satisfies D x = s.
+    res = np.asarray(out.xopt) @ D.T - S
+    assert np.max(np.abs(res)) < 1e-5
+
+
+def test_basispursuit_batch_rejects_overdetermined():
+    rng = np.random.default_rng(9)
+    with pytest.raises(ValueError, match="underdetermined"):
+        basispursuit_batch(rng.standard_normal((64, 32)),
+                           rng.standard_normal((2, 64)))
 
 
 def test_tv_batch_matches_serial_per_signal():
