@@ -69,9 +69,42 @@ def _check_batch(S, m, what):
     return S
 
 
-def _run(prox_f, prox_g, obj, config, mapped, data, x0, z0, u0, c0, A, B):
+def _shard_lanes(mesh, mapped, data, state, A, B):
+    """Distribute the lane (instance) axis over a 1-D device mesh.
+
+    Lanes are independent, so GSPMD partitions the whole vmapped
+    program lane-wise with no inter-device collectives beyond the
+    while_loop's scalar continue-predicate reduction: per-lane state
+    and mapped data leaves are sharded on axis 0, shared factorizations
+    and constraint operators replicated.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    if len(mesh.axis_names) != 1:
+        raise ValueError(
+            f"batch solvers take a 1-axis mesh, got axes {mesh.axis_names}"
+        )
+    nb = state[0].shape[0]
+    if nb % mesh.size != 0:
+        raise ValueError(
+            f"batch size {nb} must divide evenly over the {mesh.size}-device "
+            f"mesh (pad the instance batch to a multiple)"
+        )
+    sh_b = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+    sh_r = NamedSharding(mesh, PartitionSpec())
+    state = tuple(jax.device_put(v, sh_b) for v in state)
+    data = {k: jax.device_put(v, sh_b if k in mapped else sh_r)
+            for k, v in data.items()}
+    return state, data, jax.device_put(A, sh_r), jax.device_put(B, sh_r)
+
+
+def _run(prox_f, prox_g, obj, config, mapped, data, x0, z0, u0, c0, A, B,
+         mesh=None):
     vrun = _cached_path_runner(prox_f, prox_g, obj, config,
                                frozenset(mapped), frozenset(data))
+    if mesh is not None:
+        (x0, z0, u0, c0), data, A, B = _shard_lanes(
+            mesh, mapped, data, (x0, z0, u0, c0), A, B)
     jax.block_until_ready(data)
     t0 = time.perf_counter()  # loop-only wall clock (setup flushed)
     out = jax.block_until_ready(vrun(x0, z0, u0, c0, A, B, data))
@@ -85,7 +118,7 @@ def _run(prox_f, prox_g, obj, config, mapped, data, x0, z0, u0, c0, A, B):
 
 @_highest_precision_setup
 def lasso_batch(D, S, lams, config: ADMMConfig = ADMMConfig(), *,
-                stream_dtype=None, **overrides) -> BatchResults:
+                stream_dtype=None, mesh=None, **overrides) -> BatchResults:
     """Solve LASSO for every signal row of ``S`` (shape (B, m)) against
     the shared dictionary ``D`` (shape (m, n)) in one vmapped program.
 
@@ -109,12 +142,13 @@ def lasso_batch(D, S, lams, config: ADMMConfig = ADMMConfig(), *,
 
     zeros = jnp.zeros((Bn, n), D.dtype)
     return _run(prox_f, prox_g, obj, config, {"s", "Dts", "lam"}, data,
-                zeros, zeros, zeros, zeros, as_linop(1.0), as_linop(-1.0))
+                zeros, zeros, zeros, zeros, as_linop(1.0), as_linop(-1.0),
+                mesh=mesh)
 
 
 @_highest_precision_setup
-def basispursuit_batch(D, S, config: ADMMConfig = ADMMConfig(),
-                       **overrides) -> BatchResults:
+def basispursuit_batch(D, S, config: ADMMConfig = ADMMConfig(), *,
+                       mesh=None, **overrides) -> BatchResults:
     """Basis pursuit for every measurement row of ``S`` (shape (B, m))
     against the shared underdetermined sensing matrix ``D`` (m, n) —
     batched compressed-sensing decoding.
@@ -150,12 +184,13 @@ def basispursuit_batch(D, S, config: ADMMConfig = ADMMConfig(),
 
     zeros = jnp.zeros((Bn, n), D.dtype)
     return _run(_prox_f, _prox_g, _obj, config, {"q"}, data,
-                zeros, zeros, zeros, zeros, as_linop(1.0), as_linop(-1.0))
+                zeros, zeros, zeros, zeros, as_linop(1.0), as_linop(-1.0),
+                mesh=mesh)
 
 
 @_highest_precision_setup
 def tv_batch(S, lams, config: ADMMConfig = ADMMConfig(), *,
-             solver: str = "auto", **overrides) -> BatchResults:
+             solver: str = "auto", mesh=None, **overrides) -> BatchResults:
     """1-D TV denoising of every signal row of ``S`` (shape (B, n)) in
     one vmapped program.
 
@@ -175,7 +210,8 @@ def tv_batch(S, lams, config: ADMMConfig = ADMMConfig(), *,
 
     zeros = jnp.zeros((Bn, n), S.dtype)
     return _run(prox_f, prox_g, obj, config, {"s", "lam"}, data,
-                zeros, zeros, zeros, zeros, as_linop(D), as_linop(-1.0))
+                zeros, zeros, zeros, zeros, as_linop(D), as_linop(-1.0),
+                mesh=mesh)
 
 
 def _rhs_batch(make_prox_ops, D, S, config):
@@ -195,22 +231,24 @@ def _rhs_batch(make_prox_ops, D, S, config):
 
 
 @_highest_precision_setup
-def lad_batch(D, S, config: ADMMConfig = ADMMConfig(), **overrides) -> BatchResults:
+def lad_batch(D, S, config: ADMMConfig = ADMMConfig(), *,
+              mesh=None, **overrides) -> BatchResults:
     """Least absolute deviations for every right-hand side row of ``S``
     (shape (B, m)) against the shared design matrix ``D`` (m, n)."""
     config = merge_config(config, overrides)
     prox_f, prox_g, obj, data, Dj, xz, zz, S = _rhs_batch(
         _lad_make_prox_ops, D, S, config)
     return _run(prox_f, prox_g, obj, config, {"s"}, data,
-                xz, zz, zz, S, as_linop(Dj), as_linop(-1.0))
+                xz, zz, zz, S, as_linop(Dj), as_linop(-1.0), mesh=mesh)
 
 
 @_highest_precision_setup
-def huberfit_batch(D, S, config: ADMMConfig = ADMMConfig(), **overrides) -> BatchResults:
+def huberfit_batch(D, S, config: ADMMConfig = ADMMConfig(), *,
+                   mesh=None, **overrides) -> BatchResults:
     """Huber fitting for every right-hand side row of ``S`` (shape
     (B, m)) against the shared design matrix ``D`` (m, n)."""
     config = merge_config(config, overrides)
     prox_f, prox_g, obj, data, Dj, xz, zz, S = _rhs_batch(
         _huber_make_prox_ops, D, S, config)
     return _run(prox_f, prox_g, obj, config, {"s"}, data,
-                xz, zz, zz, S, as_linop(Dj), as_linop(-1.0))
+                xz, zz, zz, S, as_linop(Dj), as_linop(-1.0), mesh=mesh)

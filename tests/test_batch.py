@@ -182,6 +182,45 @@ def test_batch_composes_with_engine_variants():
     assert int(out.steps[2]) == solo.steps
 
 
+def test_lasso_batch_sharded_matches_unsharded():
+    # Lanes sharded over an 8-device mesh: GSPMD partitions the vmapped
+    # program lane-wise; results must match the single-device run.
+    from admm_tpu.parallel import make_mesh
+
+    D, S = _lasso_instances(B=8)
+    lam = 0.1 * np.max(np.abs(S @ D))
+    cfg = ADMMConfig(maxiters=2000)
+    plain = lasso_batch(D, S, lam, cfg)
+    sharded = lasso_batch(D, S, lam, cfg, mesh=make_mesh(8))
+    np.testing.assert_allclose(
+        np.asarray(sharded.xopt), np.asarray(plain.xopt), atol=1e-12
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.steps), np.asarray(plain.steps)
+    )
+
+
+def test_tv_batch_sharded_matches_unsharded():
+    from admm_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(12)
+    S = np.cumsum(rng.standard_normal((16, 96)), axis=1)
+    cfg = ADMMConfig(maxiters=800)
+    plain = tv_batch(S, 0.4, cfg)
+    sharded = tv_batch(S, 0.4, cfg, mesh=make_mesh(8))
+    np.testing.assert_allclose(
+        np.asarray(sharded.xopt), np.asarray(plain.xopt), atol=1e-12
+    )
+
+
+def test_batch_mesh_requires_divisible_batch():
+    from admm_tpu.parallel import make_mesh
+
+    D, S = _lasso_instances(B=3)
+    with pytest.raises(ValueError, match="divide evenly"):
+        lasso_batch(D, S, 0.1, ADMMConfig(maxiters=50), mesh=make_mesh(2))
+
+
 def test_batch_runner_is_cached_across_calls():
     from admm_tpu.models.paths import _cached_path_runner
 
