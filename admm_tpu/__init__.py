@@ -34,6 +34,7 @@ from .models import (
 from .models.paths import covsel_path, lasso_path, linearsvm_c_path, tv_path
 from .models.batch import (
     basispursuit_batch,
+    covsel_batch,
     huberfit_batch,
     lad_batch,
     lasso_batch,
@@ -77,4 +78,5 @@ __all__ = [
     "lad_batch",
     "huberfit_batch",
     "basispursuit_batch",
+    "covsel_batch",
 ]

@@ -214,6 +214,43 @@ def tv_batch(S, lams, config: ADMMConfig = ADMMConfig(), *,
                 mesh=mesh)
 
 
+@_highest_precision_setup
+def covsel_batch(Ss, lams, config: ADMMConfig = ADMMConfig(), *,
+                 prox_method: str = "ns", ns_iters: int = 20,
+                 mesh=None, **overrides) -> BatchResults:
+    """Graphical lasso for every covariance matrix in ``Ss`` (shape
+    (B, n, n)) in one vmapped program — e.g. per-subject sparse
+    precision estimation over a cohort.
+
+    Build each lane's empirical covariance first
+    (models.covarianceselection.empirical_covariance, vmappable).
+    The default x-prox is the Newton-Schulz evaluation
+    (``prox_method='ns'``, ops/matfun.py): under vmap it is pure
+    batched n^3 GEMM work for the MXU, whereas a batched eigh
+    serializes badly on TPU.  ``lams`` is a scalar or (B,) vector.
+    """
+    config = merge_config(config, overrides)
+    from .covarianceselection import make_prox_ops as _covsel_make_prox_ops
+
+    Ss = jnp.asarray(Ss)
+    if Ss.ndim != 3 or Ss.shape[1] != Ss.shape[2]:
+        raise ValueError(
+            f"Ss must be a (B, n, n) stack of covariance matrices, "
+            f"got {Ss.shape}"
+        )
+    Bn, n = Ss.shape[0], Ss.shape[1]
+    prox_f, prox_g, obj, data = _covsel_make_prox_ops(
+        Ss[0], 1.0, config, prox_method=prox_method, ns_iters=ns_iters)
+    data = dict(data)
+    data["S"] = Ss
+    data["lam"] = jnp.broadcast_to(jnp.asarray(lams, Ss.dtype), (Bn,))
+
+    zeros = jnp.zeros((Bn, n, n), Ss.dtype)
+    return _run(prox_f, prox_g, obj, config, {"S", "lam"}, data,
+                zeros, zeros, zeros, zeros, as_linop(1.0), as_linop(-1.0),
+                mesh=mesh)
+
+
 def _rhs_batch(make_prox_ops, D, S, config):
     """Shared LAD/Huber multi-RHS setup: one normal-equations
     pseudo-inverse, per-lane right-hand sides (constraint offset c = s

@@ -182,6 +182,32 @@ def test_batch_composes_with_engine_variants():
     assert int(out.steps[2]) == solo.steps
 
 
+def test_covsel_batch_matches_serial_per_covariance():
+    from admm_tpu import covarianceselection, covsel_batch
+    from admm_tpu.models.covarianceselection import empirical_covariance
+
+    rng = np.random.default_rng(13)
+    B, m, n = 3, 120, 24
+    Ds = rng.standard_normal((B, m, n))
+    Ss = np.stack([np.asarray(empirical_covariance(Ds[i])) for i in range(B)])
+    cfg = ADMMConfig(maxiters=400)
+    out = covsel_batch(Ss, 0.1, cfg)
+    assert out.xopt.shape == (B, n, n)
+    for i in range(B):
+        solo = covarianceselection(Ds[i], 0.1, cfg, prox_method="ns")
+        np.testing.assert_allclose(
+            np.asarray(out.xopt[i]), np.asarray(solo.xopt), atol=1e-8
+        )
+        assert int(out.steps[i]) == solo.steps
+
+
+def test_covsel_batch_rejects_bad_shapes():
+    rng = np.random.default_rng(14)
+    with pytest.raises(ValueError, match="stack of covariance"):
+        covsel_batch = __import__("admm_tpu").covsel_batch
+        covsel_batch(rng.standard_normal((3, 8, 9)), 0.1)
+
+
 def test_lasso_batch_sharded_matches_unsharded():
     # Lanes sharded over an 8-device mesh: GSPMD partitions the vmapped
     # program lane-wise; results must match the single-device run.
