@@ -313,6 +313,35 @@ def timing_matrix(smoke=False):
                      extra={"inst_iters_per_sec":
                             round(B * iters / res.runtime, 1)}))
 
+    # B compressed-sensing decodes against one shared sensing matrix:
+    # the projection P is shared, each lane is a dense (n, n) GEMV so
+    # the batch is one (B, n) x (n, n) GEMM per iteration.
+    from admm_tpu.models.batch import basispursuit_batch
+
+    mbp, nbp = 512 // sc, 2048 // sc
+    Dbp = rng.standard_normal((mbp, nbp)).astype(f32)
+    Xbp = (rng.standard_normal((B, nbp)) * (rng.random((B, nbp)) < 0.05))
+    Sbp = (Xbp @ Dbp.T).astype(f32)
+    res = _run_twice(lambda: basispursuit_batch(Dbp, Sbp, cfg(iters)))
+    rows.append(_row(f"basispursuit_batch_B{B}", f"{mbp}x{nbp}", iters, res,
+                     extra={"inst_iters_per_sec":
+                            round(B * iters / res.runtime, 1)}))
+
+    # Graphical lasso over a cohort of B covariance matrices via the
+    # Newton-Schulz x-prox: the batched iteration is pure (B, n, n)
+    # GEMM work on the MXU, no eigh inside the loop.
+    from admm_tpu.models.batch import covsel_batch
+
+    Bc, nc = 32, max(2, 128 // sc)
+    Zc = rng.standard_normal((Bc, nc, 4 * nc)).astype(f32)
+    Sc = (Zc @ np.swapaxes(Zc, 1, 2) / (4 * nc)
+          + 0.1 * np.eye(nc, dtype=f32)).astype(f32)
+    itc = it(200)
+    res = _run_twice(lambda: covsel_batch(Sc, 0.05, cfg(itc)))
+    rows.append(_row(f"covsel_batch_B{Bc}_ns", f"n={nc}", itc, res,
+                     extra={"inst_iters_per_sec":
+                            round(Bc * itc / res.runtime, 1)}))
+
     return rows
 
 
