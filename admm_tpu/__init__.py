@@ -38,6 +38,7 @@ from .models.batch import (
     huberfit_batch,
     lad_batch,
     lasso_batch,
+    svm_batch,
     tv_batch,
 )
 from . import parallel, testers, utils  # noqa: F401  (subpackage access)
@@ -79,4 +80,5 @@ __all__ = [
     "huberfit_batch",
     "basispursuit_batch",
     "covsel_batch",
+    "svm_batch",
 ]

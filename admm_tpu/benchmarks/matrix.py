@@ -271,6 +271,18 @@ def timing_matrix(smoke=False):
     rows.append(_row("linearsvm_sharded8_f32", f"{m}x{n}", iters, res,
                      bytes_per_iter=2 * m * n * 4))
 
+    # One-vs-all multiclass: 10 classifiers differing only in labels,
+    # trained in one vmapped program (mnistsvm's per-digit loop).
+    from admm_tpu.models.batch import svm_batch
+
+    y10 = rng.integers(0, 10, size=m)
+    ells = np.stack([np.where(y10 == k, 1.0, -1.0)
+                     for k in range(10)]).astype(f32)
+    res = _run_twice(lambda: svm_batch(Dsvm, ells, 1.0, cfg(iters)))
+    rows.append(_row("svm_batch_B10_onevsall", f"{m}x{n}", iters, res,
+                     extra={"inst_iters_per_sec":
+                            round(10 * iters / res.runtime, 1)}))
+
     # --- consensus lasso: the 8-shard GSPMD program on this chip --------
     res = _run_twice(
         lambda: consensus_lasso(Dsvm, s4, 0.1, cfg(iters), nshards=8))

@@ -14,6 +14,8 @@ factorization that does not depend on it is shared:
 - ``lad_batch`` / ``huberfit_batch``: robust regression of many
   right-hand sides against one design matrix (one normal-equations
   pseudo-inverse shared).
+- ``svm_batch``: B one-vs-all classifiers against one design matrix
+  (one pseudo-inverse shared; per-lane labels/penalty mapped).
 
 The reference library solves instances one at a time in a MATLAB loop
 (e.g. solvers/lasso.m:77 called per signal); there is no batched
@@ -289,3 +291,49 @@ def huberfit_batch(D, S, config: ADMMConfig = ADMMConfig(), *,
         _huber_make_prox_ops, D, S, config)
     return _run(prox_f, prox_g, obj, config, {"s"}, data,
                 xz, zz, zz, S, as_linop(Dj), as_linop(-1.0), mesh=mesh)
+
+
+@_highest_precision_setup
+def svm_batch(D, ells, C, config: ADMMConfig = ADMMConfig(), *,
+              loss: str = "hinge", seed: int = 0, mesh=None,
+              **overrides) -> BatchResults:
+    """Train B linear SVMs against ONE shared design matrix ``D``
+    (m, n) in one vmapped unwrapped-ADMM program — the one-vs-all
+    multiclass pattern (e.g. mnistsvm's per-digit loop,
+    reference examples/mnistsvm.m:121-156, trains 10 classifiers that
+    differ only in their +/-1 label vector).
+
+    ``ells`` is the (B, m) stack of per-classifier +/-1 labels; ``C``
+    is a scalar (shared) or (B,) per-classifier penalty.  The
+    pseudo-inverse x-update matrix depends only on D and is shared, so
+    the per-lane x/z-update GEMVs fuse into (B, m) x (m, n) GEMMs on
+    the MXU.  Warm start and stopping semantics match the serial
+    driver (models/unwrapped.py: random x0/z0/u0 from ``seed``,
+    stopcond='both', nodualerror) so each lane reproduces
+    ``linearsvm(D, ells[i], C)`` run alone.
+    """
+    overrides.setdefault("stopcond", "both")
+    overrides.setdefault("nodualerror", True)
+    config = merge_config(config, overrides)
+    from .linearsvm import make_prox_ops as _svm_make_prox_ops
+    from .unwrapped import _prox_f as _unwrapped_prox_f
+
+    D = jnp.asarray(D)
+    m, n = D.shape
+    ells = _check_batch(ells, m, "ells").astype(D.dtype)
+    Bn = ells.shape[0]
+    _, prox_g, obj, data = _svm_make_prox_ops(D, ells[0], 1.0, loss, config)
+    data = dict(data)
+    data["ell"] = ells
+    data["C"] = jnp.broadcast_to(jnp.asarray(C, D.dtype), (Bn,))
+    data["Dplus"] = jnp.linalg.pinv(D)
+
+    # Same per-lane warm start as the serial unwrapped driver
+    # (unwrapped.py:70-74) so lane i is bit-comparable to a solo run.
+    kx, kz, ku = jax.random.split(jax.random.PRNGKey(seed), 3)
+    x0 = jnp.broadcast_to(jax.random.uniform(kx, (n,), dtype=D.dtype), (Bn, n))
+    z0 = jnp.broadcast_to(jax.random.uniform(kz, (m,), dtype=D.dtype), (Bn, m))
+    u0 = jnp.broadcast_to(jax.random.uniform(ku, (m,), dtype=D.dtype), (Bn, m))
+    c0 = jnp.zeros((Bn, m), D.dtype)
+    return _run(_unwrapped_prox_f, prox_g, obj, config, {"ell", "C"}, data,
+                x0, z0, u0, c0, as_linop(D), as_linop(-1.0), mesh=mesh)

@@ -119,18 +119,46 @@ def error_pct(D, labels, digit, x):
     return 100.0 * np.mean(pred != ell)
 
 
+def train_all_digits(D, labels, digits, C=0.5, rho=1.0, maxiters=500,
+                     loss="hinge"):
+    """All one-vs-all classifiers in ONE vmapped program (svm_batch):
+    the per-digit loop of mnistsvm.m:121-156 becomes a single compiled
+    solve whose lanes differ only in the +/-1 label vector."""
+    from admm_tpu import ADMMConfig, svm_batch
+
+    ells = np.stack([np.where(labels == d, 1.0, -1.0) for d in digits])
+    res = svm_batch(
+        D, ells, C, ADMMConfig(rho=rho, maxiters=maxiters, fast=False),
+        loss=loss,
+    )
+    return np.asarray(res.xopt)
+
+
 def mnistsvm(C=0.5, rho=1.0, n_test=1000, n_train=6000, data_dir=None,
-             digits=range(10), maxiters=500, quiet=False):
+             digits=range(10), maxiters=500, quiet=False, batched=True):
     """Per-digit train/test error table, hinge vs 0-1 loss
-    (mnistsvm.m:86-113 defaults C=0.5, rho=1.0, 1000 test / 6000 train)."""
+    (mnistsvm.m:86-113 defaults C=0.5, rho=1.0, 1000 test / 6000 train).
+
+    ``batched=True`` (default) trains all ten classifiers per loss in
+    one vmapped program; ``batched=False`` keeps the reference's
+    serial per-digit loop (same results — tests/test_batch.py asserts
+    lane-vs-solo agreement)."""
     (tr_x, tr_y), (te_x, te_y) = load_mnist(data_dir, n_train, n_test)
     Dtr = tr_x.reshape(len(tr_x), -1)
     Dte = te_x.reshape(len(te_x), -1)
 
+    digits = list(digits)
+    if batched:
+        Xh = train_all_digits(Dtr, tr_y, digits, C, rho, maxiters, "hinge")
+        X0 = train_all_digits(Dtr, tr_y, digits, C, rho, maxiters, "01")
+    else:
+        Xh = [train_for_digit(Dtr, tr_y, d, C, rho, maxiters, "hinge")
+              for d in digits]
+        X0 = [train_for_digit(Dtr, tr_y, d, C, rho, maxiters, "01")
+              for d in digits]
     rows = []
-    for digit in digits:
-        xh = train_for_digit(Dtr, tr_y, digit, C, rho, maxiters, "hinge")
-        x0 = train_for_digit(Dtr, tr_y, digit, C, rho, maxiters, "01")
+    for i, digit in enumerate(digits):
+        xh, x0 = Xh[i], X0[i]
         rows.append((
             digit,
             error_pct(Dtr, tr_y, digit, xh), error_pct(Dte, te_y, digit, xh),

@@ -257,3 +257,50 @@ def test_batch_runner_is_cached_across_calls():
     before = _cached_path_runner.cache_info().hits
     lasso_batch(D, S + 0.01, lam, cfg)  # fresh data, same program
     assert _cached_path_runner.cache_info().hits == before + 1
+
+
+def test_svm_batch_matches_serial_per_classifier():
+    # One-vs-all: 3 classifiers differing only in their label vector
+    # (the mnistsvm per-digit loop, reference examples/mnistsvm.m:121-156).
+    from admm_tpu import linearsvm, svm_batch
+
+    rng = np.random.default_rng(21)
+    m, n = 120, 16
+    D = rng.standard_normal((m, n))
+    y = rng.integers(0, 3, size=m)
+    ells = np.stack([np.where(y == k, 1.0, -1.0) for k in range(3)])
+    cfg = ADMMConfig(maxiters=400)
+    out = svm_batch(D, ells, 0.5, cfg, seed=3)
+    assert out.xopt.shape == (3, n)
+    for k in range(3):
+        solo = linearsvm(D, ells[k], 0.5, cfg, seed=3)
+        np.testing.assert_allclose(
+            np.asarray(out.xopt[k]), np.asarray(solo.xopt), atol=1e-8
+        )
+        assert int(out.steps[k]) == solo.steps
+
+
+def test_svm_batch_per_lane_C_and_01_loss():
+    from admm_tpu import linearsvm, svm_batch
+
+    rng = np.random.default_rng(22)
+    m, n = 80, 12
+    D = rng.standard_normal((m, n))
+    ells = np.sign(rng.standard_normal((2, m)))
+    Cs = np.array([0.3, 2.0])
+    cfg = ADMMConfig(maxiters=300)
+    out = svm_batch(D, ells, Cs, cfg, loss="01", seed=5)
+    for k in range(2):
+        solo = linearsvm(D, ells[k], float(Cs[k]), cfg, loss="01", seed=5)
+        np.testing.assert_allclose(
+            np.asarray(out.xopt[k]), np.asarray(solo.xopt), atol=1e-8
+        )
+
+
+def test_svm_batch_rejects_bad_shapes():
+    from admm_tpu import svm_batch
+
+    rng = np.random.default_rng(23)
+    with pytest.raises(ValueError, match="batch of row instances"):
+        svm_batch(rng.standard_normal((40, 8)),
+                  np.ones((2, 39)), 0.5, ADMMConfig(maxiters=10))

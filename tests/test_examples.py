@@ -62,6 +62,15 @@ def test_mnist_synthetic_pipeline():
         assert 0.0 <= te_h <= 100.0
 
 
+def test_mnist_batched_matches_serial_loop():
+    kw = dict(n_train=200, n_test=80, digits=[0, 1, 2], maxiters=80,
+              quiet=True)
+    batched = mnistsvm(batched=True, **kw)
+    serial = mnistsvm(batched=False, **kw)
+    for rb, rs in zip(batched, serial):
+        np.testing.assert_allclose(rb, rs, atol=1e-9)
+
+
 def test_idx_label_parser_against_reference_file():
     """The idx1 parser must read the reference's real MNIST label file
     (examples/MNIST/ — labels ARE present in the mount)."""
