@@ -38,6 +38,8 @@ from .models.batch import (
     huberfit_batch,
     lad_batch,
     lasso_batch,
+    lp_batch,
+    qp_batch,
     svm_batch,
     tv_batch,
 )
@@ -81,4 +83,6 @@ __all__ = [
     "basispursuit_batch",
     "covsel_batch",
     "svm_batch",
+    "lp_batch",
+    "qp_batch",
 ]

@@ -339,6 +339,24 @@ def timing_matrix(smoke=False):
                      extra={"inst_iters_per_sec":
                             round(B * iters / res.runtime, 1)}))
 
+    # B QPs sharing one Hessian + equality structure with fresh linear
+    # terms (the MPC pattern): one KKT fold at setup, per-iteration
+    # work one (B, n) x (n, n) GEMM.  lp_batch runs the identical loop
+    # body (P = 0), so this row covers both.
+    from admm_tpu.models.batch import qp_batch
+
+    nq, mq, Bq = 1024 // sc, 256 // sc, 64
+    Rq = rng.standard_normal((nq, 2 * nq)).astype(f32)
+    Pq = (Rq @ Rq.T / (2 * nq) + 0.1 * np.eye(nq)).astype(f32)
+    Dq = rng.standard_normal((mq, nq)).astype(f32)
+    Ssq = (np.abs(rng.standard_normal((Bq, nq))) @ Dq.T).astype(f32)
+    Qsq = rng.standard_normal((Bq, nq)).astype(f32)
+    itq = it(1000)
+    res = _run_twice(lambda: qp_batch(Pq, Qsq, 0.0, Dq, Ssq, cfg(itq)))
+    rows.append(_row(f"qp_batch_B{Bq}_standard", f"n={nq}", itq, res,
+                     extra={"inst_iters_per_sec":
+                            round(Bq * itq / res.runtime, 1)}))
+
     # Graphical lasso over a cohort of B covariance matrices via the
     # Newton-Schulz x-prox: the batched iteration is pure (B, n, n)
     # GEMM work on the MXU, no eigh inside the loop.

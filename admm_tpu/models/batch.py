@@ -16,6 +16,9 @@ factorization that does not depend on it is shared:
   pseudo-inverse shared).
 - ``svm_batch``: B one-vs-all classifiers against one design matrix
   (one pseudo-inverse shared; per-lane labels/penalty mapped).
+- ``lp_batch`` / ``qp_batch``: B LPs / QPs sharing one constraint
+  matrix / Hessian with per-lane linear terms — the MPC pattern (one
+  KKT fold shared, offsets batched in one setup GEMM).
 
 The reference library solves instances one at a time in a MATLAB loop
 (e.g. solvers/lasso.m:77 called per signal); there is no batched
@@ -291,6 +294,167 @@ def huberfit_batch(D, S, config: ADMMConfig = ADMMConfig(), *,
         _huber_make_prox_ops, D, S, config)
     return _run(prox_f, prox_g, obj, config, {"s"}, data,
                 xz, zz, zz, S, as_linop(Dj), as_linop(-1.0), mesh=mesh)
+
+
+def _broadcast_lane(v, Bn, shape1, dtype, what):
+    """Coerce ``v`` to a (Bn, *shape1) per-lane stack (broadcasting a
+    shared 1-instance value across lanes)."""
+    v = jnp.asarray(v, dtype)
+    if v.shape == tuple(shape1):
+        return jnp.broadcast_to(v, (Bn, *shape1))
+    if v.shape == (Bn, *shape1):
+        return v
+    raise ValueError(
+        f"{what} must have shape {tuple(shape1)} (shared) or "
+        f"{(Bn, *shape1)} (per-lane), got {v.shape}"
+    )
+
+
+def _lane_count(*cands):
+    """Infer the batch size from the first stacked (2-D-over-lane)
+    candidate: each entry is (value, instance_ndim)."""
+    for v, nd1 in cands:
+        v = jnp.asarray(v)
+        if v.ndim == nd1 + 1:
+            return v.shape[0]
+    raise ValueError(
+        "at least one argument must carry a leading batch axis "
+        "(all inputs are single-instance; use the serial solver)"
+    )
+
+
+def _prox_f_affine_kkt_batch(x, z, u, rho, d):
+    # Fully-folded fixed-rho KKT x-prox with a per-lane offset:
+    # x = K1 (rho (z - u) - b) + x0 (ops/solve.py:materialize_affine_map).
+    return d["K1"] @ (rho * (z - u) - d["b"]) + d["x0"]
+
+
+def _lp_obj_batch(x, z, d):
+    return jnp.dot(d["b"], x)
+
+
+@_highest_precision_setup
+def lp_batch(bs, D, Ss, config: ADMMConfig = ADMMConfig(), *,
+             mesh=None, **overrides) -> BatchResults:
+    """Solve B standard-form LPs  min b_i^T x  s.t. D x = s_i, x >= 0
+    sharing ONE constraint matrix ``D`` (m, n) in one vmapped program.
+
+    ``bs`` is (n,) shared or (B, n) per-lane cost; ``Ss`` is (m,)
+    shared or (B, m) per-lane equality right-hand side (at least one
+    must carry the batch axis).  The KKT solve is folded once into
+    x = K1 b1 + x0 (models/linearprogram.py algebra): K1 depends only
+    on (D, rho) and is shared, while the whole batch of offsets
+    x0_i = W s_i is one setup GEMM.  Per-iteration work is a single
+    (B, n) x (n, n) GEMM — the same MXU shape as lasso_batch.
+    """
+    from ..ops.solve import kkt_eq_solver
+
+    config = merge_config(config, overrides)
+    if config.dynamic_rho:
+        raise ValueError(
+            "lp_batch folds the KKT solve at a fixed rho; adaptive/"
+            "dynamic-rho configs are not supported (solve lanes serially)"
+        )
+    D = jnp.asarray(D)
+    m, n = D.shape
+    Bn = _lane_count((bs, 1), (Ss, 1))
+    bs = _broadcast_lane(bs, Bn, (n,), D.dtype, "bs")
+    Ss = _broadcast_lane(Ss, Bn, (m,), D.dtype, "Ss")
+    K1, W = kkt_eq_solver.from_matrices(D, P=None).materialize_affine_map(
+        config.rho)
+    data = {"K1": K1, "b": bs, "x0": Ss @ W.T}
+
+    zeros = jnp.zeros((Bn, n), D.dtype)
+    from .linearprogram import _prox_g as _lp_prox_g
+
+    return _run(_prox_f_affine_kkt_batch, _lp_prox_g, _lp_obj_batch, config,
+                {"b", "x0"}, data, zeros, zeros, zeros, zeros,
+                as_linop(1.0), as_linop(-1.0), mesh=mesh)
+
+
+def _qp_obj_batch(x, z, d):
+    return 0.5 * jnp.dot(x, d["P"] @ x) + jnp.dot(d["q"], x) + d["r"]
+
+
+def _prox_f_qp_standard_batch(x, z, u, rho, d):
+    # Same affine fold as _prox_f_affine_kkt_batch, with the QP's
+    # linear-cost key (q) so the objective shares the leaf.
+    return d["K1"] @ (rho * (z - u) - d["q"]) + d["x0"]
+
+
+def _prox_f_qp_bounded_batch(x, z, u, rho, d):
+    return d["Minv"] @ (rho * (z - u) - d["q"])
+
+
+@_highest_precision_setup
+def qp_batch(P, Qs, rs, cons1, cons2, config: ADMMConfig = ADMMConfig(), *,
+             form: str = None, mesh=None, **overrides) -> BatchResults:
+    """Solve B quadratic programs sharing ONE Hessian ``P`` (n, n) in
+    one vmapped program — the model-predictive-control pattern, where
+    every step solves the same QP structure with fresh linear terms.
+
+    Forms (auto-detected like the serial wrapper,
+    models/quadraticprogram.py):
+
+    - standard: ``(cons1, cons2) = (D, Ss)`` with D the shared (m, n)
+      equality matrix and Ss (m,) or (B, m) per-lane right-hand sides.
+      One eigh of P + one KKT fold shared; per-lane offsets are one
+      setup GEMM (ops/solve.py:materialize_affine_map).
+    - bounded: ``(cons1, cons2) = (lb, ub)``, each (n,) shared or
+      (B, n) per-lane.  Detection reads a 2-D cons1 as the standard
+      form, so per-lane 2-D bound stacks need ``form='bounded'``.
+
+    ``Qs`` is (n,) or (B, n); ``rs`` is a scalar or (B,).
+    """
+    from ..ops.solve import SymShiftSolver, kkt_eq_solver
+
+    config = merge_config(config, overrides)
+    if config.dynamic_rho:
+        raise ValueError(
+            "qp_batch folds the x-update at a fixed rho; adaptive/"
+            "dynamic-rho configs are not supported (solve lanes serially)"
+        )
+    if form not in (None, "standard", "bounded"):
+        raise ValueError(f"form must be 'standard' or 'bounded', got {form!r}")
+    P = jnp.asarray(P)
+    P = 0.5 * (P + P.T)
+    n = P.shape[0]
+    c1 = jnp.asarray(cons1)
+    if form is None:
+        form = "standard" if c1.ndim == 2 else "bounded"
+
+    if form == "standard":
+        D = c1
+        m = D.shape[0]
+        Bn = _lane_count((Qs, 1), (cons2, 1), (rs, 0))
+        Qs_ = _broadcast_lane(Qs, Bn, (n,), P.dtype, "Qs")
+        Ss = _broadcast_lane(cons2, Bn, (m,), P.dtype, "Ss")
+        K1, W = kkt_eq_solver.from_matrices(
+            D, P=P).materialize_affine_map(config.rho)
+        data = {"K1": K1, "x0": Ss @ W.T, "q": Qs_}
+        from .quadraticprogram import _prox_g_standard
+
+        prox_f, prox_g, mapped = (
+            _prox_f_qp_standard_batch, _prox_g_standard, {"x0", "q", "r"})
+    else:
+        Bn = _lane_count((Qs, 1), (cons1, 1), (cons2, 1), (rs, 0))
+        Qs_ = _broadcast_lane(Qs, Bn, (n,), P.dtype, "Qs")
+        lb = _broadcast_lane(cons1, Bn, (n,), P.dtype, "lb")
+        ub = _broadcast_lane(cons2, Bn, (n,), P.dtype, "ub")
+        lb, ub = jnp.minimum(lb, ub), jnp.maximum(lb, ub)
+        Minv = SymShiftSolver.from_matrix(P).materialize_inverse(config.rho)
+        data = {"Minv": Minv, "q": Qs_, "lb": lb, "ub": ub}
+        from .quadraticprogram import _prox_g_bounded
+
+        prox_f, prox_g, mapped = (
+            _prox_f_qp_bounded_batch, _prox_g_bounded, {"q", "lb", "ub", "r"})
+
+    data["P"] = P
+    data["r"] = jnp.broadcast_to(jnp.asarray(rs, P.dtype), (Bn,))
+    zeros = jnp.zeros((Bn, n), P.dtype)
+    return _run(prox_f, prox_g, _qp_obj_batch, config, mapped, data,
+                zeros, zeros, zeros, zeros, as_linop(1.0), as_linop(-1.0),
+                mesh=mesh)
 
 
 @_highest_precision_setup

@@ -241,6 +241,17 @@ class kkt_eq_solver:
         error; the f64 oracle bar (LP 1e-10) holds — see
         tests/test_linearprogram.py.
         """
+        K1, W = self.materialize_affine_map(rho)
+        return AffineKKTSolver(K1, W @ jnp.asarray(b2))
+
+    def materialize_affine_map(self, rho):
+        """Shared pieces of the fixed-rho affine fold, for callers with
+        MANY constraint right-hand sides (models/batch.py lp/qp):
+
+            x = K1 b1 + W b2,   W = MinvDt S^{-1}   (n-by-m)
+
+        K1 and W depend only on (D, P, rho), so a batch of b2 vectors
+        folds into per-lane offsets with one setup GEMM (B, m) @ W^T."""
         inv_diag = 1.0 / (self.w + rho)
         S = (self.G * inv_diag[None, :]) @ self.G.T
         S = 0.5 * (S + S.T)
@@ -252,8 +263,8 @@ class kkt_eq_solver:
         MinvDt = Minv @ self.D.T
         K1 = Minv - MinvDt @ jax.scipy.linalg.cho_solve(cf, self.D @ Minv)
         K1 = 0.5 * (K1 + K1.T)  # exact symmetry of the KKT inverse block
-        x0 = MinvDt @ jax.scipy.linalg.cho_solve(cf, jnp.asarray(b2))
-        return AffineKKTSolver(K1, x0)
+        W = jax.scipy.linalg.cho_solve(cf, MinvDt.T).T
+        return K1, W
 
     def tree_flatten(self):
         return (self.D, self.V, self.w, self.G), None

@@ -304,3 +304,113 @@ def test_svm_batch_rejects_bad_shapes():
     with pytest.raises(ValueError, match="batch of row instances"):
         svm_batch(rng.standard_normal((40, 8)),
                   np.ones((2, 39)), 0.5, ADMMConfig(maxiters=10))
+
+
+def _lp_instances(B=3, m=20, n=48, seed=31):
+    rng = np.random.default_rng(seed)
+    D = rng.standard_normal((m, n))
+    Xf = np.abs(rng.standard_normal((B, n)))  # feasible >= 0 points
+    Ss = Xf @ D.T
+    bs = np.abs(rng.standard_normal((B, n)))  # b >= 0 -> bounded LP
+    return D, bs, Ss
+
+
+def test_lp_batch_matches_serial_per_instance():
+    from admm_tpu import linearprogram, lp_batch
+
+    D, bs, Ss = _lp_instances()
+    cfg = ADMMConfig(maxiters=500)
+    out = lp_batch(bs, D, Ss, cfg)
+    assert out.xopt.shape == (3, 48)
+    for i in range(3):
+        solo = linearprogram(bs[i], D, Ss[i], cfg)
+        np.testing.assert_allclose(
+            np.asarray(out.xopt[i]), np.asarray(solo.xopt), atol=1e-8
+        )
+        assert int(out.steps[i]) == solo.steps
+
+
+def test_lp_batch_shared_cost_broadcasts():
+    from admm_tpu import lp_batch
+
+    D, bs, Ss = _lp_instances()
+    out = lp_batch(bs[0], D, Ss, ADMMConfig(maxiters=50))
+    assert out.xopt.shape == (3, 48)
+
+
+def test_lp_batch_rejects_dynamic_rho_and_no_batch_axis():
+    from admm_tpu import lp_batch
+
+    D, bs, Ss = _lp_instances()
+    with pytest.raises(ValueError, match="fixed rho"):
+        lp_batch(bs, D, Ss, ADMMConfig(maxiters=50, adaptive=True))
+    with pytest.raises(ValueError, match="leading batch axis"):
+        lp_batch(bs[0], D, Ss[0], ADMMConfig(maxiters=50))
+
+
+def test_qp_batch_standard_matches_serial():
+    from admm_tpu import qp_batch, quadraticprogram
+
+    rng = np.random.default_rng(33)
+    B, m, n = 3, 12, 32
+    R = rng.standard_normal((n, 2 * n))
+    P = R @ R.T / (2 * n) + 0.1 * np.eye(n)
+    D = rng.standard_normal((m, n))
+    Ss = (np.abs(rng.standard_normal((B, n))) @ D.T)
+    Qs = rng.standard_normal((B, n))
+    cfg = ADMMConfig(maxiters=400)
+    out = qp_batch(P, Qs, 0.0, D, Ss, cfg)
+    for i in range(B):
+        solo = quadraticprogram(P, Qs[i], 0.0, D, Ss[i], cfg)
+        np.testing.assert_allclose(
+            np.asarray(out.xopt[i]), np.asarray(solo.xopt), atol=1e-8
+        )
+        assert int(out.steps[i]) == solo.steps
+
+
+def test_qp_batch_bounded_matches_serial():
+    from admm_tpu import qp_batch, quadraticprogram
+
+    rng = np.random.default_rng(34)
+    B, n = 4, 24
+    R = rng.standard_normal((n, 2 * n))
+    P = R @ R.T / (2 * n) + 0.1 * np.eye(n)
+    Qs = rng.standard_normal((B, n))
+    lbs = -np.abs(rng.standard_normal((B, n)))
+    ubs = np.abs(rng.standard_normal((B, n)))
+    rs = rng.standard_normal(B)
+    cfg = ADMMConfig(maxiters=400, objevals=True)
+    out = qp_batch(P, Qs, rs, lbs, ubs, cfg, form="bounded")
+    for i in range(B):
+        solo = quadraticprogram(P, Qs[i], float(rs[i]), lbs[i], ubs[i],
+                                cfg)
+        np.testing.assert_allclose(
+            np.asarray(out.xopt[i]), np.asarray(solo.xopt), atol=1e-8
+        )
+        np.testing.assert_allclose(
+            float(out.objopt[i]), float(solo.objopt), atol=1e-8
+        )
+
+
+def test_qp_batch_bounded_shared_bounds_auto_detects():
+    # 1-D bounds select the bounded form without form=.
+    from admm_tpu import qp_batch
+
+    rng = np.random.default_rng(35)
+    n = 16
+    P = np.eye(n)
+    out = qp_batch(P, rng.standard_normal((3, n)), 0.0,
+                   -np.ones(n), np.ones(n), ADMMConfig(maxiters=100))
+    assert out.xopt.shape == (3, n)
+    # z is the box-projected iterate (exactly feasible by construction);
+    # x only satisfies the bounds up to the primal residual.
+    assert np.all(np.asarray(out.zopt) >= -1 - 1e-9)
+    assert np.all(np.asarray(out.zopt) <= 1 + 1e-9)
+
+
+def test_qp_batch_rejects_bad_form():
+    from admm_tpu import qp_batch
+
+    with pytest.raises(ValueError, match="form must be"):
+        qp_batch(np.eye(4), np.zeros((2, 4)), 0.0, -np.ones(4), np.ones(4),
+                 ADMMConfig(maxiters=10), form="bogus")
