@@ -71,7 +71,8 @@ def _registry_entry(D, s, config=ADMMConfig(), **_):
 
 
 @timed_solver
-def basispursuit(D=None, s=None, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
+def basispursuit(D=None, s=None, config: ADMMConfig = ADMMConfig(), *,
+                 x0=None, z0=None, u0=None, **overrides) -> ADMMResults:
     """Solve basis pursuit (reference solvers/basispursuit.m:52).
 
     Constraint wiring: A = 1, B = -1, c = 0 in R^n.
@@ -90,5 +91,6 @@ def basispursuit(D=None, s=None, config: ADMMConfig = ADMMConfig(), **overrides)
     return admm(
         prox_f, prox_g, config,
         A=1.0, B=-1.0, c=0.0, m=n, nA=n, nB=n,
+        x0=x0, z0=z0, u0=u0,
         hooks=Hooks(obj=obj), dtype=D.dtype, data=data,
     )

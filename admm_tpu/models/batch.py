@@ -104,7 +104,16 @@ def _shard_lanes(mesh, mapped, data, state, A, B):
 
 
 def _run(prox_f, prox_g, obj, config, mapped, data, x0, z0, u0, c0, A, B,
-         mesh=None):
+         mesh=None, warm=None):
+    if warm is not None:
+        # Warm start (receding-horizon re-solves: seed from the previous
+        # BatchResults).  Each entry may be None (keep the solver's
+        # default), one instance (broadcast), or a (B, ...) stack.
+        x0, z0, u0 = (
+            d if w is None else _broadcast_lane(
+                w, d.shape[0], d.shape[1:], d.dtype, name)
+            for w, d, name in zip(warm, (x0, z0, u0), ("x0", "z0", "u0"))
+        )
     vrun = _cached_path_runner(prox_f, prox_g, obj, config,
                                frozenset(mapped), frozenset(data))
     if mesh is not None:
@@ -123,7 +132,8 @@ def _run(prox_f, prox_g, obj, config, mapped, data, x0, z0, u0, c0, A, B,
 
 @_highest_precision_setup
 def lasso_batch(D, S, lams, config: ADMMConfig = ADMMConfig(), *,
-                stream_dtype=None, mesh=None, **overrides) -> BatchResults:
+                stream_dtype=None, x0=None, z0=None, u0=None,
+                mesh=None, **overrides) -> BatchResults:
     """Solve LASSO for every signal row of ``S`` (shape (B, m)) against
     the shared dictionary ``D`` (shape (m, n)) in one vmapped program.
 
@@ -148,11 +158,12 @@ def lasso_batch(D, S, lams, config: ADMMConfig = ADMMConfig(), *,
     zeros = jnp.zeros((Bn, n), D.dtype)
     return _run(prox_f, prox_g, obj, config, {"s", "Dts", "lam"}, data,
                 zeros, zeros, zeros, zeros, as_linop(1.0), as_linop(-1.0),
-                mesh=mesh)
+                mesh=mesh, warm=(x0, z0, u0))
 
 
 @_highest_precision_setup
 def basispursuit_batch(D, S, config: ADMMConfig = ADMMConfig(), *,
+                       x0=None, z0=None, u0=None,
                        mesh=None, **overrides) -> BatchResults:
     """Basis pursuit for every measurement row of ``S`` (shape (B, m))
     against the shared underdetermined sensing matrix ``D`` (m, n) —
@@ -190,12 +201,13 @@ def basispursuit_batch(D, S, config: ADMMConfig = ADMMConfig(), *,
     zeros = jnp.zeros((Bn, n), D.dtype)
     return _run(_prox_f, _prox_g, _obj, config, {"q"}, data,
                 zeros, zeros, zeros, zeros, as_linop(1.0), as_linop(-1.0),
-                mesh=mesh)
+                mesh=mesh, warm=(x0, z0, u0))
 
 
 @_highest_precision_setup
 def tv_batch(S, lams, config: ADMMConfig = ADMMConfig(), *,
-             solver: str = "auto", mesh=None, **overrides) -> BatchResults:
+             solver: str = "auto", x0=None, z0=None, u0=None,
+             mesh=None, **overrides) -> BatchResults:
     """1-D TV denoising of every signal row of ``S`` (shape (B, n)) in
     one vmapped program.
 
@@ -216,13 +228,13 @@ def tv_batch(S, lams, config: ADMMConfig = ADMMConfig(), *,
     zeros = jnp.zeros((Bn, n), S.dtype)
     return _run(prox_f, prox_g, obj, config, {"s", "lam"}, data,
                 zeros, zeros, zeros, zeros, as_linop(D), as_linop(-1.0),
-                mesh=mesh)
+                mesh=mesh, warm=(x0, z0, u0))
 
 
 @_highest_precision_setup
 def covsel_batch(Ss, lams, config: ADMMConfig = ADMMConfig(), *,
                  prox_method: str = "ns", ns_iters: int = 20,
-                 mesh=None, **overrides) -> BatchResults:
+                 x0=None, z0=None, u0=None, mesh=None, **overrides) -> BatchResults:
     """Graphical lasso for every covariance matrix in ``Ss`` (shape
     (B, n, n)) in one vmapped program — e.g. per-subject sparse
     precision estimation over a cohort.
@@ -253,7 +265,7 @@ def covsel_batch(Ss, lams, config: ADMMConfig = ADMMConfig(), *,
     zeros = jnp.zeros((Bn, n, n), Ss.dtype)
     return _run(prox_f, prox_g, obj, config, {"S", "lam"}, data,
                 zeros, zeros, zeros, zeros, as_linop(1.0), as_linop(-1.0),
-                mesh=mesh)
+                mesh=mesh, warm=(x0, z0, u0))
 
 
 def _rhs_batch(make_prox_ops, D, S, config):
@@ -274,26 +286,28 @@ def _rhs_batch(make_prox_ops, D, S, config):
 
 @_highest_precision_setup
 def lad_batch(D, S, config: ADMMConfig = ADMMConfig(), *,
-              mesh=None, **overrides) -> BatchResults:
+              x0=None, z0=None, u0=None, mesh=None, **overrides) -> BatchResults:
     """Least absolute deviations for every right-hand side row of ``S``
     (shape (B, m)) against the shared design matrix ``D`` (m, n)."""
     config = merge_config(config, overrides)
     prox_f, prox_g, obj, data, Dj, xz, zz, S = _rhs_batch(
         _lad_make_prox_ops, D, S, config)
     return _run(prox_f, prox_g, obj, config, {"s"}, data,
-                xz, zz, zz, S, as_linop(Dj), as_linop(-1.0), mesh=mesh)
+                xz, zz, zz, S, as_linop(Dj), as_linop(-1.0),
+                mesh=mesh, warm=(x0, z0, u0))
 
 
 @_highest_precision_setup
 def huberfit_batch(D, S, config: ADMMConfig = ADMMConfig(), *,
-                   mesh=None, **overrides) -> BatchResults:
+                   x0=None, z0=None, u0=None, mesh=None, **overrides) -> BatchResults:
     """Huber fitting for every right-hand side row of ``S`` (shape
     (B, m)) against the shared design matrix ``D`` (m, n)."""
     config = merge_config(config, overrides)
     prox_f, prox_g, obj, data, Dj, xz, zz, S = _rhs_batch(
         _huber_make_prox_ops, D, S, config)
     return _run(prox_f, prox_g, obj, config, {"s"}, data,
-                xz, zz, zz, S, as_linop(Dj), as_linop(-1.0), mesh=mesh)
+                xz, zz, zz, S, as_linop(Dj), as_linop(-1.0),
+                mesh=mesh, warm=(x0, z0, u0))
 
 
 def _broadcast_lane(v, Bn, shape1, dtype, what):
@@ -335,7 +349,7 @@ def _lp_obj_batch(x, z, d):
 
 @_highest_precision_setup
 def lp_batch(bs, D, Ss, config: ADMMConfig = ADMMConfig(), *,
-             mesh=None, **overrides) -> BatchResults:
+             x0=None, z0=None, u0=None, mesh=None, **overrides) -> BatchResults:
     """Solve B standard-form LPs  min b_i^T x  s.t. D x = s_i, x >= 0
     sharing ONE constraint matrix ``D`` (m, n) in one vmapped program.
 
@@ -369,7 +383,8 @@ def lp_batch(bs, D, Ss, config: ADMMConfig = ADMMConfig(), *,
 
     return _run(_prox_f_affine_kkt_batch, _lp_prox_g, _lp_obj_batch, config,
                 {"b", "x0"}, data, zeros, zeros, zeros, zeros,
-                as_linop(1.0), as_linop(-1.0), mesh=mesh)
+                as_linop(1.0), as_linop(-1.0), mesh=mesh,
+                warm=(x0, z0, u0))
 
 
 def _qp_obj_batch(x, z, d):
@@ -388,7 +403,8 @@ def _prox_f_qp_bounded_batch(x, z, u, rho, d):
 
 @_highest_precision_setup
 def qp_batch(P, Qs, rs, cons1, cons2, config: ADMMConfig = ADMMConfig(), *,
-             form: str = None, mesh=None, **overrides) -> BatchResults:
+             form: str = None, x0=None, z0=None, u0=None,
+             mesh=None, **overrides) -> BatchResults:
     """Solve B quadratic programs sharing ONE Hessian ``P`` (n, n) in
     one vmapped program — the model-predictive-control pattern, where
     every step solves the same QP structure with fresh linear terms.
@@ -454,12 +470,13 @@ def qp_batch(P, Qs, rs, cons1, cons2, config: ADMMConfig = ADMMConfig(), *,
     zeros = jnp.zeros((Bn, n), P.dtype)
     return _run(prox_f, prox_g, _qp_obj_batch, config, mapped, data,
                 zeros, zeros, zeros, zeros, as_linop(1.0), as_linop(-1.0),
-                mesh=mesh)
+                mesh=mesh, warm=(x0, z0, u0))
 
 
 @_highest_precision_setup
 def svm_batch(D, ells, C, config: ADMMConfig = ADMMConfig(), *,
-              loss: str = "hinge", seed: int = 0, mesh=None,
+              loss: str = "hinge", seed: int = 0,
+              x0=None, z0=None, u0=None, mesh=None,
               **overrides) -> BatchResults:
     """Train B linear SVMs against ONE shared design matrix ``D``
     (m, n) in one vmapped unwrapped-ADMM program — the one-vs-all
@@ -492,12 +509,14 @@ def svm_batch(D, ells, C, config: ADMMConfig = ADMMConfig(), *,
     data["C"] = jnp.broadcast_to(jnp.asarray(C, D.dtype), (Bn,))
     data["Dplus"] = jnp.linalg.pinv(D)
 
-    # Same per-lane warm start as the serial unwrapped driver
-    # (unwrapped.py:70-74) so lane i is bit-comparable to a solo run.
+    # Same per-lane random start as the serial unwrapped driver
+    # (unwrapped.py:70-74) so lane i is bit-comparable to a solo run;
+    # explicit x0/z0/u0 warm starts override it.
     kx, kz, ku = jax.random.split(jax.random.PRNGKey(seed), 3)
-    x0 = jnp.broadcast_to(jax.random.uniform(kx, (n,), dtype=D.dtype), (Bn, n))
-    z0 = jnp.broadcast_to(jax.random.uniform(kz, (m,), dtype=D.dtype), (Bn, m))
-    u0 = jnp.broadcast_to(jax.random.uniform(ku, (m,), dtype=D.dtype), (Bn, m))
+    xr = jnp.broadcast_to(jax.random.uniform(kx, (n,), dtype=D.dtype), (Bn, n))
+    zr = jnp.broadcast_to(jax.random.uniform(kz, (m,), dtype=D.dtype), (Bn, m))
+    ur = jnp.broadcast_to(jax.random.uniform(ku, (m,), dtype=D.dtype), (Bn, m))
     c0 = jnp.zeros((Bn, m), D.dtype)
     return _run(_unwrapped_prox_f, prox_g, obj, config, {"ell", "C"}, data,
-                x0, z0, u0, c0, as_linop(D), as_linop(-1.0), mesh=mesh)
+                xr, zr, ur, c0, as_linop(D), as_linop(-1.0), mesh=mesh,
+                warm=(x0, z0, u0))

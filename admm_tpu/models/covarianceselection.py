@@ -103,7 +103,7 @@ def empirical_covariance(D):
 @timed_solver
 def covarianceselection(D=None, lam=None, config: ADMMConfig = ADMMConfig(), *,
                         prox_method: str = "eigh", ns_iters: int = 20,
-                        **overrides) -> ADMMResults:
+                        x0=None, z0=None, u0=None, **overrides) -> ADMMResults:
     """Solve covariance selection (reference solvers/covarianceselection.m:80).
 
     ``D`` holds samples in rows; the empirical covariance is formed here
@@ -131,6 +131,8 @@ def covarianceselection(D=None, lam=None, config: ADMMConfig = ADMMConfig(), *,
         prox_f, prox_g, config,
         A=1.0, B=-1.0, c=0.0,
         shape_x=(n, n), shape_z=(n, n),
-        x0=zero, z0=zero, u0=zero,
+        x0=zero if x0 is None else jnp.asarray(x0, S.dtype),
+        z0=zero if z0 is None else jnp.asarray(z0, S.dtype),
+        u0=zero if u0 is None else jnp.asarray(u0, S.dtype),
         hooks=Hooks(obj=obj), dtype=S.dtype, data=data,
     )

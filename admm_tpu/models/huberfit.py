@@ -65,7 +65,8 @@ def _registry_entry(D, s, config=ADMMConfig(), **_):
 
 
 @timed_solver
-def huberfit(D=None, s=None, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
+def huberfit(D=None, s=None, config: ADMMConfig = ADMMConfig(), *,
+             x0=None, z0=None, u0=None, **overrides) -> ADMMResults:
     """Solve Huber fitting (reference solvers/huberfit.m:83).
 
     Constraint wiring: A = D, B = -1, c = s (same shape as lad.m:140-145).
@@ -84,5 +85,6 @@ def huberfit(D=None, s=None, config: ADMMConfig = ADMMConfig(), **overrides) -> 
     return admm(
         prox_f, prox_g, config,
         A=D, B=-1.0, c=s, m=m, nA=n, nB=m,
+        x0=x0, z0=z0, u0=u0,
         hooks=Hooks(obj=obj), dtype=D.dtype, data=data,
     )

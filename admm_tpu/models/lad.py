@@ -62,7 +62,8 @@ def _registry_entry(D, s, config=ADMMConfig(), **_):
 
 
 @timed_solver
-def lad(D=None, s=None, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
+def lad(D=None, s=None, config: ADMMConfig = ADMMConfig(), *,
+        x0=None, z0=None, u0=None, **overrides) -> ADMMResults:
     """Solve least absolute deviations (reference solvers/lad.m:51).
 
     Constraint wiring matches lad.m:140-145: A = D, B = -1, c = s.
@@ -81,5 +82,6 @@ def lad(D=None, s=None, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMR
     return admm(
         prox_f, prox_g, config,
         A=D, B=-1.0, c=s, m=m, nA=n, nB=m,
+        x0=x0, z0=z0, u0=u0,
         hooks=Hooks(obj=obj), dtype=D.dtype, data=data,
     )

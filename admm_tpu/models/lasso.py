@@ -113,7 +113,7 @@ def _registry_entry(D, s, lam, config=ADMMConfig(), **_):
 
 @timed_solver
 def lasso(D=None, s=None, lam=None, config: ADMMConfig = ADMMConfig(), *, stream_dtype=None,
-          use_fused_kernel=False, **overrides) -> ADMMResults:
+          use_fused_kernel=False, x0=None, z0=None, u0=None, **overrides) -> ADMMResults:
     """Solve LASSO (reference solvers/lasso.m:77).
 
     Constraint wiring matches lasso.m:226-239: A = 1, B = -1, c = 0 in R^n.
@@ -135,5 +135,6 @@ def lasso(D=None, s=None, lam=None, config: ADMMConfig = ADMMConfig(), *, stream
     return admm(
         prox_f, prox_g, config,
         A=1.0, B=-1.0, c=0.0, m=n, nA=n, nB=n,
+        x0=x0, z0=z0, u0=u0,
         hooks=hooks, dtype=D.dtype, data=data,
     )

@@ -81,8 +81,8 @@ def _registry_entry(b, D, s, config=ADMMConfig(), kkt_mode="affine", **_):
 
 @timed_solver
 def linearprogram(b=None, D=None, s=None, config: ADMMConfig = ADMMConfig(),
-                  altproxg=None, kkt_mode: str = "affine",
-                  **overrides) -> ADMMResults:
+                  altproxg=None, kkt_mode: str = "affine", *,
+                  x0=None, z0=None, u0=None, **overrides) -> ADMMResults:
     """Solve the standard-form LP (reference solvers/linearprogram.m:81).
 
     Constraint wiring: A = 1, B = -1, c = 0 in R^n.  ``altproxg``
@@ -106,5 +106,6 @@ def linearprogram(b=None, D=None, s=None, config: ADMMConfig = ADMMConfig(),
     return admm(
         prox_f, prox_g, config,
         A=1.0, B=-1.0, c=0.0, m=n, nA=n, nB=n,
+        x0=x0, z0=z0, u0=u0,
         hooks=Hooks(obj=obj), dtype=D.dtype, data=data,
     )

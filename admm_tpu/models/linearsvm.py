@@ -90,7 +90,8 @@ def _registry_entry(D, ell, C, loss="hinge", config=ADMMConfig(), **_):
 @timed_solver
 def linearsvm(
     D=None, ell=None, C=None, config: ADMMConfig = ADMMConfig(), *,
-    loss: str = "hinge", seed: int = 0, **overrides,
+    loss: str = "hinge", seed: int = 0, x0=None, z0=None, u0=None,
+    **overrides,
 ) -> ADMMResults:
     """Train a linear SVM (reference solvers/linearsvm.m:92).
 
@@ -106,4 +107,5 @@ def linearsvm(
     check_data_vector(D, ell, sname="ell")
     config = merge_config(config, overrides)
     _, prox_g, obj, data = make_prox_ops(D, ell, C, loss, config)
-    return unwrappedadmm(prox_g, D, config, obj=obj, seed=seed, data=data)
+    return unwrappedadmm(prox_g, D, config, obj=obj, seed=seed, data=data,
+                         x0=x0, z0=z0, u0=u0)

@@ -75,7 +75,8 @@ def _registry_entry(P, Q, r, s, config=ADMMConfig(), **_):
 
 
 @timed_solver
-def model(P=None, Q=None, r=None, s=None, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
+def model(P=None, Q=None, r=None, s=None, config: ADMMConfig = ADMMConfig(), *,
+          x0=None, z0=None, u0=None, **overrides) -> ADMMResults:
     """Solve the model problem (reference solvers/model.m:47).
 
     Constraint wiring matches model.m:129-134: A = 1, B = -1, c = 0 in R^n.
@@ -93,5 +94,6 @@ def model(P=None, Q=None, r=None, s=None, config: ADMMConfig = ADMMConfig(), **o
     return admm(
         prox_f, prox_g, config,
         A=1.0, B=-1.0, c=0.0, m=n, nA=n, nB=n,
+        x0=x0, z0=z0, u0=u0,
         hooks=Hooks(obj=obj), dtype=P.dtype, data=data,
     )

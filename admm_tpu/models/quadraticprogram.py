@@ -124,7 +124,7 @@ def _registry_entry(P, q, D=None, s=None, lb=None, ub=None, config=ADMMConfig(),
 def quadraticprogram(
     P=None, q=None, r=None, cons1=None, cons2=None,
     config: ADMMConfig = ADMMConfig(), altproxg: Optional[Callable] = None,
-    kkt_mode: str = "affine", **overrides
+    kkt_mode: str = "affine", *, x0=None, z0=None, u0=None, **overrides
 ) -> ADMMResults:
     """Solve a QP (reference solvers/quadraticprogram.m:99).
 
@@ -161,5 +161,6 @@ def quadraticprogram(
     return admm(
         prox_f, prox_g, config,
         A=1.0, B=-1.0, c=0.0, m=n, nA=n, nB=n,
+        x0=x0, z0=z0, u0=u0,
         hooks=Hooks(obj=_obj), dtype=P.dtype, data=data,
     )

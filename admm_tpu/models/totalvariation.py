@@ -117,7 +117,7 @@ def _registry_entry(s, lam, config=ADMMConfig(), **_):
 
 @timed_solver
 def totalvariation(s=None, lam=None, config: ADMMConfig = ADMMConfig(), *,
-                   solver: str = "auto", **overrides) -> ADMMResults:
+                   solver: str = "auto", x0=None, z0=None, u0=None, **overrides) -> ADMMResults:
     """Solve 1-D TV denoising (reference solvers/totalvariation.m:62).
 
     Constraint wiring matches totalvariation.m:151-156: A = D, B = -1, c = 0.
@@ -135,5 +135,6 @@ def totalvariation(s=None, lam=None, config: ADMMConfig = ADMMConfig(), *,
     return admm(
         prox_f, prox_g, config,
         A=D, B=-1.0, c=0.0, m=n, nA=n, nB=n,
+        x0=x0, z0=z0, u0=u0,
         hooks=Hooks(obj=obj), dtype=s.dtype, data=data,
     )

@@ -129,7 +129,8 @@ def _registry_entry(S, lam, config=ADMMConfig(), **_):
 
 
 @timed_solver
-def totalvariation2d(S, lam, config: ADMMConfig = ADMMConfig(), **overrides) -> ADMMResults:
+def totalvariation2d(S, lam, config: ADMMConfig = ADMMConfig(), *,
+                     x0=None, z0=None, u0=None, **overrides) -> ADMMResults:
     """Denoise an image by anisotropic 2-D TV."""
     config = merge_config(config, overrides)
     S = jnp.asarray(S)
@@ -141,6 +142,8 @@ def totalvariation2d(S, lam, config: ADMMConfig = ADMMConfig(), **overrides) -> 
         prox_f, prox_g, config,
         A=A, B=-1.0, c=0.0,
         shape_x=(m, n), shape_z=(2, m, n),
-        x0=zeros_x, z0=zeros_z, u0=zeros_z,
+        x0=zeros_x if x0 is None else jnp.asarray(x0, S.dtype),
+        z0=zeros_z if z0 is None else jnp.asarray(z0, S.dtype),
+        u0=zeros_z if u0 is None else jnp.asarray(u0, S.dtype),
         hooks=Hooks(obj=obj), dtype=S.dtype, data=data,
     )

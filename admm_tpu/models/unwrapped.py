@@ -46,6 +46,9 @@ def unwrappedadmm(
     obj: Optional[Callable] = None,
     seed: int = 0,
     data: Optional[dict] = None,
+    x0=None,
+    z0=None,
+    u0=None,
     **overrides,
 ) -> ADMMResults:
     """Run unwrapped ADMM (reference solvers/unwrappedadmm.m:1).
@@ -67,11 +70,16 @@ def unwrappedadmm(
     m, n = D.shape
     Dplus = jnp.linalg.pinv(D)
 
-    # Random warm start (unwrappedadmm.m:89-91) — uniform [0, 1).
+    # Random start (unwrappedadmm.m:89-91) — uniform [0, 1); explicit
+    # x0/z0/u0 warm starts override it (reference options.x0/z0/u0,
+    # admm.m:252-254).
     kx, kz, ku = jax.random.split(jax.random.PRNGKey(seed), 3)
-    x0 = jax.random.uniform(kx, (n,), dtype=D.dtype)
-    z0 = jax.random.uniform(kz, (m,), dtype=D.dtype)
-    u0 = jax.random.uniform(ku, (m,), dtype=D.dtype)
+    if x0 is None:
+        x0 = jax.random.uniform(kx, (n,), dtype=D.dtype)
+    if z0 is None:
+        z0 = jax.random.uniform(kz, (m,), dtype=D.dtype)
+    if u0 is None:
+        u0 = jax.random.uniform(ku, (m,), dtype=D.dtype)
 
     if data is not None:
         data = dict(data)

@@ -414,3 +414,54 @@ def test_qp_batch_rejects_bad_form():
     with pytest.raises(ValueError, match="form must be"):
         qp_batch(np.eye(4), np.zeros((2, 4)), 0.0, -np.ones(4), np.ones(4),
                  ADMMConfig(maxiters=10), form="bogus")
+
+
+def test_batch_warm_start_from_own_solution_restarts_cheaply():
+    # Receding-horizon pattern: re-solving from the previous solution
+    # must converge almost immediately.
+    from admm_tpu import qp_batch
+
+    rng = np.random.default_rng(51)
+    B, m, n = 3, 10, 24
+    R = rng.standard_normal((n, 2 * n))
+    P = R @ R.T / (2 * n) + 0.1 * np.eye(n)
+    D = rng.standard_normal((m, n))
+    Ss = np.abs(rng.standard_normal((B, n))) @ D.T
+    Qs = rng.standard_normal((B, n))
+    cfg = ADMMConfig(maxiters=500)
+    cold = qp_batch(P, Qs, 0.0, D, Ss, cfg)
+    warm = qp_batch(P, Qs, 0.0, D, Ss, cfg,
+                    x0=cold.xopt, z0=cold.zopt, u0=cold.uopt)
+    assert np.all(np.asarray(warm.steps) <= 3)
+    # The warm solve runs a few more iterations before its own stop
+    # triggers, so it drifts from the cold fixed point by O(tolerance).
+    np.testing.assert_allclose(
+        np.asarray(warm.xopt), np.asarray(cold.xopt), atol=1e-3
+    )
+
+
+def test_batch_warm_start_matches_serial_warm_start():
+    from admm_tpu import lasso, lasso_batch
+
+    D, S = _lasso_instances(B=2)
+    lam = 0.1 * np.max(np.abs(S @ D))
+    rng = np.random.default_rng(52)
+    X0 = rng.standard_normal((2, 96))
+    cfg = ADMMConfig(maxiters=300)
+    out = lasso_batch(D, S, lam, cfg, x0=X0, z0=X0, u0=0.1 * X0)
+    for i in range(2):
+        solo = lasso(D, S[i], float(lam), cfg,
+                     x0=X0[i], z0=X0[i], u0=0.1 * X0[i])
+        np.testing.assert_allclose(
+            np.asarray(out.xopt[i]), np.asarray(solo.xopt), atol=1e-8
+        )
+        assert int(out.steps[i]) == solo.steps
+
+
+def test_batch_warm_start_broadcasts_single_instance():
+    from admm_tpu import lasso_batch
+
+    D, S = _lasso_instances(B=3)
+    x0 = np.zeros(96) + 0.5
+    out = lasso_batch(D, S, 0.5, ADMMConfig(maxiters=50), x0=x0)
+    assert out.xopt.shape == (3, 96)

@@ -282,3 +282,28 @@ def test_unroll_divergence_detection_exact():
               m=n, nA=n, nB=n, data=data)
     assert r1.diverged and rK.diverged
     assert r1.steps == rK.steps
+
+
+def test_serial_wrappers_accept_warm_start():
+    # Reference options.x0/z0/u0 (admm.m:252-254) reach every solver
+    # through the options struct; the wrappers expose the same knobs.
+    import numpy as np
+
+    from admm_tpu import ADMMConfig, lasso, linearsvm
+
+    rng = np.random.default_rng(61)
+    m, n = 40, 80
+    D = rng.standard_normal((m, n))
+    D = D / np.sqrt(np.sum(D**2, axis=0, keepdims=True))
+    s = rng.standard_normal(m)
+    cfg = ADMMConfig(maxiters=2000)
+    cold = lasso(D, s, 0.4, cfg)
+    warm = lasso(D, s, 0.4, cfg,
+                 x0=cold.xopt, z0=cold.zopt, u0=cold.uopt)
+    assert warm.steps <= 3 < cold.steps
+
+    ell = np.sign(rng.standard_normal(m))
+    sv_cold = linearsvm(D, ell, 0.5, ADMMConfig(maxiters=300))
+    sv_warm = linearsvm(D, ell, 0.5, ADMMConfig(maxiters=300),
+                        x0=sv_cold.xopt, z0=sv_cold.zopt, u0=sv_cold.uopt)
+    assert sv_warm.steps <= sv_cold.steps
