@@ -39,8 +39,10 @@ from .models.batch import (
     lad_batch,
     lasso_batch,
     lp_batch,
+    model_batch,
     qp_batch,
     svm_batch,
+    tv2d_batch,
     tv_batch,
 )
 from . import parallel, testers, utils  # noqa: F401  (subpackage access)
@@ -85,4 +87,6 @@ __all__ = [
     "svm_batch",
     "lp_batch",
     "qp_batch",
+    "model_batch",
+    "tv2d_batch",
 ]

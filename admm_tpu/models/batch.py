@@ -19,6 +19,9 @@ factorization that does not depend on it is shared:
 - ``lp_batch`` / ``qp_batch``: B LPs / QPs sharing one constraint
   matrix / Hessian with per-lane linear terms — the MPC pattern (one
   KKT fold shared, offsets batched in one setup GEMM).
+- ``model_batch`` / ``tv2d_batch``: multi-RHS model problem and batch
+  image denoising — with these, every solver family in the library has
+  an instance-batched variant.
 
 The reference library solves instances one at a time in a MATLAB loop
 (e.g. solvers/lasso.m:77 called per signal); there is no batched
@@ -265,6 +268,76 @@ def covsel_batch(Ss, lams, config: ADMMConfig = ADMMConfig(), *,
     zeros = jnp.zeros((Bn, n, n), Ss.dtype)
     return _run(prox_f, prox_g, obj, config, {"S", "lam"}, data,
                 zeros, zeros, zeros, zeros, as_linop(1.0), as_linop(-1.0),
+                mesh=mesh, warm=(x0, z0, u0))
+
+
+@_highest_precision_setup
+def model_batch(P, Q, Rs, Ss, config: ADMMConfig = ADMMConfig(), *,
+                x0=None, z0=None, u0=None, mesh=None,
+                **overrides) -> BatchResults:
+    """Solve the model problem  min 1/2||P x - r_i||^2 + 1/2||Q x - s_i||^2
+    for every right-hand-side pair (r_i, s_i) against the SHARED
+    operators ``P`` (mP, n) and ``Q`` (mQ, n) in one vmapped program.
+
+    ``Rs`` is (mP,) shared or (B, mP); ``Ss`` is (mQ,) shared or
+    (B, mQ) (at least one stacked).  Both regularized inverses depend
+    only on (P, Q, rho) and are shared; the per-lane normal-equation
+    right-hand sides P^T r_i / Q^T s_i fold in one setup GEMM each.
+    """
+    from .model import make_prox_ops as _model_make_prox_ops
+
+    config = merge_config(config, overrides)
+    P = jnp.asarray(P)
+    Q = jnp.asarray(Q)
+    n = P.shape[1]
+    Bn = _lane_count((Rs, 1), (Ss, 1))
+    Rs = _broadcast_lane(Rs, Bn, (P.shape[0],), P.dtype, "Rs")
+    Ss = _broadcast_lane(Ss, Bn, (Q.shape[0],), P.dtype, "Ss")
+    prox_f, prox_g, obj, data = _model_make_prox_ops(P, Q, Rs[0], Ss[0],
+                                                     config)
+    data = dict(data)
+    data["r"] = Rs
+    data["s"] = Ss
+    data["Ptr"] = Rs @ P  # (B, n): per-lane P^T r in one GEMM
+    data["Qts"] = Ss @ Q
+
+    zeros = jnp.zeros((Bn, n), P.dtype)
+    return _run(prox_f, prox_g, obj, config, {"r", "s", "Ptr", "Qts"}, data,
+                zeros, zeros, zeros, zeros, as_linop(1.0), as_linop(-1.0),
+                mesh=mesh, warm=(x0, z0, u0))
+
+
+@_highest_precision_setup
+def tv2d_batch(Ss, lams, config: ADMMConfig = ADMMConfig(), *,
+               x0=None, z0=None, u0=None, mesh=None,
+               **overrides) -> BatchResults:
+    """Anisotropic 2-D TV denoising of every image in ``Ss`` (shape
+    (B, m, n)) in one vmapped program — batch image denoising.
+
+    The two small 1-D difference eigenbases diagonalizing the
+    Sylvester-structured x-solve depend only on (m, n) and are shared;
+    per-lane leaves are the image and its denoising strength
+    (``lams`` scalar or (B,)).  The four per-lane (m,m)x(m,n) /
+    (m,n)x(n,n) matmuls batch into MXU GEMMs.
+    """
+    from .totalvariation2d import make_prox_ops as _tv2d_make_prox_ops
+
+    config = merge_config(config, overrides)
+    Ss = jnp.asarray(Ss)
+    if Ss.ndim != 3:
+        raise ValueError(
+            f"Ss must be a (B, m, n) stack of images, got {Ss.shape}"
+        )
+    Bn, m, n = Ss.shape
+    prox_f, prox_g, obj, data, A = _tv2d_make_prox_ops(Ss[0], 1.0, config)
+    data = dict(data)
+    data["S"] = Ss
+    data["lam"] = jnp.broadcast_to(jnp.asarray(lams, Ss.dtype), (Bn,))
+
+    zx = jnp.zeros((Bn, m, n), Ss.dtype)
+    zz = jnp.zeros((Bn, 2, m, n), Ss.dtype)
+    return _run(prox_f, prox_g, obj, config, {"S", "lam"}, data,
+                zx, zz, zz, zz, A, as_linop(-1.0),
                 mesh=mesh, warm=(x0, z0, u0))
 
 

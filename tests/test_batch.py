@@ -465,3 +465,65 @@ def test_batch_warm_start_broadcasts_single_instance():
     x0 = np.zeros(96) + 0.5
     out = lasso_batch(D, S, 0.5, ADMMConfig(maxiters=50), x0=x0)
     assert out.xopt.shape == (3, 96)
+
+
+def test_model_batch_matches_serial_per_rhs_pair():
+    from admm_tpu import model, model_batch
+
+    rng = np.random.default_rng(55)
+    B, mP, mQ, n = 3, 40, 32, 20
+    P = rng.standard_normal((mP, n))
+    Q = rng.standard_normal((mQ, n))
+    Rs = rng.standard_normal((B, mP))
+    Ss = rng.standard_normal((B, mQ))
+    cfg = ADMMConfig(maxiters=2000)
+    out = model_batch(P, Q, Rs, Ss, cfg)
+    assert out.xopt.shape == (B, n)
+    for i in range(B):
+        solo = model(P, Q, Rs[i], Ss[i], cfg)
+        np.testing.assert_allclose(
+            np.asarray(out.xopt[i]), np.asarray(solo.xopt), atol=1e-8
+        )
+        assert int(out.steps[i]) == solo.steps
+
+
+def test_model_batch_shared_s_broadcasts():
+    from admm_tpu import model_batch
+
+    rng = np.random.default_rng(56)
+    P = rng.standard_normal((20, 10))
+    Q = rng.standard_normal((16, 10))
+    out = model_batch(P, Q, rng.standard_normal((2, 20)),
+                      rng.standard_normal(16), ADMMConfig(maxiters=100))
+    assert out.xopt.shape == (2, 10)
+
+
+def test_tv2d_batch_matches_serial_per_image():
+    from admm_tpu import totalvariation2d, tv2d_batch
+
+    rng = np.random.default_rng(57)
+    B, m, n = 3, 12, 16
+    blocks = rng.standard_normal((B, 3, 4))
+    Ss = np.kron(blocks, np.ones((4, 4))) + 0.1 * rng.standard_normal((B, m, n))
+    cfg = ADMMConfig(maxiters=600)
+    out = tv2d_batch(Ss, 0.4, cfg)
+    assert out.xopt.shape == (B, m, n)
+    for i in range(B):
+        solo = totalvariation2d(Ss[i], 0.4, cfg)
+        np.testing.assert_allclose(
+            np.asarray(out.xopt[i]), np.asarray(solo.xopt), atol=1e-8
+        )
+        assert int(out.steps[i]) == solo.steps
+
+
+def test_tv2d_batch_per_lane_lambda_and_shape_check():
+    from admm_tpu import tv2d_batch
+
+    rng = np.random.default_rng(58)
+    Ss = rng.standard_normal((2, 8, 8))
+    out = tv2d_batch(Ss, np.array([0.1, 5.0]), ADMMConfig(maxiters=300))
+    # a huge lambda flattens the image much more than a tiny one
+    tv = lambda X: np.abs(np.diff(X, axis=0)).sum() + np.abs(np.diff(X, axis=1)).sum()
+    assert tv(np.asarray(out.xopt[1])) < 0.1 * tv(np.asarray(out.xopt[0]))
+    with pytest.raises(ValueError, match="stack of images"):
+        tv2d_batch(Ss[0], 0.1)
