@@ -131,3 +131,12 @@ def test_idx_loader_round_trip(tmp_path):
         f.write(imgs.tobytes())
     with _pytest.raises(ValueError, match="idx3"):
         read_idx_images(bad)
+
+
+def test_mpc_qp_warm_start_example():
+    from examples.mpc_qp import mpc_qp
+
+    cold, warm = mpc_qp(B=4, n=16, m=6, steps=4, maxiters=2000, quiet=True)
+    assert len(cold) == len(warm) == 4
+    # After the first step every warm re-solve must beat its cold solve.
+    assert all(w < c for w, c in zip(warm[1:], cold[1:]))
