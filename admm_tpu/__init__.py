@@ -41,6 +41,7 @@ from .models.batch import (
     lp_batch,
     model_batch,
     qp_batch,
+    qp_structure,
     svm_batch,
     tv2d_batch,
     tv_batch,
@@ -89,4 +90,5 @@ __all__ = [
     "qp_batch",
     "model_batch",
     "tv2d_batch",
+    "qp_structure",
 ]

@@ -416,10 +416,6 @@ def _prox_f_affine_kkt_batch(x, z, u, rho, d):
     return d["K1"] @ (rho * (z - u) - d["b"]) + d["x0"]
 
 
-def _lp_obj_batch(x, z, d):
-    return jnp.dot(d["b"], x)
-
-
 @_highest_precision_setup
 def lp_batch(bs, D, Ss, config: ADMMConfig = ADMMConfig(), *,
              x0=None, z0=None, u0=None, mesh=None, **overrides) -> BatchResults:
@@ -452,16 +448,13 @@ def lp_batch(bs, D, Ss, config: ADMMConfig = ADMMConfig(), *,
     data = {"K1": K1, "b": bs, "x0": Ss @ W.T}
 
     zeros = jnp.zeros((Bn, n), D.dtype)
+    from .linearprogram import _obj as _lp_obj
     from .linearprogram import _prox_g as _lp_prox_g
 
-    return _run(_prox_f_affine_kkt_batch, _lp_prox_g, _lp_obj_batch, config,
+    return _run(_prox_f_affine_kkt_batch, _lp_prox_g, _lp_obj, config,
                 {"b", "x0"}, data, zeros, zeros, zeros, zeros,
                 as_linop(1.0), as_linop(-1.0), mesh=mesh,
                 warm=(x0, z0, u0))
-
-
-def _qp_obj_batch(x, z, d):
-    return 0.5 * jnp.dot(x, d["P"] @ x) + jnp.dot(d["q"], x) + d["r"]
 
 
 def _prox_f_qp_standard_batch(x, z, u, rho, d):
@@ -470,13 +463,49 @@ def _prox_f_qp_standard_batch(x, z, u, rho, d):
     return d["K1"] @ (rho * (z - u) - d["q"]) + d["x0"]
 
 
-def _prox_f_qp_bounded_batch(x, z, u, rho, d):
-    return d["Minv"] @ (rho * (z - u) - d["q"])
+@dataclasses.dataclass(frozen=True)
+class QPStructure:
+    """The (P, D, rho)-only pieces of qp_batch's x-update, folded once.
+
+    Receding-horizon callers build this ONE time via ``qp_structure``
+    and pass it to every ``qp_batch`` re-solve — the per-step cost then
+    contains no eigh/Cholesky/dense-fold work, only the per-lane offset
+    GEMM and the compiled iteration loop."""
+
+    P: Any
+    rho: float
+    D: Any = None      # standard form only
+    K1: Any = None     # standard fold (ops/solve.py:materialize_affine_map)
+    W: Any = None
+    Minv: Any = None   # bounded fold
+
+    @property
+    def form(self):
+        return "bounded" if self.D is None else "standard"
+
+
+@_highest_precision_setup
+def qp_structure(P, D=None, rho: float = 1.0) -> QPStructure:
+    """Fold the shared QP structure once (see QPStructure).  ``D``
+    given selects the standard (equality + nonnegativity) form; ``D``
+    omitted the bounded (box) form.  ``rho`` must match the config the
+    structure is later used with."""
+    from ..ops.solve import SymShiftSolver, kkt_eq_solver
+
+    P = jnp.asarray(P)
+    P = 0.5 * (P + P.T)
+    if D is None:
+        Minv = SymShiftSolver.from_matrix(P).materialize_inverse(rho)
+        return QPStructure(P=P, rho=float(rho), Minv=Minv)
+    D = jnp.asarray(D)
+    K1, W = kkt_eq_solver.from_matrices(D, P=P).materialize_affine_map(rho)
+    return QPStructure(P=P, rho=float(rho), D=D, K1=K1, W=W)
 
 
 @_highest_precision_setup
 def qp_batch(P, Qs, rs, cons1, cons2, config: ADMMConfig = ADMMConfig(), *,
-             form: str = None, x0=None, z0=None, u0=None,
+             form: str = None, structure: QPStructure = None,
+             x0=None, z0=None, u0=None,
              mesh=None, **overrides) -> BatchResults:
     """Solve B quadratic programs sharing ONE Hessian ``P`` (n, n) in
     one vmapped program — the model-predictive-control pattern, where
@@ -490,10 +519,18 @@ def qp_batch(P, Qs, rs, cons1, cons2, config: ADMMConfig = ADMMConfig(), *,
       One eigh of P + one KKT fold shared; per-lane offsets are one
       setup GEMM (ops/solve.py:materialize_affine_map).
     - bounded: ``(cons1, cons2) = (lb, ub)``, each (n,) shared or
-      (B, n) per-lane.  Detection reads a 2-D cons1 as the standard
-      form, so per-lane 2-D bound stacks need ``form='bounded'``.
+      (B, n) per-lane.
 
-    ``Qs`` is (n,) or (B, n); ``rs`` is a scalar or (B,).
+    Detection: a 2-D cons1 selects the standard form, EXCEPT that a
+    shape-matched 2-D (cons1, cons2) pair reads as per-lane (B, n)
+    lb/ub stacks (an equality matrix only shape-matches its RHS stack
+    when B == m == n).  Mixed per-lane/shared bound pairs with a 2-D
+    lb are the one ambiguous case left — pass ``form='bounded'``.
+
+    ``Qs`` is (n,) or (B, n); ``rs`` is a scalar or (B,).  For
+    repeated re-solves against the same (P, D/bounds-shape, rho), fold
+    the structure once with ``qp_structure`` and pass ``structure=``
+    (cons1 is then ignored for the standard form).
     """
     from ..ops.solve import SymShiftSolver, kkt_eq_solver
 
@@ -509,17 +546,47 @@ def qp_batch(P, Qs, rs, cons1, cons2, config: ADMMConfig = ADMMConfig(), *,
     P = 0.5 * (P + P.T)
     n = P.shape[0]
     c1 = jnp.asarray(cons1)
-    if form is None:
-        form = "standard" if c1.ndim == 2 else "bounded"
+    if structure is not None:
+        if structure.rho != config.rho:
+            raise ValueError(
+                f"structure was folded at rho={structure.rho} but the "
+                f"config uses rho={config.rho}"
+            )
+        if form is not None and form != structure.form:
+            raise ValueError(
+                f"form={form!r} conflicts with the {structure.form!r} "
+                f"structure"
+            )
+        form = structure.form
+    elif form is None:
+        c2 = jnp.asarray(cons2)
+        if c1.ndim != 2:
+            form = "bounded"
+        elif c2.ndim == 2 and c1.shape == c2.shape and c1.shape[1] == n:
+            # Per-lane (B, n) lb/ub stacks always shape-match each
+            # other; an equality matrix D (m, n) shape-matches its RHS
+            # stack (B, m) only in the degenerate B == m == n case.
+            form = "bounded"
+        else:
+            form = "standard"
 
     if form == "standard":
-        D = c1
+        D = structure.D if structure is not None else c1
         m = D.shape[0]
         Bn = _lane_count((Qs, 1), (cons2, 1), (rs, 0))
         Qs_ = _broadcast_lane(Qs, Bn, (n,), P.dtype, "Qs")
-        Ss = _broadcast_lane(cons2, Bn, (m,), P.dtype, "Ss")
-        K1, W = kkt_eq_solver.from_matrices(
-            D, P=P).materialize_affine_map(config.rho)
+        try:
+            Ss = _broadcast_lane(cons2, Bn, (m,), P.dtype, "Ss")
+        except ValueError as e:
+            raise ValueError(
+                f"{e} — if cons1/cons2 are per-lane bound stacks rather "
+                f"than an equality system, pass form='bounded'"
+            ) from None
+        if structure is not None:
+            K1, W = structure.K1, structure.W
+        else:
+            K1, W = kkt_eq_solver.from_matrices(
+                D, P=P).materialize_affine_map(config.rho)
         data = {"K1": K1, "x0": Ss @ W.T, "q": Qs_}
         from .quadraticprogram import _prox_g_standard
 
@@ -531,17 +598,23 @@ def qp_batch(P, Qs, rs, cons1, cons2, config: ADMMConfig = ADMMConfig(), *,
         lb = _broadcast_lane(cons1, Bn, (n,), P.dtype, "lb")
         ub = _broadcast_lane(cons2, Bn, (n,), P.dtype, "ub")
         lb, ub = jnp.minimum(lb, ub), jnp.maximum(lb, ub)
-        Minv = SymShiftSolver.from_matrix(P).materialize_inverse(config.rho)
+        if structure is not None:
+            Minv = structure.Minv
+        else:
+            Minv = SymShiftSolver.from_matrix(P).materialize_inverse(
+                config.rho)
         data = {"Minv": Minv, "q": Qs_, "lb": lb, "ub": ub}
-        from .quadraticprogram import _prox_g_bounded
+        from .quadraticprogram import _prox_f_bounded_static, _prox_g_bounded
 
         prox_f, prox_g, mapped = (
-            _prox_f_qp_bounded_batch, _prox_g_bounded, {"q", "lb", "ub", "r"})
+            _prox_f_bounded_static, _prox_g_bounded, {"q", "lb", "ub", "r"})
+
+    from .quadraticprogram import _obj as _qp_obj
 
     data["P"] = P
     data["r"] = jnp.broadcast_to(jnp.asarray(rs, P.dtype), (Bn,))
     zeros = jnp.zeros((Bn, n), P.dtype)
-    return _run(prox_f, prox_g, _qp_obj_batch, config, mapped, data,
+    return _run(prox_f, prox_g, _qp_obj, config, mapped, data,
                 zeros, zeros, zeros, zeros, as_linop(1.0), as_linop(-1.0),
                 mesh=mesh, warm=(x0, z0, u0))
 
@@ -566,8 +639,12 @@ def svm_batch(D, ells, C, config: ADMMConfig = ADMMConfig(), *,
     stopcond='both', nodualerror) so each lane reproduces
     ``linearsvm(D, ells[i], C)`` run alone.
     """
-    overrides.setdefault("stopcond", "both")
-    overrides.setdefault("nodualerror", True)
+    # FORCED, not defaulted: the serial chain (linearsvm ->
+    # unwrappedadmm) overwrites any caller stopcond/nodualerror with the
+    # reference driver's values (unwrappedadmm.m:90-92), so the batch
+    # path must do the same or lanes stop differently from solo runs.
+    overrides["stopcond"] = "both"
+    overrides["nodualerror"] = True
     config = merge_config(config, overrides)
     from .linearsvm import make_prox_ops as _svm_make_prox_ops
     from .unwrapped import _prox_f as _unwrapped_prox_f

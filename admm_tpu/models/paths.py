@@ -209,11 +209,12 @@ def tv_path(s, lams, config: ADMMConfig = ADMMConfig(), *,
 def linearsvm_c_path(D, ell, Cs, config: ADMMConfig = ADMMConfig(), *,
                      loss: str = "hinge", seed: int = 0, **overrides) -> PathResults:
     """Train the linear SVM for every C in ``Cs`` in one vmapped program
-    (the reference's per-C re-solve loop, batched).  The unwrapped
-    driver's stopping defaults apply unless explicitly overridden (same
-    setdefault semantics as unwrappedadmm)."""
-    overrides.setdefault("stopcond", "both")
-    overrides.setdefault("nodualerror", True)
+    (the reference's per-C re-solve loop, batched).  stopcond and
+    nodualerror are FORCED to the unwrapped driver's values
+    (unwrappedadmm.m:90-92) exactly as the serial linearsvm chain is,
+    so each lane stops identically to a solo run."""
+    overrides["stopcond"] = "both"
+    overrides["nodualerror"] = True
     config = merge_config(config, overrides)
     D = jnp.asarray(D)
     m, n = D.shape

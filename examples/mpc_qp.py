@@ -25,14 +25,21 @@ import numpy as np
 
 
 def mpc_qp(B=16, n=64, m=16, steps=8, seed=0, maxiters=2000, quiet=False):
-    from admm_tpu import ADMMConfig, qp_batch
+    from admm_tpu import ADMMConfig, qp_batch, qp_structure
 
+    if m >= n:
+        raise ValueError(
+            f"the equality system must be underdetermined (m < n); "
+            f"got m={m}, n={n}"
+        )
     rng = np.random.default_rng(seed)
     # Shared structure: one strongly-convex Hessian, one dynamics/
-    # equality matrix for the whole fleet and the whole horizon.
+    # equality matrix for the whole fleet and the whole horizon —
+    # folded ONCE; the per-step re-solves do no eigh/Cholesky work.
     R = rng.standard_normal((n, 2 * n))
     P = R @ R.T / (2 * n) + 0.1 * np.eye(n)
     D = rng.standard_normal((m, n))
+    struct = qp_structure(P, D)
 
     # Tight Boyd tolerances so the warm and cold stopping points land on
     # (numerically) the same solution and the agreement check below is
@@ -48,12 +55,12 @@ def mpc_qp(B=16, n=64, m=16, steps=8, seed=0, maxiters=2000, quiet=False):
         Qs = Qs + 0.01 * rng.standard_normal((B, n))
         Ss = Ss + 0.01 * np.abs(rng.standard_normal((B, n))) @ D.T
 
-        cold = qp_batch(P, Qs, 0.0, D, Ss, cfg)
+        cold = qp_batch(P, Qs, 0.0, D, Ss, cfg, structure=struct)
         cold_iters.append(int(np.max(np.asarray(cold.steps))))
         if prev is None:
             warm = cold
         else:
-            warm = qp_batch(P, Qs, 0.0, D, Ss, cfg,
+            warm = qp_batch(P, Qs, 0.0, D, Ss, cfg, structure=struct,
                             x0=prev.xopt, z0=prev.zopt, u0=prev.uopt)
         warm_iters.append(int(np.max(np.asarray(warm.steps))))
         np.testing.assert_allclose(  # warm and cold land on the same QP

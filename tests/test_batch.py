@@ -527,3 +527,84 @@ def test_tv2d_batch_per_lane_lambda_and_shape_check():
     assert tv(np.asarray(out.xopt[1])) < 0.1 * tv(np.asarray(out.xopt[0]))
     with pytest.raises(ValueError, match="stack of images"):
         tv2d_batch(Ss[0], 0.1)
+
+
+def test_qp_batch_bound_stacks_auto_detect_bounded():
+    # Shape-matched 2-D (lb, ub) stacks must NOT be read as an equality
+    # system (which would silently solve the wrong problem when B == n).
+    from admm_tpu import qp_batch
+
+    rng = np.random.default_rng(71)
+    B = n = 12  # the degenerate square case
+    P = np.eye(n)
+    Qs = rng.standard_normal((B, n))
+    lbs = -np.abs(rng.standard_normal((B, n)))
+    ubs = np.abs(rng.standard_normal((B, n)))
+    out = qp_batch(P, Qs, 0.0, lbs, ubs, ADMMConfig(maxiters=200))
+    z = np.asarray(out.zopt)
+    assert np.all(z >= lbs - 1e-9) and np.all(z <= ubs + 1e-9)
+
+
+def test_qp_batch_mixed_bound_shapes_error_mentions_bounded():
+    from admm_tpu import qp_batch
+
+    rng = np.random.default_rng(72)
+    B, n = 5, 12
+    P = np.eye(n)
+    with pytest.raises(ValueError, match="form='bounded'"):
+        # 2-D lb + shared 1-D ub misdetects as standard; the error must
+        # point at the escape hatch.
+        qp_batch(P, rng.standard_normal((B, n)), 0.0,
+                 -np.abs(rng.standard_normal((B, n))), np.ones(n),
+                 ADMMConfig(maxiters=10))
+
+
+def test_qp_structure_reuse_matches_fresh_fold():
+    from admm_tpu import qp_batch, qp_structure
+
+    rng = np.random.default_rng(73)
+    B, m, n = 3, 8, 20
+    R = rng.standard_normal((n, 2 * n))
+    P = R @ R.T / (2 * n) + 0.1 * np.eye(n)
+    D = rng.standard_normal((m, n))
+    Ss = np.abs(rng.standard_normal((B, n))) @ D.T
+    Qs = rng.standard_normal((B, n))
+    cfg = ADMMConfig(maxiters=300)
+    fresh = qp_batch(P, Qs, 0.0, D, Ss, cfg)
+    struct = qp_structure(P, D)
+    reused = qp_batch(P, Qs, 0.0, D, Ss, cfg, structure=struct)
+    np.testing.assert_array_equal(np.asarray(reused.xopt),
+                                  np.asarray(fresh.xopt))
+    # bounded-form structure
+    sb = qp_structure(P)
+    lb, ub = -np.ones(n), np.ones(n)
+    fb = qp_batch(P, Qs, 0.0, lb, ub, cfg)
+    rb = qp_batch(P, Qs, 0.0, lb, ub, cfg, structure=sb)
+    np.testing.assert_array_equal(np.asarray(rb.xopt), np.asarray(fb.xopt))
+    with pytest.raises(ValueError, match="rho"):
+        qp_batch(P, Qs, 0.0, D, Ss, ADMMConfig(maxiters=10, rho=2.0),
+                 structure=struct)
+    with pytest.raises(ValueError, match="conflicts"):
+        qp_batch(P, Qs, 0.0, lb, ub, cfg, structure=struct, form="bounded")
+
+
+def test_svm_batch_forces_driver_stopping_like_serial():
+    # The serial chain overwrites caller stopcond/nodualerror with the
+    # reference driver's values (unwrappedadmm.m:90-92); the batch path
+    # must match or lanes stop differently from solo runs.
+    from admm_tpu import linearsvm, svm_batch
+
+    rng = np.random.default_rng(74)
+    m, n = 60, 10
+    D = rng.standard_normal((m, n))
+    ells = np.sign(rng.standard_normal((2, m)))
+    cfg = ADMMConfig(maxiters=200)
+    out = svm_batch(D, ells, 0.5, cfg, seed=2, stopcond="standard",
+                    nodualerror=False)
+    for k in range(2):
+        solo = linearsvm(D, ells[k], 0.5, cfg, seed=2,
+                         stopcond="standard", nodualerror=False)
+        np.testing.assert_allclose(
+            np.asarray(out.xopt[k]), np.asarray(solo.xopt), atol=1e-8
+        )
+        assert int(out.steps[k]) == solo.steps
