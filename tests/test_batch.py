@@ -608,3 +608,19 @@ def test_svm_batch_forces_driver_stopping_like_serial():
             np.asarray(out.xopt[k]), np.asarray(solo.xopt), atol=1e-8
         )
         assert int(out.steps[k]) == solo.steps
+
+
+def test_batch_composes_with_adaptive_rho():
+    # Per-lane adaptive rho under vmap: the rho-parameterized solver
+    # (SymShiftSolver/FatShiftSolver eigh basis) is shared while each
+    # lane walks its own rho trajectory — must match serial exactly.
+    D, S = _lasso_instances(B=3, seed=91)
+    lam = 0.1 * np.max(np.abs(S @ D))
+    cfg = ADMMConfig(maxiters=2000, adaptive=True, convtest=True)
+    out = lasso_batch(D, S, lam, cfg)
+    for i in range(3):
+        solo = lasso(D, S[i], float(lam), cfg)
+        np.testing.assert_allclose(
+            np.asarray(out.xopt[i]), np.asarray(solo.xopt), atol=1e-5
+        )
+        assert int(out.steps[i]) == solo.steps
