@@ -624,3 +624,47 @@ def test_batch_composes_with_adaptive_rho():
             np.asarray(out.xopt[i]), np.asarray(solo.xopt), atol=1e-5
         )
         assert int(out.steps[i]) == solo.steps
+
+
+@pytest.mark.parametrize("opts", [
+    dict(fast=True, fasttype="strong"),
+    dict(fast=True, fasttype="weak", maxiters=400),
+    dict(relax=1.5),
+    dict(relax=0.8, unroll=4),
+    dict(adaptive=True, convtest=True),
+    dict(fast=True, fasttype="strong", unroll=4),
+    dict(stopcond="hnorm"),
+    dict(stopcond="both", unroll=2),
+])
+def test_batch_engine_variant_matrix_matches_serial(opts):
+    # Every engine variant combination must produce bit-comparable
+    # trajectories through the vmapped runner — the batch-vs-serial
+    # equality is the oracle for variant/batching interplay.
+    D, S = _lasso_instances(B=2, seed=101)
+    lam = 0.15 * np.max(np.abs(S @ D))
+    cfg = ADMMConfig(**{"maxiters": 800, **opts})
+    out = lasso_batch(D, S, lam, cfg)
+    for i in range(2):
+        solo = lasso(D, S[i], float(lam), cfg)
+        np.testing.assert_allclose(
+            np.asarray(out.xopt[i]), np.asarray(solo.xopt), atol=1e-8
+        )
+        assert int(out.steps[i]) == solo.steps
+
+
+def test_batch_warm_start_composes_with_fast_mode():
+    # Accelerated modes seed their momentum state (v, uhat) from the
+    # warm-started z0/u0 (engine.py:434, reference admm.m:264-298).
+    D, S = _lasso_instances(B=2, seed=102)
+    lam = 0.15 * np.max(np.abs(S @ D))
+    rng = np.random.default_rng(103)
+    X0 = rng.standard_normal(S.shape[0] * 96).reshape(2, 96)
+    cfg = ADMMConfig(maxiters=600, fast=True, fasttype="strong")
+    out = lasso_batch(D, S, lam, cfg, x0=X0, z0=X0, u0=0.0 * X0)
+    for i in range(2):
+        solo = lasso(D, S[i], float(lam), cfg,
+                     x0=X0[i], z0=X0[i], u0=0.0 * X0[i])
+        np.testing.assert_allclose(
+            np.asarray(out.xopt[i]), np.asarray(solo.xopt), atol=1e-8
+        )
+        assert int(out.steps[i]) == solo.steps
