@@ -51,7 +51,12 @@ class ADMMConfig:
       pnorm > mu * dnorm, shrink when dnorm > mu * pnorm, and rescale the
       scaled dual u by rho_old/rho_new (the rescaling the reference's
       experimental mode omits).  Requires prox operators valid for any
-      runtime rho — the library's eigh-folded solvers all are.
+      runtime rho — the library's eigh-folded solvers all are.  Note:
+      the balancing compares the pnorm/dnorm the loop computes; a
+      hooks.specialnorms override returning SQUARED norms (the
+      reference's lassonorms convention) shifts the trigger to
+      sqrt(rbmu) imbalance — unsquare in the hook, or use
+      parallel.consensus_admm, which handles this itself.
 
     TPU-specific additions (no reference equivalent):
 

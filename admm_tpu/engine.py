@@ -244,7 +244,8 @@ def admm(
         _check_fused_splitting(A, B, c_arr)
 
     if hooks.preprocess is not None:
-        hooks.preprocess()
+        # Hooks follow the data convention (trailing data arg when given).
+        hooks.preprocess(data) if data is not None else hooks.preprocess()
 
     runner = _cached_runner(
         prox_f, prox_g, config, hooks, bool(config.jit), data is not None
@@ -256,7 +257,9 @@ def admm(
     # in make_prox_ops) is flushed first so it isn't billed to the loop.
     import time
 
-    jax.block_until_ready((x0, z0, u0, c_arr, data))
+    # A/B are pytrees of arrays (DenseOp.M etc.) whose construction may
+    # still be queued on the device stream — flush them too.
+    jax.block_until_ready((x0, z0, u0, c_arr, data, A, B))
     t0 = time.perf_counter()
     out = jax.block_until_ready(call())
     runtime = time.perf_counter() - t0
@@ -346,7 +349,7 @@ def _cached_runner(prox_f, prox_g, config: ADMMConfig, hooks: Hooks, jit: bool,
     return jax.jit(runner) if jit else runner
 
 
-def make_admm_runner(prox_f, prox_g, config, A, B, hooks=Hooks(), dtype=None,
+def make_admm_runner(prox_f, prox_g, config, A, B, hooks=Hooks(),
                      has_data=False):
     """Functional core for advanced use (vmap over instances, shard_map).
 
@@ -555,6 +558,9 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
             # ---- stopping (admm.m:705-722) --------------------------------
             stop = jnp.asarray(False)
             if alg == 2:
+                # Deliberately NOT gated on domaxiters: the reference's
+                # accelerated d-value stop ignores it (admm.m:706-707 —
+                # only the standard and hnorm stops check domaxiters).
                 stop = (i >= 2) & (jnp.abs(d_new - dprev) <= cfg.dvaltol * dprev)
             elif std_stop and not cfg.domaxiters:
                 dual_ok = (
@@ -568,6 +574,11 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
             # ---- adaptive rho (admm.m:724-741) ----------------------------
             rho_new = rho
             if cfg.adaptive and cfg.convtest and needs_h:
+                # Faithful to the reference's EXPERIMENTAL rule
+                # (admm.m:724-741) including its sign behavior: if the
+                # H-norm rises within convtol (no divergence trip),
+                # wdiff < 0 makes the step size negative there too.  Use
+                # rbadaptive for a sign-safe scheme.
                 wdiff = carry.Hprev - Hsq
                 rhoprev = rho
                 safe = jnp.abs(wdiff) > eps
@@ -613,8 +624,14 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
                     xvals=h.xvals.at[k].set(x),
                     zvals=h.zvals.at[k].set(z),
                     uvals=h.uvals.at[k].set(u),
+                    # Under rbadaptive u was rescaled above (u/factor)
+                    # and rho_new = rho*factor, so rho_new*u preserves the
+                    # scaled-dual product rho*u_pre; elsewhere the
+                    # reference records with the CURRENT rho (adaptation
+                    # happens after recording, admm.m:596-610 vs 724).
                     wvals=h.wvals.at[k].set(jnp.concatenate(
-                        [x.ravel(), z.ravel(), (rho * u).ravel()]
+                        [x.ravel(), z.ravel(),
+                         ((rho_new if cfg.rbadaptive else rho) * u).ravel()]
                     )),
                 )
                 if alg:

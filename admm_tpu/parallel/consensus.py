@@ -81,7 +81,6 @@ from __future__ import annotations
 
 import functools
 import time
-from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -360,6 +359,40 @@ def _lasso_global_prox(xbar, ubar, rho, W, d):
     return soft_threshold(xbar + ubar, d["lam"] / (rho * W))
 
 
+@functools.lru_cache(maxsize=16)
+def _cached_lasso_setup_dyn(shard_spec):
+    """Batched per-shard Gram eigh + D^T s (dynamic rho), jitted once per
+    sharding — NamedSharding is hashable, so repeat solves hit the cache."""
+
+    def body(Di, si):
+        with jax.default_matmul_precision("highest"):
+            G = jnp.einsum("wij,wik->wjk", Di, Di)
+            G = 0.5 * (G + jnp.swapaxes(G, -1, -2))
+            w, V = jnp.linalg.eigh(G)
+            Dtsi = jnp.einsum("wij,wi->wj", Di, si)
+            return w, V, Dtsi
+
+    return jax.jit(
+        body, out_shardings=(shard_spec, shard_spec, shard_spec))
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_lasso_setup(shard_spec, rho):
+    """Batched per-shard rho-folded Gram inverse + D^T s (static rho),
+    jitted once per (sharding, rho)."""
+
+    def body(Di, si):
+        with jax.default_matmul_precision("highest"):
+            n = Di.shape[-1]
+            G = jnp.einsum("wij,wik->wjk", Di, Di)
+            G = G + rho * jnp.eye(n, dtype=Di.dtype)[None]
+            Minv = jnp.linalg.inv(G)
+            Dtsi = jnp.einsum("wij,wi->wj", Di, si)
+            return Minv, Dtsi
+
+    return jax.jit(body, out_shardings=(shard_spec, shard_spec))
+
+
 def consensus_lasso(
     D,
     s,
@@ -410,40 +443,18 @@ def consensus_lasso(
     # Per-shard setup, batched + sharded: Gram, D^T s, and either the
     # rho-folded inverse (static rho; the reference's per-slice Cholesky
     # caches, getProxOps.m:404-442) or a batched eigh (dynamic rho).
+    # The jitted setups are lru-cached on (sharding, rho) so repeat
+    # solves (warm start, checkpoint resume) don't recompile setup.
     if config.dynamic_rho:
-
-        @partial(jax.jit, out_shardings=(shard_spec, shard_spec, shard_spec))
-        def setup_dyn(Di, si):
-            with jax.default_matmul_precision("highest"):
-                return _setup_dyn_body(Di, si)
-
-        def _setup_dyn_body(Di, si):
-            G = jnp.einsum("wij,wik->wjk", Di, Di)
-            G = 0.5 * (G + jnp.swapaxes(G, -1, -2))
-            w, V = jnp.linalg.eigh(G)
-            Dtsi = jnp.einsum("wij,wi->wj", Di, si)
-            return w, V, Dtsi
-
-        w, V, Dtsi = setup_dyn(Di_dev, si_dev)
+        w, V, Dtsi = _cached_lasso_setup_dyn(shard_spec)(Di_dev, si_dev)
         data = {"w": w, "V": V, "Dtsi": Dtsi, "lam": jnp.asarray(lam, Dtsi.dtype)}
         return consensus_admm(
             _lasso_local_prox_dynamic, _lasso_global_prox, data, n, config,
             mesh=mesh, nshards=W, xi0=xi0, ui0=ui0, z0=z0,
         )
 
-    @partial(jax.jit, out_shardings=(shard_spec, shard_spec))
-    def setup(Di, si):
-        with jax.default_matmul_precision("highest"):
-            return _setup_body(Di, si)
-
-    def _setup_body(Di, si):
-        G = jnp.einsum("wij,wik->wjk", Di, Di)
-        G = G + config.rho * jnp.eye(n, dtype=Di.dtype)[None]
-        Minv = jnp.linalg.inv(G)
-        Dtsi = jnp.einsum("wij,wi->wj", Di, si)
-        return Minv, Dtsi
-
-    Minv, Dtsi = setup(Di_dev, si_dev)
+    Minv, Dtsi = _cached_lasso_setup(shard_spec, float(config.rho))(
+        Di_dev, si_dev)
     data = {"Minv": Minv, "Dtsi": Dtsi, "lam": jnp.asarray(lam, Dtsi.dtype)}
 
     return consensus_admm(

@@ -42,6 +42,18 @@ from ..results import ADMMResults
 from .mesh import make_mesh, pad_rows, shard_rows
 
 
+@jax.jit
+def _gram_pinv(Di):
+    """One-time gram reduction: W_g = sum_i D_i^T D_i
+    (unwrappedadmm.m:96-123) — psum of per-shard MXU grams — then a
+    replicated pseudo-inverse (pinv, matching the serial driver's
+    pinv(D): rank-deficient or underdetermined D degrades gracefully).
+    Module-level jit so repeat solves reuse the compiled setup."""
+    with jax.default_matmul_precision("highest"):
+        G = jnp.einsum("wij,wik->jk", Di, Di)
+        return jnp.linalg.pinv(0.5 * (G + G.T))
+
+
 def unwrapped_admm_sharded(
     prox_g_shard: Callable,
     D,
@@ -62,6 +74,14 @@ def unwrapped_admm_sharded(
     ``obj_shard(x, Dx_i, z_i, aux_i)`` returns a per-call scalar summed
     over shards; ``obj_global(x)`` adds the replicated term.
     """
+    if (config.fast or config.relax != 1.0 or config.adaptive
+            or config.rbadaptive):
+        raise NotImplementedError(
+            "unwrapped_admm_sharded implements the reference driver's plain "
+            "iteration (unwrappedadmm.m:96-141); fast/relax/adaptive/"
+            "rbadaptive are not wired into the sharded runner — use the "
+            "serial unwrappedadmm for those variants"
+        )
     if mesh is None:
         mesh = make_mesh()
     axis = mesh.axis_names[0]
@@ -93,17 +113,7 @@ def unwrapped_admm_sharded(
         lambda a: jax.device_put(jnp.asarray(a), shard_spec), aux_i
     )
 
-    # One-time gram reduction: W_g = sum_i D_i^T D_i (unwrappedadmm.m:96-123)
-    # — psum of per-shard MXU grams — then a replicated pseudo-inverse
-    # (pinv, matching the serial driver's pinv(D): rank-deficient or
-    # underdetermined D degrades gracefully instead of returning garbage).
-    @jax.jit
-    def gram_inv(Di):
-        with jax.default_matmul_precision("highest"):
-            G = jnp.einsum("wij,wik->jk", Di, Di)
-            return jnp.linalg.pinv(0.5 * (G + G.T))
-
-    Winv = gram_inv(Di_dev)
+    Winv = _gram_pinv(Di_dev)
 
     # Random warm start in the valid region, zeros on padding
     # (unwrappedadmm.m:89-91).

@@ -307,3 +307,29 @@ def test_serial_wrappers_accept_warm_start():
     sv_warm = linearsvm(D, ell, 0.5, ADMMConfig(maxiters=300),
                         x0=sv_cold.xopt, z0=sv_cold.zopt, u0=sv_cold.uopt)
     assert sv_warm.steps <= sv_cold.steps
+
+
+def test_preprocess_hook_receives_data():
+    # Hooks follow the data convention: trailing data arg when given.
+    import numpy as np
+
+    from admm_tpu import ADMMConfig
+    from admm_tpu.engine import Hooks, admm
+
+    seen = {}
+
+    def pre(d):
+        seen["keys"] = sorted(d)
+
+    def pf(x, z, u, rho, d):
+        return d["t"] * (z - u)
+
+    def pg(x, z, u, rho, d):
+        return x + u
+
+    res = admm(pf, pg, ADMMConfig(maxiters=5, domaxiters=True),
+               A=1.0, B=-1.0, c=0.0, m=4, nA=4, nB=4,
+               hooks=Hooks(preprocess=pre),
+               data={"t": np.float64(0.5)})
+    assert seen["keys"] == ["t"]
+    assert res.steps == 5

@@ -531,3 +531,40 @@ def test_engine_parallel_composes_with_unroll():
               parallel="xminf", slices=slice_len)
     assert rK.steps == r1.steps
     np.testing.assert_array_equal(np.asarray(rK.xopt), np.asarray(r1.xopt))
+
+
+def test_sharded_unwrapped_rejects_unwired_variants():
+    # The sharded driver implements the reference's plain iteration
+    # (unwrappedadmm.m:96-141); silently ignoring variant flags would be
+    # a wrong-answer footgun.
+    import numpy as np
+    import pytest
+
+    from admm_tpu import ADMMConfig
+    from admm_tpu.parallel import linearsvm_sharded
+
+    rng = np.random.default_rng(0)
+    D = rng.standard_normal((64, 8)).astype(np.float32)
+    ell = np.sign(rng.standard_normal(64)).astype(np.float32)
+    for bad in (dict(fast=True), dict(relax=1.5),
+                dict(adaptive=True, convtest=True)):
+        with pytest.raises(NotImplementedError, match="sharded runner"):
+            linearsvm_sharded(D, ell, 1.0,
+                              ADMMConfig(maxiters=10, **bad), nshards=2)
+
+
+def test_consensus_lasso_setup_is_cached_across_solves():
+    import numpy as np
+
+    from admm_tpu import ADMMConfig
+    from admm_tpu.parallel import consensus_lasso
+    from admm_tpu.parallel.consensus import _cached_lasso_setup
+
+    rng = np.random.default_rng(1)
+    D = rng.standard_normal((64, 8)).astype(np.float32)
+    s = rng.standard_normal(64).astype(np.float32)
+    cfg = ADMMConfig(maxiters=30)
+    consensus_lasso(D, s, 0.1, cfg, nshards=4)
+    before = _cached_lasso_setup.cache_info().hits
+    consensus_lasso(D, s + 0.1, 0.1, cfg, nshards=4)
+    assert _cached_lasso_setup.cache_info().hits == before + 1
