@@ -57,12 +57,18 @@ them there — here each is wired into the consensus iteration itself):
   * warm start xi0/ui0/z0 — which also makes orbax checkpoints of
     sharded consensus state (utils/checkpoint.py) actually resumable.
 
-Fast/accelerated momentum is NOT offered: the consensus dual is a
-collection of per-slice u_i whose restart test would need a global
-d-value reduction every iteration; the reference never runs its fast
-modes through the consensus closures either (the momentum predictors
-v/uhat would bypass altuLASSO's averaging, silently breaking the
-slice-dual coupling) — so there is no reference semantics to match.
+  * fast/accelerated momentum (config.fast, both fasttypes): the
+    consensus problem IS the core engine's splitting applied to the
+    stacked variable x = [x_1; ...; x_W] with A = I and B = -[I;...;I]
+    (each slice constrained x_i - z = 0), so the engine's momentum
+    algebra (admm.m:563-600) transfers verbatim — the predictor v lives
+    in z-space (n,), uhat_i is per-slice, and the accelerated d-value
+    (1/rho)*sum_i||u_i - uhat_i||^2 + rho*W*||z - v||^2 is a global
+    reduction the iteration already pays for the consensus norms.  The
+    reference never runs fast modes through its consensus closures (the
+    predictors would bypass altuLASSOs averaging), so like relax this
+    is a strict feature extension; its exactness oracle is the core
+    engine run on the stacked formulation (test_parallel.py).
 
 TPU design: the reference pays a client->worker broadcast + gather per
 prox per iteration (parfor); here the ENTIRE solve is one jitted program
@@ -106,6 +112,7 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
     relax = float(config.relax)
     use_relax = relax != 1.0
     needs_h = config.needs_hnorm
+    alg = config.alg
     std_stop = config.stopcond in ("standard", "both")
     h_stop = config.stopcond in ("hnorm", "both")
     # Engine parity: adaptive requires convtest (admm.m:724 gate).
@@ -113,37 +120,58 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
 
     def run(data, xi0, ui0, z0):
         rdtype = xi0.dtype
-        rho = jnp.asarray(config.rho, rdtype)
-        rho0 = rho  # setup-time rho captured inside H (admm.m:305-306)
+        rho_init = jnp.asarray(config.rho, rdtype)
+        rho0 = rho_init  # setup-time rho captured inside H (admm.m:305-306)
         eps = jnp.finfo(rdtype).eps
-        zeros_hist = jnp.full((N,), jnp.nan, rdtype)
+        nan_hist = lambda: jnp.full((N,), jnp.nan, rdtype)
+        sc = lambda v=jnp.nan: jnp.asarray(v, rdtype)
 
         ubar0 = jnp.mean(ui0, axis=0)
-        carry0 = (
-            jnp.asarray(0, jnp.int32),
-            xi0, z0, ui0,
-            jnp.mean(xi0, axis=0),    # xbar_prev
-            rho0 * ubar0 if needs_h else (),  # wu_prev = rho*ubar (H machinery)
-            rho,
-            jnp.asarray(False),       # done
-            jnp.asarray(False),       # diverged
-            jnp.asarray(jnp.inf, rdtype),  # Hprev
-            (zeros_hist, zeros_hist, zeros_hist, zeros_hist,
-             zeros_hist if needs_h else ()),
-        )
+        hist0 = {
+            "pnorm": nan_hist(), "dnorm": nan_hist(),
+            "perr": nan_hist(), "derr": nan_hist(),
+            "Hnormsq": nan_hist() if needs_h else (),
+            "dvals": nan_hist() if alg == 2 else (),
+            "avals": nan_hist() if alg else (),
+            "restarted": jnp.zeros((N,), jnp.int32) if alg == 2 else (),
+        }
+        carry0 = {
+            "k": jnp.asarray(0, jnp.int32),
+            "xi": xi0, "z": z0, "ui": ui0,
+            "xbar_prev": jnp.mean(xi0, axis=0),
+            # fast / accelerated state (engine carry v/uhat/a/d over the
+            # stacked splitting: v in z-space, uhat per slice)
+            "v": z0 if alg else (), "uhat": ui0 if alg else (),
+            "a": sc(1.0) if alg else (), "d": sc(jnp.inf) if alg == 2 else (),
+            "wu_prev": rho0 * ubar0 if needs_h else (),  # H w-part (rho*ubar)
+            "rho": rho_init,
+            "done": jnp.asarray(False), "diverged": jnp.asarray(False),
+            "Hprev": sc(jnp.inf),
+            "hist": hist0,
+        }
 
         def cond(c):
-            return jnp.logical_and(c[0] < N, jnp.logical_not(c[7]))
+            return jnp.logical_and(c["k"] < N, jnp.logical_not(c["done"]))
 
         def step(c):
-            (k, xi, z, ui, xbar_prev, wu_prev, rho, done, diverged,
-             Hprev, hist) = c
+            k = c["k"]
             i = k + 1  # reference's 1-based counter
+            rho = c["rho"]
+            xi, z, ui = c["xi"], c["z"], c["ui"]
             zprev = z
 
             # Local x-solves (xminParallelLASSO, getProxOps.m:1217-1260):
-            # batched (sharded) per-device work.
-            xi = local_prox(z, ui, rho, data)
+            # batched (sharded) per-device work.  Fast modes pull back the
+            # predictors v/uhat (engine x = pf(x, v, uhat, rho)).
+            if alg == 0:
+                xi = local_prox(z, ui, rho, data)
+                u_base = ui
+                dprev = ()
+            else:
+                aprev, ui_prev, uhat = c["a"], ui, c["uhat"]
+                xi = local_prox(c["v"], uhat, rho, data)
+                u_base = uhat
+                dprev = c["d"] if alg == 2 else ()
 
             # Over-relaxation on the per-slice constraint x_i - z = 0
             # (Boyd sec. 3.4.3; see module docstring for reference delta).
@@ -152,22 +180,51 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
             # Consensus aggregates: mean over the shard axis -> all-reduce.
             xbar = jnp.mean(xi, axis=0)
             xhat_bar = relax * xbar + (1.0 - relax) * zprev if use_relax else xbar
-            ubar = jnp.mean(ui, axis=0)
+            ubar_base = jnp.mean(u_base, axis=0)
 
-            # Global z (zminParallelLASSO, getProxOps.m:1290-1293).
-            z = global_prox(xhat_bar, ubar, rho, W, data)
+            # Global z (zminParallelLASSO, getProxOps.m:1290-1293); fast
+            # modes hand the predicted dual (engine u_for_g = uhat).
+            z = global_prox(xhat_bar, ubar_base, rho, W, data)
 
-            # Immediate per-slice dual update (getProxOps.m:1296-1298).
-            ui = ui + (xhat - z[None, :])
+            # Immediate per-slice dual update (getProxOps.m:1296-1298);
+            # base is uhat under fast (engine admm.m:547-552).
+            ui = u_base + (xhat - z[None, :])
             # Post-update dual average, used by derr below: the reference
             # engine evaluates its dual error AFTER altuLASSO has updated
             # the averaged dual (admm.m:553-560 then :639-658).
-            ubar = ubar + (xhat_bar - z)
+            ubar = ubar_base + (xhat_bar - z)
+
+            # ---- fast / accelerated updates (admm.m:563-600) over the
+            # stacked splitting: momentum on z (predictor v) and on each
+            # slice dual u_i (predictor uhat_i).
+            v_new, uhat_new, a_new = c["v"], c["uhat"], c["a"]
+            d_new = c["d"]
+            restarted_i = ()
+            if alg == 1:
+                a_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * aprev**2))
+                mom = (aprev - 1.0) / a_new
+                v_new = z + mom * (z - zprev)
+                uhat_new = ui + mom * (ui - ui_prev)
+            elif alg == 2:
+                # d = (1/rho)||u - uhat||^2 + rho||B(z - v)||^2 on the
+                # stacked problem: B tiles z over W slices.
+                dval = ((1.0 / rho) * jnp.sum((ui - uhat) ** 2)
+                        + rho * W * jnp.sum((z - c["v"]) ** 2))
+                no_restart = dval < config.restart * dprev
+                a_nr = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * aprev**2))
+                mom = (aprev - 1.0) / a_nr
+                v_nr = z + mom * (z - zprev)
+                uhat_nr = ui + mom * (ui - ui_prev)
+                a_new = jnp.where(no_restart, a_nr, 1.0)
+                v_new = jnp.where(no_restart, v_nr, zprev)
+                uhat_new = jnp.where(no_restart, uhat_nr, ui_prev)
+                d_new = jnp.where(no_restart, dval, dprev / config.restart)
+                restarted_i = jnp.where(no_restart, 0, 1).astype(jnp.int32)
 
             # Consensus residuals, squared (lassonorms,
             # getProxOps.m:1335-1343).
             pnorm = jnp.sum((xi - xbar[None, :]) ** 2)
-            dnorm = W * rho**2 * jnp.sum((xbar - xbar_prev) ** 2)
+            dnorm = W * rho**2 * jnp.sum((xbar - c["xbar_prev"]) ** 2)
 
             # Boyd errors on the aggregates (engine sees x=xbar, u=ubar
             # through altu; admm.m:639-658 with A=1, B=-1, c=0).
@@ -188,10 +245,12 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
             if needs_h:
                 wu_new = rho * ubar
                 Hsq = rho0 * jnp.sum((zprev - z) ** 2) + rho0 * jnp.sum(
-                    (wu_prev - wu_new) ** 2
+                    (c["wu_prev"] - wu_new) ** 2
                 )
-                if config.convtest:
-                    H1, H2 = Hprev, Hsq
+                if config.convtest and alg == 0:
+                    # Monotonicity is a plain-iteration property; the
+                    # engine gates the monitor on alg 0 too.
+                    H1, H2 = c["Hprev"], Hsq
                     diverged_i = diverged_i | (
                         (i >= 2) & (H1 > eps) & (H2 > H1)
                         & ((H2 - H1) > H1 * config.convtol)
@@ -200,7 +259,12 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
                 wu_new = ()
 
             stop = jnp.asarray(False)
-            if std_stop and not config.domaxiters:
+            if alg == 2:
+                # Accelerated d-value stop (admm.m:706-707), not gated on
+                # domaxiters — engine parity.
+                stop = (i >= 2) & (jnp.abs(d_new - dprev)
+                                   <= config.dvaltol * dprev)
+            elif std_stop and not config.domaxiters:
                 dual_ok = (jnp.asarray(True) if config.nodualerror
                            else (dnorm < derr))
                 stop = (pnorm < perr) & dual_ok
@@ -208,11 +272,12 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
                 stop = stop | ((i > 2) & (Hsq <= config.hnormtol))
             done = stop | diverged_i
 
+            rho_new = rho
             if use_adaptive:
                 # Experimental adaptive rho (admm.m:724-741): scalar
                 # wdiff = Hprev - Hsq, growth clamp 5 — the engine's
                 # exact formula applied to the consensus H.
-                wdiff = Hprev - Hsq
+                wdiff = c["Hprev"] - Hsq
                 rhoprev = rho
                 safe = jnp.abs(wdiff) > eps
                 rho_c = jnp.where(
@@ -222,8 +287,8 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
                 rho_c = jnp.where(rhodiff >= rhoprev * growth, rho_c / growth, rho_c)
                 rho_c = jnp.where(rhodiff <= rhoprev / growth, rho_c * growth, rho_c)
                 do_adapt = (i > 2) & jnp.logical_not(done)
-                rho = jnp.where(do_adapt, rho_c, rho)
-            elif config.rbadaptive:
+                rho_new = jnp.where(do_adapt, rho_c, rho)
+            elif config.rbadaptive and alg == 0:
                 # Residual balancing on the consensus residuals with the
                 # scaled-dual rescale (ADMMConfig.rbadaptive; the
                 # adaptive-consensus-ADMM idea of Xu et al. 2017).
@@ -237,38 +302,51 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
                 factor = jnp.where(grow, config.rbtau,
                                    jnp.where(shrink, 1.0 / config.rbtau, 1.0))
                 factor = jnp.where(done, 1.0, factor).astype(rho.dtype)
-                rho = rho * factor
+                rho_new = rho * factor
                 ui = ui / factor
 
-            hp, hd, hpe, hde, hh = hist
-            hist = (
-                hp.at[k].set(pnorm), hd.at[k].set(dnorm),
-                hpe.at[k].set(perr), hde.at[k].set(derr),
-                hh.at[k].set(Hsq) if needs_h else (),
-            )
-            return (k + 1, xi, z, ui, xbar, wu_new if needs_h else (),
-                    rho, done, diverged | diverged_i, Hsq if needs_h else Hprev,
-                    hist)
+            h = dict(c["hist"])
+            h["pnorm"] = h["pnorm"].at[k].set(pnorm)
+            h["dnorm"] = h["dnorm"].at[k].set(dnorm)
+            h["perr"] = h["perr"].at[k].set(perr)
+            h["derr"] = h["derr"].at[k].set(derr)
+            if needs_h:
+                h["Hnormsq"] = h["Hnormsq"].at[k].set(Hsq)
+            if alg == 2:
+                h["dvals"] = h["dvals"].at[k].set(d_new)
+                h["restarted"] = h["restarted"].at[k].set(restarted_i)
+            if alg:
+                h["avals"] = h["avals"].at[k].set(a_new)
+
+            return {
+                "k": k + 1,
+                "xi": xi, "z": z, "ui": ui,
+                "xbar_prev": xbar,
+                "v": v_new if alg else (), "uhat": uhat_new if alg else (),
+                "a": a_new if alg else (), "d": d_new if alg == 2 else (),
+                "wu_prev": wu_new if needs_h else (),
+                "rho": rho_new,
+                "done": done,
+                "diverged": c["diverged"] | diverged_i,
+                "Hprev": Hsq if needs_h else c["Hprev"],
+                "hist": h,
+            }
 
         body = unrolled_body(step, int(config.unroll), N,
-                             lambda c: (c[0], c[7]))
-        (k, xi, z, ui, xbar, _wu, rho_f, done, diverged, _H,
-         hist) = lax.while_loop(cond, body, carry0)
-        ubar = jnp.mean(ui, axis=0)
-        out_hist = {"pnorm": hist[0], "dnorm": hist[1],
-                    "perr": hist[2], "derr": hist[3]}
-        if needs_h:
-            out_hist["Hnormsq"] = hist[4]
+                             lambda c: (c["k"], c["done"]))
+        final = lax.while_loop(cond, body, carry0)
+        ubar = jnp.mean(final["ui"], axis=0)
         return {
-            "steps": k,
-            "xopt": xbar,        # the reference returns xbar as x (:1260)
-            "zopt": z,
+            "steps": final["k"],
+            # the reference returns xbar as x (:1260)
+            "xopt": jnp.mean(final["xi"], axis=0),
+            "zopt": final["z"],
             "uopt": ubar,
-            "xi": xi,
-            "ui": ui,
-            "rho_final": rho_f,
-            "diverged": diverged,
-            "hist": out_hist,
+            "xi": final["xi"],
+            "ui": final["ui"],
+            "rho_final": final["rho"],
+            "diverged": final["diverged"],
+            "hist": final["hist"],
         }
 
     return jax.jit(_with_matmul_precision(run, config.matmul_precision))
@@ -302,11 +380,6 @@ def consensus_admm(
     (admm.m:252-259); pass the xi/ui from a previous solve's
     ``results.extra`` or an orbax checkpoint to resume.
     """
-    if config.fast:
-        raise NotImplementedError(
-            "fast/accelerated momentum is not defined for the consensus "
-            "splitting (see module docstring); use relax/rbadaptive"
-        )
     if mesh is None:
         mesh = make_mesh()
     W = nshards if nshards is not None else mesh.devices.size

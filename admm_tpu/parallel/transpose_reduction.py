@@ -18,6 +18,16 @@ replicated solve is a single n-by-n GEMV against the precomputed W^{-1}
 Stopping preserved from the unwrapped driver (unwrappedadmm.m:81-92):
 stopcond='both' with nodualerror — primal Boyd test OR H-norm test.
 
+Engine-variant parity: in the reference, unwrappedadmm passes the options
+struct straight to admm (unwrappedadmm.m:94), so fast/accelerated
+(admm.m:563-600), relaxation (admm.m:515-532), the dual Boyd test
+(admm.m:639-658), the convtest divergence monitor (admm.m:686-703) and
+adaptive rho (admm.m:724-741) all apply on its parallel path too.  The
+sharded runner implements the same update algebra (momentum/restart state
+is per-shard elementwise; the d-value and H-norm aggregates are global
+sums XLA lowers to all-reduces).  The x-update x = W^+ (sum_i D_i^T s_i)
+is rho-independent, so rho adaptation never triggers a refactorization.
+
 Padding note: rows are zero-padded to equal shards.  Padded rows carry a
 zero mask entry so prox/objective treat them as absent; their z/u start
 at zero and stay zero-coupled (D_i x = 0 on zero rows).
@@ -65,23 +75,24 @@ def unwrapped_admm_sharded(
     mesh: Optional[Mesh] = None,
     nshards: Optional[int] = None,
     seed: int = 0,
+    x0=None,
+    z0=None,
+    u0=None,
 ) -> ADMMResults:
     """Row-sharded unwrapped ADMM.
 
     ``prox_g_shard(Dx_i, z_i, u_i, rho, aux_i)`` maps per-shard arrays of
-    shape (W, m/W) -> new z_i.  ``aux`` is a pytree of per-row arrays
-    (shape (m, ...)) sharded alongside D (e.g. labels + pad mask).
+    shape (W, m/W) -> new z_i; under relaxation the first argument is the
+    relaxed Axhat_i, exactly as the serial engine hands prox_g
+    (admm.m:515-532).  ``aux`` is a pytree of per-row arrays (shape
+    (m, ...)) sharded alongside D (e.g. labels + pad mask).
     ``obj_shard(x, Dx_i, z_i, aux_i)`` returns a per-call scalar summed
     over shards; ``obj_global(x)`` adds the replicated term.
+
+    ``x0`` (n,) / ``z0`` / ``u0`` (m,) warm-start the solve (reference
+    options.x0/z0/u0, admm.m:252-254), overriding the driver's random
+    start.
     """
-    if (config.fast or config.relax != 1.0 or config.adaptive
-            or config.rbadaptive):
-        raise NotImplementedError(
-            "unwrapped_admm_sharded implements the reference driver's plain "
-            "iteration (unwrappedadmm.m:96-141); fast/relax/adaptive/"
-            "rbadaptive are not wired into the sharded runner — use the "
-            "serial unwrappedadmm for those variants"
-        )
     if mesh is None:
         mesh = make_mesh()
     axis = mesh.axis_names[0]
@@ -115,16 +126,24 @@ def unwrapped_admm_sharded(
 
     Winv = _gram_pinv(Di_dev)
 
-    # Random warm start in the valid region, zeros on padding
-    # (unwrappedadmm.m:89-91).
+    # Random start in the valid region, zeros on padding
+    # (unwrappedadmm.m:89-91); explicit x0/z0/u0 override (admm.m:252-254).
     kx, kz, ku = jax.random.split(jax.random.PRNGKey(seed), 3)
     dtype = Di.dtype
-    x0 = jax.random.uniform(kx, (n,), dtype=dtype)
+    x0 = (jax.random.uniform(kx, (n,), dtype=dtype) if x0 is None
+          else jnp.asarray(x0, dtype))
     mrow = np.zeros((mp,), dtype=dtype)
     mrow[:m] = 1.0
     mask = jax.device_put(jnp.asarray(shard_rows(mrow, W)), shard_spec)
-    z0 = jax.random.uniform(kz, (mp,), dtype=dtype).reshape(W, mp // W)
-    u0 = jax.random.uniform(ku, (mp,), dtype=dtype).reshape(W, mp // W)
+
+    def _row_state(v0, key):
+        if v0 is None:
+            return jax.random.uniform(key, (mp,), dtype=dtype).reshape(W, mp // W)
+        vp, _ = pad_rows(np.asarray(v0, dtype), W)
+        return jnp.asarray(shard_rows(vp, W))
+
+    z0 = _row_state(z0, kz)
+    u0 = _row_state(u0, ku)
 
     runner = _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global, config, m)
     jax.block_until_ready((Winv, x0, z0, u0, mask, aux_dev))
@@ -143,80 +162,223 @@ def unwrapped_admm_sharded(
 def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
                              config: ADMMConfig, m: int):
     """Cross-call compile cache keyed on (prox/objective functions, config,
-    true row count) - the same caching contract as the core engine."""
+    true row count) - the same caching contract as the core engine.
+
+    Implements the core engine's full variant set over the sharded state
+    (see module docstring): update order and momentum algebra mirror
+    engine._build_runner with A = D, B = -I, c = 0 specialized per shard
+    (B.mv(z) = -z, so Axhat = relax*Dx + (1-relax)*zprev and the dual
+    update is base + Axr - z)."""
     N = int(config.maxiters)
-    rho0 = config.rho
+    rho0 = float(config.rho)
     needs_h = config.needs_hnorm
+    alg = config.alg
+    relax = float(config.relax)
+    use_relax = relax != 1.0
+    std_stop = config.stopcond in ("standard", "both")
+    h_stop = config.stopcond in ("hnorm", "both")
+    need_dual = not config.nodualerror
 
     def run(Di, Winv, x0, z0, u0, mask, aux_i):
         rdtype = x0.dtype
-        rho = jnp.asarray(rho0, rdtype)
+        rho_init = jnp.asarray(rho0, rdtype)
+        eps = jnp.finfo(rdtype).eps
         z0 = z0 * mask
         u0 = u0 * mask
-        nan_hist = jnp.full((N,), jnp.nan, rdtype)
+        nan_hist = lambda: jnp.full((N,), jnp.nan, rdtype)
         M1 = float(m)  # true row count (padding excluded from the error bar)
+        M2 = float(m)  # Bz entries (B = -I over the m rows)
+        sc = lambda v=jnp.nan: jnp.asarray(v, rdtype)
 
-        carry0 = (
-            jnp.asarray(0, jnp.int32), x0, z0, u0,
-            (z0, rho * u0) if needs_h else (),  # H-norm w-parts (admm.m:302-313)
-            jnp.asarray(False),                 # done
-            jnp.asarray(False),                 # diverged (nanguard)
-            (nan_hist, nan_hist) + ((nan_hist,) if needs_h else ()),
-        )
+        hist0 = {
+            "pnorm": nan_hist(), "perr": nan_hist(),
+            "dnorm": nan_hist() if need_dual else (),
+            "derr": nan_hist() if need_dual else (),
+            "Hnormsq": nan_hist() if needs_h else (),
+            "dvals": nan_hist() if alg == 2 else (),
+            "avals": nan_hist() if alg else (),
+            "restarted": jnp.zeros((N,), jnp.int32) if alg == 2 else (),
+        }
+        carry0 = {
+            "k": jnp.asarray(0, jnp.int32),
+            "x": x0, "z": z0, "u": u0, "rho": rho_init,
+            # fast / accelerated state (engine carry v/uhat/a/d)
+            "v": z0 if alg else (), "uhat": u0 if alg else (),
+            "a": sc(1.0) if alg else (), "d": sc(jnp.inf) if alg == 2 else (),
+            # H-norm w-parts + previous Hsq (admm.m:302-313)
+            "wz": z0 if needs_h else (),
+            "wu": rho_init * u0 if needs_h else (),
+            "Hprev": sc(jnp.inf) if needs_h else (),
+            "done": jnp.asarray(False), "diverged": jnp.asarray(False),
+            "hist": hist0,
+        }
 
         def cond(c):
-            return jnp.logical_and(c[0] < N, jnp.logical_not(c[5]))
+            return jnp.logical_and(c["k"] < N, jnp.logical_not(c["done"]))
 
         def step(c):
-            k, x, zi, ui, wparts, done, diverged, hist = c
+            k = c["k"]
             i = k + 1
+            rho = c["rho"]
+            x, zi, ui = c["x"], c["z"], c["u"]
+            zprev = zi
 
-            # x-update: local matvec + all-reduce + replicated GEMV.
-            di = jnp.einsum("wij,wi->j", Di, zi - ui)
+            # ---- x-update (admm.m:501-511): local matvec + all-reduce +
+            # replicated GEMV; fast modes pull back the predictors v/uhat.
+            if alg == 0:
+                src = zi - ui
+                u_base = ui
+                dprev = ()
+            else:
+                aprev, uprev, uhat = c["a"], ui, c["uhat"]
+                src = c["v"] - uhat
+                u_base = uhat
+                dprev = c["d"] if alg == 2 else ()
+            di = jnp.einsum("wij,wi->j", Di, src)
             x = Winv @ di
             Dx = jnp.einsum("wij,j->wi", Di, x)
 
-            # z-update: local prox (masked on padded rows).
-            zi = prox_g_shard(Dx, zi, ui, rho, aux_i) * mask
+            # ---- relaxation + z-update (admm.m:515-532) ------------------
+            if use_relax:
+                # B = -I, c = 0: Axhat = relax*Dx - (1-relax)*(-zprev).
+                Axr = relax * Dx + (1.0 - relax) * zprev
+            else:
+                Axr = Dx
+            zi = prox_g_shard(Axr, zi, u_base, rho, aux_i) * mask
 
-            # u-update (admm.m:547-552 with A=D, B=-1, c=0).
+            # ---- dual update (admm.m:538-552) ----------------------------
+            ui = u_base + (Axr - zi) * mask
+
+            # ---- fast / accelerated updates (admm.m:563-600) -------------
+            v_new, uhat_new, a_new = c["v"], c["uhat"], c["a"]
+            d_new = c["d"]
+            restarted_i = ()
+            if alg == 1:
+                a_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * aprev**2))
+                mom = (aprev - 1.0) / a_new
+                v_new = zi + mom * (zi - zprev)
+                uhat_new = ui + mom * (ui - uprev)
+            elif alg == 2:
+                dval = ((1.0 / rho) * jnp.sum((ui - uhat) ** 2)
+                        + rho * jnp.sum((zi - c["v"]) ** 2))
+                no_restart = dval < config.restart * dprev
+                a_nr = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * aprev**2))
+                mom = (aprev - 1.0) / a_nr
+                v_nr = zi + mom * (zi - zprev)
+                uhat_nr = ui + mom * (ui - uprev)
+                a_new = jnp.where(no_restart, a_nr, 1.0)
+                v_new = jnp.where(no_restart, v_nr, zprev)
+                uhat_new = jnp.where(no_restart, uhat_nr, uprev)
+                d_new = jnp.where(no_restart, dval, dprev / config.restart)
+                restarted_i = jnp.where(no_restart, 0, 1).astype(jnp.int32)
+
+            # ---- norms + Boyd errors (admm.m:612-658).  pnorm uses the
+            # true residual Dx - z (unrelaxed), exactly as the engine.
             r = (Dx - zi) * mask
-            ui = ui + r
-
             pnorm = jnp.sqrt(jnp.sum(r * r))
             perr = jnp.sqrt(M1) * config.abstol + config.reltol * jnp.maximum(
                 jnp.sqrt(jnp.sum((Dx * mask) ** 2)), jnp.sqrt(jnp.sum(zi * zi))
             )
-
-            stop = pnorm < perr
-            wparts_new = ()
-            if needs_h:
-                # H-norm over w = [x; z; rho u], B = -1 (admm.m:302-313).
-                wz, wu = wparts
-                wz_new, wu_new = zi, rho * ui
-                Hsq = (rho * jnp.sum((wz - wz_new) ** 2)
-                       + rho * jnp.sum((wu - wu_new) ** 2))
-                stop = stop | ((i > 2) & (Hsq <= config.hnormtol))
-                wparts_new = (wz_new, wu_new)
-            if config.domaxiters:
-                stop = jnp.asarray(False)
-            bad = jnp.asarray(False)
-            if config.nanguard:
-                bad = jnp.logical_not(jnp.isfinite(pnorm))
-
-            if needs_h:
-                hp, hpe, hh = hist
-                hist = (hp.at[k].set(pnorm), hpe.at[k].set(perr),
-                        hh.at[k].set(Hsq))
+            if need_dual:
+                # dnorm = ||rho * D^T(B(z - zref))||, zref = v_new under
+                # alg 1 (admm.m:624-637); derr = sqrt(M2)*ABSTOL +
+                # RELTOL*||rho * D^T u|| (admm.m:645-658).
+                dz = zi - (v_new if alg == 1 else zprev)
+                dnorm = rho * jnp.sqrt(jnp.sum(
+                    jnp.einsum("wij,wi->j", Di, dz) ** 2))
+                derr = (jnp.sqrt(M2) * config.abstol + config.reltol * rho
+                        * jnp.sqrt(jnp.sum(jnp.einsum("wij,wi->j", Di, ui) ** 2)))
             else:
-                hp, hpe = hist
-                hist = (hp.at[k].set(pnorm), hpe.at[k].set(perr))
-            return (k + 1, x, zi, ui, wparts_new, stop | bad,
-                    diverged | bad, hist)
+                dnorm = sc()
+                derr = sc()
+
+            # ---- H-norm / divergence monitor (admm.m:676-703) ------------
+            Hsq = ()
+            diverged_i = jnp.asarray(False)
+            if config.nanguard:
+                diverged_i = diverged_i | jnp.logical_not(jnp.isfinite(pnorm))
+            wz_new = wu_new = ()
+            if needs_h:
+                # H uses the setup-time rho (MATLAB closure capture,
+                # admm.m:305-306); w carries the current rho.
+                wz_new, wu_new = zi, rho * ui
+                Hsq = (rho0 * jnp.sum((c["wz"] - wz_new) ** 2)
+                       + rho0 * jnp.sum((c["wu"] - wu_new) ** 2))
+                if config.convtest and alg == 0:
+                    H1 = c["Hprev"]
+                    diverged_i = diverged_i | (
+                        (i >= 2) & (H1 > eps) & (Hsq > H1)
+                        & ((Hsq - H1) > H1 * config.convtol)
+                    )
+
+            # ---- stopping (admm.m:705-722) -------------------------------
+            stop = jnp.asarray(False)
+            if alg == 2:
+                stop = (i >= 2) & (jnp.abs(d_new - dprev)
+                                   <= config.dvaltol * dprev)
+            elif std_stop and not config.domaxiters:
+                dual_ok = (jnp.asarray(True) if not need_dual
+                           else (dnorm < derr))
+                stop = (pnorm < perr) & dual_ok
+            if h_stop and not config.domaxiters and needs_h:
+                stop = stop | ((i > 2) & (Hsq <= config.hnormtol))
+            done = stop | diverged_i
+
+            # ---- adaptive rho (admm.m:724-741 / ADMMConfig.rbadaptive) ---
+            rho_new = rho
+            if config.adaptive and config.convtest and needs_h:
+                wdiff = c["Hprev"] - Hsq
+                safe = jnp.abs(wdiff) > eps
+                rho_c = jnp.where(
+                    safe, rho * rho / jnp.where(safe, wdiff, 1.0), rho)
+                rhodiff = jnp.abs(rho_c - rho)
+                growth = 5.0
+                rho_c = jnp.where(rhodiff >= rho * growth, rho_c / growth, rho_c)
+                rho_c = jnp.where(rhodiff <= rho / growth, rho_c * growth, rho_c)
+                rho_new = jnp.where((i > 2) & jnp.logical_not(done), rho_c, rho)
+            elif config.rbadaptive and alg == 0:
+                grow = pnorm > config.rbmu * dnorm
+                shrink = dnorm > config.rbmu * pnorm
+                factor = jnp.where(grow, config.rbtau,
+                                   jnp.where(shrink, 1.0 / config.rbtau, 1.0))
+                factor = jnp.where(done, 1.0, factor).astype(rho.dtype)
+                rho_new = rho * factor
+                ui = ui / factor
+
+            # ---- history ---------------------------------------------------
+            h = dict(c["hist"])
+            h["pnorm"] = h["pnorm"].at[k].set(pnorm)
+            h["perr"] = h["perr"].at[k].set(perr)
+            if need_dual:
+                h["dnorm"] = h["dnorm"].at[k].set(dnorm)
+                h["derr"] = h["derr"].at[k].set(derr)
+            if needs_h:
+                h["Hnormsq"] = h["Hnormsq"].at[k].set(Hsq)
+            if alg == 2:
+                h["dvals"] = h["dvals"].at[k].set(d_new)
+                h["restarted"] = h["restarted"].at[k].set(restarted_i)
+            if alg:
+                h["avals"] = h["avals"].at[k].set(a_new)
+
+            return {
+                "k": k + 1,
+                "x": x, "z": zi, "u": ui, "rho": rho_new,
+                "v": v_new if alg else (), "uhat": uhat_new if alg else (),
+                "a": a_new if alg else (), "d": d_new if alg == 2 else (),
+                "wz": wz_new if needs_h else (),
+                "wu": wu_new if needs_h else (),
+                "Hprev": Hsq if needs_h else (),
+                "done": done,
+                "diverged": c["diverged"] | diverged_i,
+                "hist": h,
+            }
 
         body = unrolled_body(step, int(config.unroll), N,
-                             lambda c: (c[0], c[5]))
-        k, x, zi, ui, _, _, diverged, hist = lax.while_loop(cond, body, carry0)
+                             lambda c: (c["k"], c["done"]))
+        final = lax.while_loop(cond, body, carry0)
+        k, x, zi, ui = final["k"], final["x"], final["z"], final["u"]
+        diverged = final["diverged"]
+        hist = final["hist"]
 
         objopt = ()
         if obj_shard is not None or obj_global is not None:
@@ -227,15 +389,12 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
             if obj_global is not None:
                 objopt = objopt + obj_global(x)
 
-        h = {"pnorm": hist[0], "perr": hist[1]}
-        if needs_h:
-            h["Hnormsq"] = hist[2]
         return {
             "steps": k, "xopt": x, "zopt": zi, "uopt": ui,
-            "rho_final": jnp.asarray(rho0, rdtype),
+            "rho_final": final["rho"],
             "diverged": diverged,
             "objopt": objopt,
-            "hist": h,
+            "hist": hist,
         }
 
     return jax.jit(_with_matmul_precision(run, config.matmul_precision))
@@ -273,6 +432,7 @@ def _svm_obj_global(x):
 def linearsvm_sharded(
     D, ell, C, config: ADMMConfig = ADMMConfig(), *, loss: str = "hinge",
     mesh: Optional[Mesh] = None, nshards: Optional[int] = None, seed: int = 0,
+    x0=None, z0=None, u0=None,
 ) -> ADMMResults:
     """Distributed linear SVM: the reference's parallel path
     (linearsvm.m:169-206 -> unwrappedadmm parfor branch ->
@@ -292,5 +452,5 @@ def linearsvm_sharded(
         aux=(ell, mask, Crow),
         obj_shard=_svm_obj_01 if use_01 else _svm_obj_hinge,
         obj_global=_svm_obj_global,
-        mesh=mesh, nshards=nshards, seed=seed,
+        mesh=mesh, nshards=nshards, seed=seed, x0=x0, z0=z0, u0=u0,
     )

@@ -292,16 +292,67 @@ def _ok_global(xbar, ubar, rho, W, d):
     return xbar + ubar
 
 
-def test_consensus_fast_raises():
-    """Momentum is undefined for the consensus splitting (see
-    parallel/consensus.py docstring) and must be refused loudly."""
-    import pytest as _pytest
+def test_consensus_fast_matches_stacked_engine():
+    """Fast/accelerated consensus IS the core engine on the stacked
+    splitting x = [x_1..x_W], A = I, B = -[I;..;I] (see
+    parallel/consensus.py docstring) — the engine run on that
+    formulation is the exactness oracle, including the accelerated
+    d-value restart/stop trajectory."""
+    import jax.numpy as jnp
 
-    from admm_tpu.parallel import consensus_admm
+    from admm_tpu.engine import admm
+    from admm_tpu.ops.prox import soft_threshold
+    from admm_tpu.parallel import consensus_lasso
 
-    with _pytest.raises(NotImplementedError):
-        consensus_admm(_nan_local, _ok_global, {}, 8,
-                       ADMMConfig(maxiters=5, fast=True))
+    rng = np.random.default_rng(11)
+    W, n, m = 4, 12, 64
+    D = rng.standard_normal((m, n))
+    s = rng.standard_normal(m)
+    lam = 0.1 * np.max(np.abs(D.T @ s))
+    rho = 1.0
+
+    # Stacked-engine operands mirroring consensus_lasso's per-shard setup.
+    Di = D.reshape(W, m // W, n)
+    si = s.reshape(W, m // W)
+    G = np.einsum("wij,wik->wjk", Di, Di) + rho * np.eye(n)[None]
+    Minv = np.linalg.inv(G)
+    Dtsi = np.einsum("wij,wi->wj", Di, si)
+
+    def pf(x, z, u, rho_, d=None):
+        ui = u.reshape(W, n)
+        xi = jnp.einsum("wij,wj->wi", jnp.asarray(Minv),
+                        jnp.asarray(Dtsi) + rho_ * (z[None, :] - ui))
+        return xi.reshape(W * n)
+
+    def pg(x, z, u, rho_, d=None):
+        xbar = jnp.mean(x.reshape(W, n), axis=0)
+        ubar = jnp.mean(u.reshape(W, n), axis=0)
+        return soft_threshold(xbar + ubar, lam / (rho_ * W))
+
+    Bmat = -np.tile(np.eye(n), (W, 1))
+
+    for variant, compare_steps in (
+        (dict(fast=True, fasttype="weak"), True),
+        (dict(fast=True, fasttype="strong", domaxiters=True, maxiters=60),
+         False),
+        (dict(fast=True, fasttype="weak", relax=1.3), True),
+    ):
+        cfg = ADMMConfig(**{"maxiters": 300, "rho": rho, **variant})
+        eng = admm(pf, pg, cfg, A=1.0, B=Bmat, c=0.0,
+                   m=W * n, nA=W * n, nB=n,
+                   dtype=np.float64)
+        con = consensus_lasso(D, s, lam, cfg, nshards=W)
+        if compare_steps:
+            assert int(con.steps) == int(eng.steps)
+            np.testing.assert_allclose(con.dvals, eng.dvals,
+                                       rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(con.zopt),
+                                   np.asarray(eng.zopt),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(
+            np.asarray(con.xopt),
+            np.asarray(eng.xopt).reshape(W, n).mean(axis=0),
+            rtol=1e-9, atol=1e-11)
 
 
 def test_sliced_prox_uneven_slices_match_unsliced():
@@ -533,24 +584,110 @@ def test_engine_parallel_composes_with_unroll():
     np.testing.assert_array_equal(np.asarray(rK.xopt), np.asarray(r1.xopt))
 
 
-def test_sharded_unwrapped_rejects_unwired_variants():
-    # The sharded driver implements the reference's plain iteration
-    # (unwrappedadmm.m:96-141); silently ignoring variant flags would be
-    # a wrong-answer footgun.
+def _svm_variant_problem(seed=0, m=96, n=10):
     import numpy as np
-    import pytest
+
+    rng = np.random.default_rng(seed)
+    D = rng.standard_normal((m, n))
+    ell = np.sign(rng.standard_normal(m))
+    x0 = rng.uniform(size=n)
+    z0 = rng.uniform(size=m)
+    u0 = rng.uniform(size=m)
+    return D, ell, x0, z0, u0
+
+
+@pytest.mark.parametrize("variant", [
+    dict(),                                  # plain
+    dict(relax=1.5),                         # over-relaxation
+    # alg 1 on a hinge is non-contractive (no strong convexity), so
+    # serial/sharded rounding differences amplify ~e^{0.23 i}: compare a
+    # bounded horizon where f64 trajectories are still locked together.
+    dict(fast=True, fasttype="strong", maxiters=100, domaxiters=True),
+    dict(fast=True, fasttype="weak"),        # alg 2 + restart + d-stop
+    dict(stopcond="both", convtest=True),    # H-norm machinery active
+])
+def test_sharded_unwrapped_matches_serial_per_variant(variant):
+    # In the reference, unwrappedadmm passes options straight to admm
+    # (unwrappedadmm.m:94), so every engine variant applies on its
+    # parallel path; the sharded runner must reproduce the serial
+    # trajectory exactly (same warm start, f64).
+    import numpy as np
+
+    from admm_tpu import ADMMConfig
+    from admm_tpu.models.linearsvm import linearsvm
+    from admm_tpu.parallel import linearsvm_sharded
+
+    D, ell, x0, z0, u0 = _svm_variant_problem()
+    cfg = ADMMConfig(**{"maxiters": 400, **variant})
+    serial = linearsvm(D, ell, 0.7, cfg, x0=x0, z0=z0, u0=u0)
+    sharded = linearsvm_sharded(D, ell, 0.7, cfg, nshards=4,
+                                x0=x0, z0=z0, u0=u0)
+    assert int(sharded.steps) == int(serial.steps)
+    np.testing.assert_allclose(np.asarray(sharded.xopt),
+                               np.asarray(serial.xopt),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(sharded.pnorm, serial.pnorm,
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_sharded_unwrapped_dual_stop_and_rbadaptive_match_serial():
+    # nodualerror=False engages the dual Boyd test (admm.m:639-658) and
+    # makes rbadaptive's residual balancing live; the sharded runner must
+    # track the serial engine's rho trajectory and stopping decision.
+    # (linearsvm forces nodualerror per the reference driver, so drive
+    # the generic unwrapped pair directly with an explicit override.)
+    import numpy as np
+
+    from admm_tpu import ADMMConfig
+    from admm_tpu.models.linearsvm import _obj_hinge, _prox_g_hinge
+    from admm_tpu.models.unwrapped import unwrappedadmm
+    from admm_tpu.parallel.transpose_reduction import (
+        _svm_obj_hinge, _svm_obj_global, _svm_prox_hinge,
+        unwrapped_admm_sharded)
+
+    D, ell, x0, z0, u0 = _svm_variant_problem(seed=3)
+    C = 0.7
+    cfg = ADMMConfig(maxiters=400, stopcond="both", rbadaptive=True)
+    serial = unwrappedadmm(
+        _prox_g_hinge, D, cfg, obj=_obj_hinge,
+        data={"D": np.asarray(D), "ell": np.asarray(ell),
+              "C": np.float64(C)},
+        x0=x0, z0=z0, u0=u0, nodualerror=False)
+    import dataclasses
+    sh_cfg = dataclasses.replace(cfg, nodualerror=False)
+    sharded = unwrapped_admm_sharded(
+        _svm_prox_hinge, D, sh_cfg,
+        aux=(ell, np.ones_like(ell), np.full_like(ell, C)),
+        obj_shard=_svm_obj_hinge, obj_global=_svm_obj_global,
+        nshards=4, x0=x0, z0=z0, u0=u0)
+    assert int(sharded.steps) == int(serial.steps)
+    assert sharded.rho_final == pytest.approx(serial.rho_final, rel=1e-12)
+    np.testing.assert_allclose(np.asarray(sharded.xopt),
+                               np.asarray(serial.xopt),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(sharded.dnorm, serial.dnorm,
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_sharded_unwrapped_unroll_is_exact():
+    # unrolled_body must mask discarded sub-steps over the new dict
+    # carry (momentum + rho + hist) bit-for-bit.
+    import numpy as np
 
     from admm_tpu import ADMMConfig
     from admm_tpu.parallel import linearsvm_sharded
 
-    rng = np.random.default_rng(0)
-    D = rng.standard_normal((64, 8)).astype(np.float32)
-    ell = np.sign(rng.standard_normal(64)).astype(np.float32)
-    for bad in (dict(fast=True), dict(relax=1.5),
-                dict(adaptive=True, convtest=True)):
-        with pytest.raises(NotImplementedError, match="sharded runner"):
-            linearsvm_sharded(D, ell, 1.0,
-                              ADMMConfig(maxiters=10, **bad), nshards=2)
+    D, ell, x0, z0, u0 = _svm_variant_problem(seed=5)
+    kw = dict(nshards=4, x0=x0, z0=z0, u0=u0)
+    for variant in (dict(), dict(fast=True, fasttype="weak")):
+        r1 = linearsvm_sharded(D, ell, 0.7,
+                               ADMMConfig(maxiters=150, **variant), **kw)
+        r4 = linearsvm_sharded(D, ell, 0.7,
+                               ADMMConfig(maxiters=150, unroll=4, **variant),
+                               **kw)
+        assert int(r4.steps) == int(r1.steps)
+        np.testing.assert_array_equal(np.asarray(r4.xopt),
+                                      np.asarray(r1.xopt))
 
 
 def test_consensus_lasso_setup_is_cached_across_solves():
