@@ -583,6 +583,24 @@ def test_engine_parallel_composes_with_unroll():
     assert rK.steps == r1.steps
     np.testing.assert_array_equal(np.asarray(rK.xopt), np.asarray(r1.xopt))
 
+    # And with engine variants: the sliced wrapper is a pure prox
+    # decomposition, so fast/accelerated momentum must compose exactly
+    # with parallel= — same steps and iterates as the unsliced solve
+    # (reference: the parfor wrappers sit inside the same engine loop,
+    # admm.m:416-467 within 496-743).
+    def prox_f_full(x, z, u, rho):
+        return PtPinv @ (Ptr + rho * (z - u))
+
+    cfg_fast = ADMMConfig(maxiters=3000, fast=True)
+    rf_sliced = admm(prox_f_slice, prox_g, cfg_fast, A=1.0, B=-1.0, c=0.0,
+                     m=n, parallel="xminf", slices=slice_len)
+    rf_plain = admm(prox_f_full, prox_g, cfg_fast, A=1.0, B=-1.0, c=0.0,
+                    m=n, nA=n, nB=n)
+    assert rf_sliced.steps == rf_plain.steps
+    np.testing.assert_allclose(np.asarray(rf_sliced.xopt),
+                               np.asarray(rf_plain.xopt),
+                               rtol=1e-12, atol=1e-13)
+
 
 def _svm_variant_problem(seed=0, m=96, n=10):
     import numpy as np
