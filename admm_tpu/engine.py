@@ -312,6 +312,66 @@ def _with_matmul_precision(fn, precision: str):
     return wrapper
 
 
+def fast_update(alg: int, cfg: ADMMConfig, *, aprev, dprev, z, zprev, u,
+                uprev, v, dval=None):
+    """Shared Nesterov momentum / restart algebra (admm.m:563-600), used
+    by the core engine and the consensus/transpose-reduction runners so
+    a fix lands in one place.
+
+    ``z``/``u`` are the POST-update iterates, ``zprev``/``uprev`` their
+    values at iteration start, ``v`` the current z-predictor.  For
+    alg == 2 the caller supplies ``dval``, the accelerated residual
+    d = (1/rho)||u - uhat||^2 + rho||B(z - v)||^2 evaluated with ITS
+    norms (stacked/sharded reductions differ per runner).
+
+    Returns ``(v_new, uhat_new, a_new, d_new, restarted_i)`` with
+    ``d_new``/``restarted_i`` = () unless alg == 2.
+    """
+    a_nr = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * aprev**2))
+    if alg == 1:
+        mom = (aprev - 1.0) / a_nr
+        return (z + mom * (z - zprev), u + mom * (u - uprev), a_nr, (), ())
+    # alg == 2: restart rule d >= restart*dprev rolls the predictors back
+    # (admm.m:570-599).
+    no_restart = dval < cfg.restart * dprev
+    mom = (aprev - 1.0) / a_nr
+    v_new = jnp.where(no_restart, z + mom * (z - zprev), zprev)
+    uhat_new = jnp.where(no_restart, u + mom * (u - uprev), uprev)
+    a_new = jnp.where(no_restart, a_nr, 1.0)
+    d_new = jnp.where(no_restart, dval, dprev / cfg.restart)
+    restarted_i = jnp.where(no_restart, 0, 1).astype(jnp.int32)
+    return v_new, uhat_new, a_new, d_new, restarted_i
+
+
+def adaptive_rho_update(cfg: ADMMConfig, *, Hprev, Hsq, rho, i, done, eps):
+    """The reference's experimental adaptive-rho step (admm.m:724-741),
+    scalar wdiff = Hprev - Hsq with growth clamp 5 — shared by all three
+    runners.  Faithful including its sign behavior: if the H-norm rises
+    within convtol (no divergence trip), wdiff < 0 makes the step size
+    negative there too; use rbadaptive for a sign-safe scheme."""
+    wdiff = Hprev - Hsq
+    rhoprev = rho
+    safe = jnp.abs(wdiff) > eps
+    rho_c = jnp.where(safe, rho * rhoprev / jnp.where(safe, wdiff, 1.0), rho)
+    rhodiff = jnp.abs(rho_c - rhoprev)
+    growth = 5.0
+    rho_c = jnp.where(rhodiff >= rhoprev * growth, rho_c / growth, rho_c)
+    rho_c = jnp.where(rhodiff <= rhoprev / growth, rho_c * growth, rho_c)
+    return jnp.where((i > 2) & jnp.logical_not(done), rho_c, rho)
+
+
+def residual_balance_factor(cfg: ADMMConfig, *, pnorm, dnorm, done, dtype):
+    """Residual-balancing rho factor (Boyd sec. 3.4.1; see
+    ADMMConfig.rbadaptive): grow by rbtau when pnorm > rbmu*dnorm,
+    shrink when dnorm > rbmu*pnorm, hold once done.  The caller applies
+    rho *= factor and u /= factor (the scaled-dual rescale)."""
+    grow = pnorm > cfg.rbmu * dnorm
+    shrink = dnorm > cfg.rbmu * pnorm
+    factor = jnp.where(grow, cfg.rbtau,
+                       jnp.where(shrink, 1.0 / cfg.rbtau, 1.0))
+    return jnp.where(done, 1.0, factor).astype(dtype)
+
+
 def unrolled_body(step, K: int, N: int, flags):
     """Wrap a single-iteration ``step`` into a while_loop body running K
     masked sub-steps (ADMMConfig.unroll; shared by the core engine and
@@ -350,12 +410,15 @@ def _cached_runner(prox_f, prox_g, config: ADMMConfig, hooks: Hooks, jit: bool,
 
 
 def make_admm_runner(prox_f, prox_g, config, A, B, hooks=Hooks(),
-                     has_data=False):
+                     dtype=None, has_data=False):
     """Functional core for advanced use (vmap over instances, shard_map).
 
     Returns ``run(x0, z0, u0, c) -> raw dict``; data must flow through the
-    prox closures or be closed over by the caller.
+    prox closures or be closed over by the caller.  ``dtype`` is accepted
+    for backward compatibility and ignored — the runner takes its dtype
+    from x0 at trace time.
     """
+    del dtype
     A = as_linop(A)
     B = as_linop(B)
     if hooks.fused_zu is not None:
@@ -496,23 +559,16 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
             v_new, uhat_new, a_new = carry.v, carry.uhat, carry.a
             d_new = carry.d
             restarted_i = ()
-            if alg == 1:
-                a_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * aprev**2))
-                mom = (aprev - 1.0) / a_new
-                v_new = z + mom * (z - zprev)
-                uhat_new = u + mom * (u - uprev)
-            elif alg == 2:
-                dval = (1.0 / rho) * _fro2(u - uhat) + rho * _fro2(B.mv(z - carry.v))
-                no_restart = dval < cfg.restart * dprev
-                a_nr = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * aprev**2))
-                mom = (aprev - 1.0) / a_nr
-                v_nr = z + mom * (z - zprev)
-                uhat_nr = u + mom * (u - uprev)
-                a_new = jnp.where(no_restart, a_nr, 1.0)
-                v_new = jnp.where(no_restart, v_nr, zprev)
-                uhat_new = jnp.where(no_restart, uhat_nr, uprev)
-                d_new = jnp.where(no_restart, dval, dprev / cfg.restart)
-                restarted_i = jnp.where(no_restart, 0, 1).astype(jnp.int32)
+            if alg:
+                dval = (
+                    (1.0 / rho) * _fro2(u - uhat)
+                    + rho * _fro2(B.mv(z - carry.v))
+                ) if alg == 2 else None
+                v_new, uhat_new, a_new, d2, r2 = fast_update(
+                    alg, cfg, aprev=aprev, dprev=dprev, z=z, zprev=zprev,
+                    u=u, uprev=uprev, v=carry.v, dval=dval)
+                if alg == 2:
+                    d_new, restarted_i = d2, r2
 
             # ---- norms (admm.m:612-637) ----------------------------------
             if norms_fn is not None:
@@ -574,29 +630,15 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
             # ---- adaptive rho (admm.m:724-741) ----------------------------
             rho_new = rho
             if cfg.adaptive and cfg.convtest and needs_h:
-                # Faithful to the reference's EXPERIMENTAL rule
-                # (admm.m:724-741) including its sign behavior: if the
-                # H-norm rises within convtol (no divergence trip),
-                # wdiff < 0 makes the step size negative there too.  Use
-                # rbadaptive for a sign-safe scheme.
-                wdiff = carry.Hprev - Hsq
-                rhoprev = rho
-                safe = jnp.abs(wdiff) > eps
-                rho_c = jnp.where(safe, rho * rhoprev / jnp.where(safe, wdiff, 1.0), rho)
-                rhodiff = jnp.abs(rho_c - rhoprev)
-                growth = 5.0
-                rho_c = jnp.where(rhodiff >= rhoprev * growth, rho_c / growth, rho_c)
-                rho_c = jnp.where(rhodiff <= rhoprev / growth, rho_c * growth, rho_c)
-                do_adapt = (i > 2) & jnp.logical_not(done)
-                rho_new = jnp.where(do_adapt, rho_c, rho)
+                rho_new = adaptive_rho_update(
+                    cfg, Hprev=carry.Hprev, Hsq=Hsq, rho=rho, i=i,
+                    done=done, eps=eps)
             elif cfg.rbadaptive and alg == 0:
-                # Residual balancing (Boyd sec. 3.4.1) with scaled-dual
-                # rescale u <- u * rho/rho_new (see ADMMConfig.rbadaptive).
-                grow = pnorm > cfg.rbmu * dnorm
-                shrink = dnorm > cfg.rbmu * pnorm
-                factor = jnp.where(grow, cfg.rbtau,
-                                   jnp.where(shrink, 1.0 / cfg.rbtau, 1.0))
-                factor = jnp.where(done, 1.0, factor).astype(rho.dtype)
+                # Residual balancing with the scaled-dual rescale
+                # u <- u * rho/rho_new (see ADMMConfig.rbadaptive).
+                factor = residual_balance_factor(
+                    cfg, pnorm=pnorm, dnorm=dnorm, done=done,
+                    dtype=rho.dtype)
                 rho_new = rho * factor
                 u = u / factor
 

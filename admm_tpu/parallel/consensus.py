@@ -96,7 +96,8 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ADMMConfig
-from ..engine import _with_matmul_precision, unrolled_body
+from ..engine import (_with_matmul_precision, adaptive_rho_update,
+                      fast_update, residual_balance_factor, unrolled_body)
 from ..ops.prox import soft_threshold
 from ..results import ADMMResults
 from .mesh import make_mesh, pad_rows, shard_rows
@@ -200,26 +201,19 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
             v_new, uhat_new, a_new = c["v"], c["uhat"], c["a"]
             d_new = c["d"]
             restarted_i = ()
-            if alg == 1:
-                a_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * aprev**2))
-                mom = (aprev - 1.0) / a_new
-                v_new = z + mom * (z - zprev)
-                uhat_new = ui + mom * (ui - ui_prev)
-            elif alg == 2:
+            if alg:
                 # d = (1/rho)||u - uhat||^2 + rho||B(z - v)||^2 on the
-                # stacked problem: B tiles z over W slices.
+                # stacked problem: B tiles z over W slices.  The z-space
+                # predictor and the per-slice duals update with the
+                # SHARED momentum algebra (engine.fast_update).
                 dval = ((1.0 / rho) * jnp.sum((ui - uhat) ** 2)
-                        + rho * W * jnp.sum((z - c["v"]) ** 2))
-                no_restart = dval < config.restart * dprev
-                a_nr = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * aprev**2))
-                mom = (aprev - 1.0) / a_nr
-                v_nr = z + mom * (z - zprev)
-                uhat_nr = ui + mom * (ui - ui_prev)
-                a_new = jnp.where(no_restart, a_nr, 1.0)
-                v_new = jnp.where(no_restart, v_nr, zprev)
-                uhat_new = jnp.where(no_restart, uhat_nr, ui_prev)
-                d_new = jnp.where(no_restart, dval, dprev / config.restart)
-                restarted_i = jnp.where(no_restart, 0, 1).astype(jnp.int32)
+                        + rho * W * jnp.sum((z - c["v"]) ** 2)
+                        ) if alg == 2 else None
+                v_new, uhat_new, a_new, d2, r2 = fast_update(
+                    alg, config, aprev=aprev, dprev=dprev, z=z,
+                    zprev=zprev, u=ui, uprev=ui_prev, v=c["v"], dval=dval)
+                if alg == 2:
+                    d_new, restarted_i = d2, r2
 
             # Consensus residuals, squared (lassonorms,
             # getProxOps.m:1335-1343).
@@ -274,20 +268,11 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
 
             rho_new = rho
             if use_adaptive:
-                # Experimental adaptive rho (admm.m:724-741): scalar
-                # wdiff = Hprev - Hsq, growth clamp 5 — the engine's
-                # exact formula applied to the consensus H.
-                wdiff = c["Hprev"] - Hsq
-                rhoprev = rho
-                safe = jnp.abs(wdiff) > eps
-                rho_c = jnp.where(
-                    safe, rho * rhoprev / jnp.where(safe, wdiff, 1.0), rho)
-                rhodiff = jnp.abs(rho_c - rhoprev)
-                growth = 5.0
-                rho_c = jnp.where(rhodiff >= rhoprev * growth, rho_c / growth, rho_c)
-                rho_c = jnp.where(rhodiff <= rhoprev / growth, rho_c * growth, rho_c)
-                do_adapt = (i > 2) & jnp.logical_not(done)
-                rho_new = jnp.where(do_adapt, rho_c, rho)
+                # Experimental adaptive rho (engine.adaptive_rho_update,
+                # admm.m:724-741) applied to the consensus H.
+                rho_new = adaptive_rho_update(
+                    config, Hprev=c["Hprev"], Hsq=Hsq, rho=rho, i=i,
+                    done=done, eps=eps)
             elif config.rbadaptive and alg == 0:
                 # Residual balancing on the consensus residuals with the
                 # scaled-dual rescale (ADMMConfig.rbadaptive; the
@@ -295,13 +280,9 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
                 # pnorm/dnorm are stored SQUARED (reference lassonorms
                 # parity); the balancing rule compares unsquared norms so
                 # rbmu means the same imbalance ratio as in the engine.
-                pn_lin = jnp.sqrt(pnorm)
-                dn_lin = jnp.sqrt(dnorm)
-                grow = pn_lin > config.rbmu * dn_lin
-                shrink = dn_lin > config.rbmu * pn_lin
-                factor = jnp.where(grow, config.rbtau,
-                                   jnp.where(shrink, 1.0 / config.rbtau, 1.0))
-                factor = jnp.where(done, 1.0, factor).astype(rho.dtype)
+                factor = residual_balance_factor(
+                    config, pnorm=jnp.sqrt(pnorm), dnorm=jnp.sqrt(dnorm),
+                    done=done, dtype=rho.dtype)
                 rho_new = rho * factor
                 ui = ui / factor
 

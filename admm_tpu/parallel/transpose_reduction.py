@@ -46,7 +46,8 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ADMMConfig
-from ..engine import _with_matmul_precision, unrolled_body
+from ..engine import (_with_matmul_precision, adaptive_rho_update,
+                      fast_update, residual_balance_factor, unrolled_body)
 from ..ops.prox import hinge_prox, zero_one_prox
 from ..results import ADMMResults
 from .mesh import make_mesh, pad_rows, shard_rows
@@ -130,20 +131,27 @@ def unwrapped_admm_sharded(
     # (unwrappedadmm.m:89-91); explicit x0/z0/u0 override (admm.m:252-254).
     kx, kz, ku = jax.random.split(jax.random.PRNGKey(seed), 3)
     dtype = Di.dtype
+    if x0 is not None and np.shape(x0) != (n,):
+        raise ValueError(f"x0 must have shape {(n,)}; got {np.shape(x0)}")
     x0 = (jax.random.uniform(kx, (n,), dtype=dtype) if x0 is None
           else jnp.asarray(x0, dtype))
     mrow = np.zeros((mp,), dtype=dtype)
     mrow[:m] = 1.0
     mask = jax.device_put(jnp.asarray(shard_rows(mrow, W)), shard_spec)
 
-    def _row_state(v0, key):
+    def _row_state(v0, key, name):
         if v0 is None:
             return jax.random.uniform(key, (mp,), dtype=dtype).reshape(W, mp // W)
+        if np.shape(v0) != (m,):
+            # Silent zero-padding of a mis-sized warm start would run a
+            # subtly wrong solve; validate like consensus_admm does.
+            raise ValueError(f"{name} must have shape {(m,)}; got "
+                             f"{np.shape(v0)}")
         vp, _ = pad_rows(np.asarray(v0, dtype), W)
         return jnp.asarray(shard_rows(vp, W))
 
-    z0 = _row_state(z0, kz)
-    u0 = _row_state(u0, ku)
+    z0 = _row_state(z0, kz, "z0")
+    u0 = _row_state(u0, ku, "u0")
 
     runner = _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global, config, m)
     jax.block_until_ready((Winv, x0, z0, u0, mask, aux_dev))
@@ -192,8 +200,10 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
 
         hist0 = {
             "pnorm": nan_hist(), "perr": nan_hist(),
-            "dnorm": nan_hist() if need_dual else (),
-            "derr": nan_hist() if need_dual else (),
+            # Always present (NaN under nodualerror), so the
+            # ADMMResults.dnorm/.derr accessors behave exactly as on a
+            # serial-engine result.
+            "dnorm": nan_hist(), "derr": nan_hist(),
             "Hnormsq": nan_hist() if needs_h else (),
             "dvals": nan_hist() if alg == 2 else (),
             "avals": nan_hist() if alg else (),
@@ -253,24 +263,18 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
             v_new, uhat_new, a_new = c["v"], c["uhat"], c["a"]
             d_new = c["d"]
             restarted_i = ()
-            if alg == 1:
-                a_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * aprev**2))
-                mom = (aprev - 1.0) / a_new
-                v_new = zi + mom * (zi - zprev)
-                uhat_new = ui + mom * (ui - uprev)
-            elif alg == 2:
+            if alg:
+                # d = (1/rho)||u - uhat||^2 + rho||B(z - v)||^2 with
+                # B = -I over the sharded rows; momentum via the SHARED
+                # algebra (engine.fast_update).
                 dval = ((1.0 / rho) * jnp.sum((ui - uhat) ** 2)
-                        + rho * jnp.sum((zi - c["v"]) ** 2))
-                no_restart = dval < config.restart * dprev
-                a_nr = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * aprev**2))
-                mom = (aprev - 1.0) / a_nr
-                v_nr = zi + mom * (zi - zprev)
-                uhat_nr = ui + mom * (ui - uprev)
-                a_new = jnp.where(no_restart, a_nr, 1.0)
-                v_new = jnp.where(no_restart, v_nr, zprev)
-                uhat_new = jnp.where(no_restart, uhat_nr, uprev)
-                d_new = jnp.where(no_restart, dval, dprev / config.restart)
-                restarted_i = jnp.where(no_restart, 0, 1).astype(jnp.int32)
+                        + rho * jnp.sum((zi - c["v"]) ** 2)
+                        ) if alg == 2 else None
+                v_new, uhat_new, a_new, d2, r2 = fast_update(
+                    alg, config, aprev=aprev, dprev=dprev, z=zi,
+                    zprev=zprev, u=ui, uprev=uprev, v=c["v"], dval=dval)
+                if alg == 2:
+                    d_new, restarted_i = d2, r2
 
             # ---- norms + Boyd errors (admm.m:612-658).  pnorm uses the
             # true residual Dx - z (unrelaxed), exactly as the engine.
@@ -327,21 +331,13 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
             # ---- adaptive rho (admm.m:724-741 / ADMMConfig.rbadaptive) ---
             rho_new = rho
             if config.adaptive and config.convtest and needs_h:
-                wdiff = c["Hprev"] - Hsq
-                safe = jnp.abs(wdiff) > eps
-                rho_c = jnp.where(
-                    safe, rho * rho / jnp.where(safe, wdiff, 1.0), rho)
-                rhodiff = jnp.abs(rho_c - rho)
-                growth = 5.0
-                rho_c = jnp.where(rhodiff >= rho * growth, rho_c / growth, rho_c)
-                rho_c = jnp.where(rhodiff <= rho / growth, rho_c * growth, rho_c)
-                rho_new = jnp.where((i > 2) & jnp.logical_not(done), rho_c, rho)
+                rho_new = adaptive_rho_update(
+                    config, Hprev=c["Hprev"], Hsq=Hsq, rho=rho, i=i,
+                    done=done, eps=eps)
             elif config.rbadaptive and alg == 0:
-                grow = pnorm > config.rbmu * dnorm
-                shrink = dnorm > config.rbmu * pnorm
-                factor = jnp.where(grow, config.rbtau,
-                                   jnp.where(shrink, 1.0 / config.rbtau, 1.0))
-                factor = jnp.where(done, 1.0, factor).astype(rho.dtype)
+                factor = residual_balance_factor(
+                    config, pnorm=pnorm, dnorm=dnorm, done=done,
+                    dtype=rho.dtype)
                 rho_new = rho * factor
                 ui = ui / factor
 

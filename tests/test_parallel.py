@@ -687,6 +687,24 @@ def test_sharded_unwrapped_dual_stop_and_rbadaptive_match_serial():
                                rtol=1e-6, atol=1e-9)
 
 
+def test_sharded_unwrapped_results_accessors_and_validation():
+    # dnorm/derr accessors must work under nodualerror (NaN traces, like
+    # the serial engine), and mis-sized warm starts must raise instead of
+    # being silently zero-padded.
+    import numpy as np
+
+    from admm_tpu import ADMMConfig
+    from admm_tpu.parallel import linearsvm_sharded
+
+    D, ell, x0, z0, u0 = _svm_variant_problem(seed=7)
+    res = linearsvm_sharded(D, ell, 0.7, ADMMConfig(maxiters=50), nshards=4)
+    assert np.isnan(res.dnorm).all() and np.isnan(res.derr).all()
+    for kw in (dict(x0=x0[:-1]), dict(z0=z0[:-1]), dict(u0=u0[:-1])):
+        with pytest.raises(ValueError, match="must have shape"):
+            linearsvm_sharded(D, ell, 0.7, ADMMConfig(maxiters=10),
+                              nshards=4, **kw)
+
+
 def test_sharded_unwrapped_unroll_is_exact():
     # unrolled_body must mask discarded sub-steps over the new dict
     # carry (momentum + rho + hist) bit-for-bit.
