@@ -364,14 +364,18 @@ def make_svm_instance(seed, mpos=128, mneg=128, sep=0.5):
 
 
 def linearsvmtest(seed=0, mpos=128, mneg=128, sep=0.5, errtol=0.05, quiet=True,
-                  config=ADMMConfig(), C=1.0, errtol01=None, **overrides):
+                  config=ADMMConfig(), C=1.0, errtol01=None, parallel=False,
+                  nshards=None, **overrides):
     """Separable 2-D classes around x1 = x2; runs BOTH hinge and 0-1 loss
     (testers/linearsvmtest.m:130-255).  Returns (results_hinge,
     results_01, test).
 
     ``errtol01`` (default 2.5*errtol): the nonconvex 0-1 heuristic's
     slope scatter is ~2.5x the convex hinge solve's, so it gets its own
-    bar.
+    bar.  ``parallel=True`` routes both solves through the sharded
+    transpose-reduction path (the reference's options.parallel through
+    solvertester, unwrappedadmmtest.m:41-58); ``nshards`` defaults to
+    the mesh size.
     """
     if errtol01 is None:
         errtol01 = 2.5 * errtol
@@ -385,8 +389,16 @@ def linearsvmtest(seed=0, mpos=128, mneg=128, sep=0.5, errtol=0.05, quiet=True,
         t = np.maximum(np.sign(1 - v), 0) if loss == "01" else np.maximum(1 - v, 0)
         return 0.5 * np.sum(x * x) + C * np.sum(t)
 
-    res_h = linearsvm(D, ell, C, cfg, loss="hinge")
-    res_01 = linearsvm(D, ell, C, cfg, loss="01")
+    if parallel:
+        from ..parallel import linearsvm_sharded
+
+        res_h = linearsvm_sharded(D, ell, C, cfg, loss="hinge",
+                                  nshards=nshards, seed=seed)
+        res_01 = linearsvm_sharded(D, ell, C, cfg, loss="01",
+                                   nshards=nshards, seed=seed)
+    else:
+        res_h = linearsvm(D, ell, C, cfg, loss="hinge")
+        res_01 = linearsvm(D, ell, C, cfg, loss="01")
     xh, x01 = np.asarray(res_h.xopt), np.asarray(res_01.xopt)
     relerr_h = abs(1.0 - (-xh[1] / xh[0]))
     relerr_01 = abs(1.0 - (-x01[1] / x01[0]))

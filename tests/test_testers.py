@@ -74,6 +74,19 @@ def test_svm_imbalance_presets():
     assert not rep.any_failed
 
 
+def test_svm_parallel_sweep():
+    """options.parallel parity through the sweep harness
+    (unwrappedadmmtest.m:41-58 drives solvertester with
+    options.parallel='both'): parallel=True routes the SVM oracle
+    through the sharded transpose-reduction path and must sweep green
+    with the same slope/objective criteria as the serial path."""
+    from admm_tpu.testers.solvertester import solvertester
+
+    rep = solvertester("linearsvm", 4, 4, trials=1, seed=0,
+                       parallel=True, nshards=4)
+    assert not rep.any_failed
+
+
 def test_custom_scaler_handle():
     """options.scaler parity (solvertester.m:349-356): a user callable
     maps scale -> shape and overrides the presets."""
