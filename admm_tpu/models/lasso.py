@@ -113,12 +113,20 @@ def _registry_entry(D, s, lam, config=ADMMConfig(), **_):
 
 @timed_solver
 def lasso(D=None, s=None, lam=None, config: ADMMConfig = ADMMConfig(), *, stream_dtype=None,
-          use_fused_kernel=False, x0=None, z0=None, u0=None, **overrides) -> ADMMResults:
+          use_fused_kernel=False, x0=None, z0=None, u0=None, parallel=False,
+          nshards=None, mesh=None, **overrides) -> ADMMResults:
     """Solve LASSO (reference solvers/lasso.m:77).
 
     Constraint wiring matches lasso.m:226-239: A = 1, B = -1, c = 0 in R^n.
     ``use_fused_kernel`` routes the z-prox + dual update through the fused
     Pallas kernel (TPU; exact jnp fallback elsewhere).
+
+    ``parallel=True`` mirrors the reference wrapper's options.parallel
+    (lasso.m:148-150, 196-224): the solve runs as consensus ADMM with
+    data rows sharded over the mesh (parallel.consensus_lasso).  The
+    consensus state is per-shard, so warm-start there with
+    consensus_lasso(xi0=, ui0=, z0=); only the global ``z0`` passes
+    through here.
     """
     if D is None:
         # Zero-arg demo mode (reference solvers, e.g. lasso.m:122-129).
@@ -128,6 +136,17 @@ def lasso(D=None, s=None, lam=None, config: ADMMConfig = ADMMConfig(), *, stream
         return res
     check_data_vector(D, s)
     config = merge_config(config, overrides)
+    if parallel:
+        if x0 is not None or u0 is not None:
+            raise ValueError(
+                "parallel=True runs consensus ADMM, whose x/u state is "
+                "per-shard — use parallel.consensus_lasso(xi0=, ui0=, z0=) "
+                "to warm-start it"
+            )
+        from ..parallel import consensus_lasso
+
+        return consensus_lasso(D, s, lam, config, mesh=mesh,
+                               nshards=nshards, z0=z0)
     D = jnp.asarray(D)
     n = D.shape[1]
     prox_f, prox_g, obj, data = make_prox_ops(D, s, lam, config, stream_dtype)

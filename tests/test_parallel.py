@@ -726,6 +726,23 @@ def test_sharded_unwrapped_unroll_is_exact():
                                       np.asarray(r1.xopt))
 
 
+def test_lasso_wrapper_parallel_routes_to_consensus():
+    # The reference wrapper's options.parallel (lasso.m:148-150) is
+    # exposed as lasso(parallel=True): same solve as consensus_lasso.
+    from admm_tpu import ADMMConfig, lasso
+    from admm_tpu.parallel import consensus_lasso
+
+    D, s, lam, _ = _lasso_instance(3, 96, 12)
+    cfg = ADMMConfig(maxiters=300)
+    via_wrapper = lasso(D, s, lam, cfg, parallel=True, nshards=4)
+    direct = consensus_lasso(D, s, lam, cfg, nshards=4)
+    assert int(via_wrapper.steps) == int(direct.steps)
+    np.testing.assert_array_equal(np.asarray(via_wrapper.zopt),
+                                  np.asarray(direct.zopt))
+    with pytest.raises(ValueError, match="per-shard"):
+        lasso(D, s, lam, cfg, parallel=True, nshards=4, x0=np.zeros(12))
+
+
 def test_consensus_lasso_setup_is_cached_across_solves():
     import numpy as np
 
