@@ -91,12 +91,18 @@ def _registry_entry(D, ell, C, loss="hinge", config=ADMMConfig(), **_):
 def linearsvm(
     D=None, ell=None, C=None, config: ADMMConfig = ADMMConfig(), *,
     loss: str = "hinge", seed: int = 0, x0=None, z0=None, u0=None,
+    parallel=False, nshards=None, mesh=None,
     **overrides,
 ) -> ADMMResults:
     """Train a linear SVM (reference solvers/linearsvm.m:92).
 
     Delegates to unwrappedadmm(minz, D, ...) exactly as the reference does
     (linearsvm.m:242); the plain-ADMM path there is dead code.
+
+    ``parallel=True`` mirrors the reference wrapper's options.parallel
+    (linearsvm.m:169-206): the solve runs row-sharded over the mesh via
+    the transpose-reduction runner (parallel.linearsvm_sharded), with
+    the same engine variants and warm starts.
     """
     if D is None:
         # Zero-arg demo mode (reference solvers, e.g. lasso.m:122-129).
@@ -106,6 +112,12 @@ def linearsvm(
         return res
     check_data_vector(D, ell, sname="ell")
     config = merge_config(config, overrides)
+    if parallel:
+        from ..parallel import linearsvm_sharded
+
+        return linearsvm_sharded(D, ell, C, config, loss=loss, mesh=mesh,
+                                 nshards=nshards, seed=seed,
+                                 x0=x0, z0=z0, u0=u0)
     _, prox_g, obj, data = make_prox_ops(D, ell, C, loss, config)
     return unwrappedadmm(prox_g, D, config, obj=obj, seed=seed, data=data,
                          x0=x0, z0=z0, u0=u0)

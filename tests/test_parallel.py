@@ -726,6 +726,23 @@ def test_sharded_unwrapped_unroll_is_exact():
                                       np.asarray(r1.xopt))
 
 
+def test_linearsvm_wrapper_parallel_routes_to_sharded():
+    # options.parallel parity on the SVM wrapper (linearsvm.m:169-206):
+    # linearsvm(parallel=True) must produce the sharded runner's exact
+    # solve (same warm start).
+    from admm_tpu import ADMMConfig, linearsvm
+    from admm_tpu.parallel import linearsvm_sharded
+
+    D, ell, x0, z0, u0 = _svm_variant_problem(seed=9)
+    cfg = ADMMConfig(maxiters=200)
+    kw = dict(x0=x0, z0=z0, u0=u0)
+    via_wrapper = linearsvm(D, ell, 0.7, cfg, parallel=True, nshards=4, **kw)
+    direct = linearsvm_sharded(D, ell, 0.7, cfg, nshards=4, **kw)
+    assert int(via_wrapper.steps) == int(direct.steps)
+    np.testing.assert_array_equal(np.asarray(via_wrapper.xopt),
+                                  np.asarray(direct.xopt))
+
+
 def test_lasso_wrapper_parallel_routes_to_consensus():
     # The reference wrapper's options.parallel (lasso.m:148-150) is
     # exposed as lasso(parallel=True): same solve as consensus_lasso.
