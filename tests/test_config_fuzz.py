@@ -1,0 +1,73 @@
+"""Config-matrix fuzz: random valid ADMMConfig combinations through a
+small solve must either converge (finite state, steps within budget) or
+flag divergence cleanly — never crash at trace time or return silent
+NaNs.  The engine selects every variant branch at trace time from the
+static config (engine.py docstring), so this sweeps the cross-product of
+those branches the targeted per-variant tests don't enumerate.
+"""
+
+import numpy as np
+import pytest
+
+from admm_tpu import ADMMConfig, lasso
+from admm_tpu.models.model import model
+
+
+def _random_config(rng):
+    cfg = dict(
+        rho=float(rng.choice([0.5, 1.0, 2.0])),
+        maxiters=int(rng.choice([60, 150])),
+        relax=float(rng.choice([1.0, 1.0, 0.7, 1.5])),
+        unroll=int(rng.choice([1, 1, 3, 4])),
+        nanguard=bool(rng.random() < 0.5),
+        domaxiters=bool(rng.random() < 0.2),
+        quiet=True,
+    )
+    mode = rng.choice(["plain", "fast_w", "fast_s", "adaptive", "rb"])
+    if mode == "fast_w":
+        cfg.update(fast=True, fasttype="weak")
+    elif mode == "fast_s":
+        cfg.update(fast=True, fasttype="strong")
+    elif mode == "adaptive":
+        cfg.update(adaptive=True, convtest=True)
+    elif mode == "rb":
+        # rbadaptive excludes fast/adaptive/nodualerror (config rules).
+        cfg.update(rbadaptive=True)
+    cfg["stopcond"] = str(rng.choice(
+        ["standard", "both"] + (["hnorm"] if mode != "fast_w" else [])))
+    if mode in ("adaptive",):
+        cfg["stopcond"] = "both"  # adaptive needs the H machinery anyway
+    return ADMMConfig(**cfg)
+
+
+@pytest.mark.parametrize("trial", range(24))
+def test_random_config_never_crashes_or_lies(trial):
+    rng = np.random.default_rng(1000 + trial)
+    cfg = _random_config(rng)
+    D = rng.standard_normal((48, 24))
+    s = rng.standard_normal(48)
+    res = lasso(D, s, 0.15, cfg)
+    assert 1 <= int(res.steps) <= cfg.maxiters
+    x = np.asarray(res.xopt)
+    # Either a clean solve (finite everywhere) or an explicit divergence
+    # flag — silent NaNs are the failure mode this test exists to catch.
+    assert bool(res.diverged) or np.all(np.isfinite(x))
+    if cfg.domaxiters and not res.diverged and cfg.alg != 2:
+        # domaxiters must run the full budget (the alg-2 d-value stop
+        # deliberately ignores it, admm.m:706-707).
+        assert int(res.steps) == cfg.maxiters
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_random_config_two_prox_problem(trial):
+    # Same sweep through the two-quadratic 'model' problem: exercises the
+    # dual/H machinery with a nontrivial B-side prox.
+    rng = np.random.default_rng(2000 + trial)
+    cfg = _random_config(rng)
+    P = rng.standard_normal((40, 20))
+    Q = rng.standard_normal((40, 20))
+    r = rng.standard_normal(40)
+    s = rng.standard_normal(40)
+    res = model(P, Q, r, s, cfg)
+    assert 1 <= int(res.steps) <= cfg.maxiters
+    assert bool(res.diverged) or np.all(np.isfinite(np.asarray(res.xopt)))
