@@ -94,6 +94,14 @@ def test_consensus_lasso_across_two_processes():
         ser = lasso(D, s, 0.1, ADMMConfig(maxiters=2000))
         f_par, f_ser = obj(z), obj(np.asarray(jax.device_get(ser.xopt)))
         assert abs(f_par - f_ser) <= 1e-2 * abs(f_ser), (f_par, f_ser)
+        # Accelerated consensus: the d-value restart aggregate is a
+        # cross-process all-reduce — must run and stay near the optimum.
+        resf = consensus_lasso(D, s, 0.1,
+                               ADMMConfig(maxiters=500, fast=True),
+                               mesh=make_mesh())
+        zf = np.asarray(jax.device_get(resf.zopt))
+        assert np.isfinite(zf).all()
+        assert abs(obj(zf) - f_ser) <= 5e-2 * abs(f_ser), (obj(zf), f_ser)
     ''')
     _check(*_run_workers(code))
 
