@@ -135,6 +135,16 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
             "dvals": nan_hist() if alg == 2 else (),
             "avals": nan_hist() if alg else (),
             "restarted": jnp.zeros((N,), jnp.int32) if alg == 2 else (),
+            # Opt-in iterate traces of the consensus AGGREGATES
+            # (xbar/z/ubar and w = [xbar; z; rho*ubar]): the reference's
+            # parallel path records per-iteration state through its
+            # engine (admm.m:607-610); per-shard xi/ui stay out of the
+            # trace (W x the HBM) — the final ones return via extra.
+            "xvals": jnp.zeros((N, n), rdtype) if config.record_iterates else (),
+            "zvals": jnp.zeros((N, n), rdtype) if config.record_iterates else (),
+            "uvals": jnp.zeros((N, n), rdtype) if config.record_iterates else (),
+            "wvals": jnp.zeros((N, 3 * n), rdtype)
+            if config.record_iterates else (),
         }
         carry0 = {
             "k": jnp.asarray(0, jnp.int32),
@@ -298,6 +308,15 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
                 h["restarted"] = h["restarted"].at[k].set(restarted_i)
             if alg:
                 h["avals"] = h["avals"].at[k].set(a_new)
+            if config.record_iterates:
+                h["xvals"] = h["xvals"].at[k].set(xbar)
+                h["zvals"] = h["zvals"].at[k].set(z)
+                h["uvals"] = h["uvals"].at[k].set(ubar)
+                # rbadaptive rescaled ui above; rho_new*ubar/factor ==
+                # rho*ubar, so record with the pre-adaptation product
+                # (engine parity, see engine.py wvals note).
+                h["wvals"] = h["wvals"].at[k].set(
+                    jnp.concatenate([xbar, z, rho * ubar]))
 
             return {
                 "k": k + 1,

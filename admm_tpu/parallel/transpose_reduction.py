@@ -208,6 +208,11 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
             "dvals": nan_hist() if alg == 2 else (),
             "avals": nan_hist() if alg else (),
             "restarted": jnp.zeros((N,), jnp.int32) if alg == 2 else (),
+            # Opt-in x trace (the replicated iterate).  The row-space
+            # z/u state is sharded (W, m/W) and would multiply the HBM
+            # trace cost; the final zopt/uopt return as usual.
+            "xvals": jnp.zeros((N, x0.shape[0]), rdtype)
+            if config.record_iterates else (),
         }
         carry0 = {
             "k": jnp.asarray(0, jnp.int32),
@@ -355,6 +360,8 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
                 h["restarted"] = h["restarted"].at[k].set(restarted_i)
             if alg:
                 h["avals"] = h["avals"].at[k].set(a_new)
+            if config.record_iterates:
+                h["xvals"] = h["xvals"].at[k].set(x)
 
             return {
                 "k": k + 1,

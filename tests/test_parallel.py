@@ -760,6 +760,32 @@ def test_lasso_wrapper_parallel_routes_to_consensus():
         lasso(D, s, lam, cfg, parallel=True, nshards=4, x0=np.zeros(12))
 
 
+def test_sharded_runners_record_iterates():
+    # record_iterates parity on the sharded paths: the reference's
+    # parallel solves record per-iteration state through its engine
+    # (admm.m:607-610).  Consensus traces the aggregates xbar/z/ubar/w;
+    # transpose reduction traces the replicated x.
+    from admm_tpu import ADMMConfig
+    from admm_tpu.parallel import consensus_lasso, linearsvm_sharded
+
+    D, s, lam, _ = _lasso_instance(5, 96, 12)
+    cfg = ADMMConfig(maxiters=100, record_iterates=True)
+    res = consensus_lasso(D, s, lam, cfg, nshards=4)
+    k = int(res.steps)
+    assert res.hist["xvals"].shape == (100, 12)
+    assert res.hist["wvals"].shape == (100, 36)
+    np.testing.assert_array_equal(np.asarray(res.hist["xvals"][k - 1]),
+                                  np.asarray(res.xopt))
+    np.testing.assert_array_equal(np.asarray(res.hist["zvals"][k - 1]),
+                                  np.asarray(res.zopt))
+
+    ell = np.sign(np.asarray(s))
+    res2 = linearsvm_sharded(D, ell, 0.7, cfg, nshards=4)
+    k2 = int(res2.steps)
+    np.testing.assert_array_equal(np.asarray(res2.hist["xvals"][k2 - 1]),
+                                  np.asarray(res2.xopt))
+
+
 def test_consensus_lasso_setup_is_cached_across_solves():
     import numpy as np
 
