@@ -101,12 +101,13 @@ def timing_matrix(smoke=False):
     it = lambda n: max(n // (10 if smoke else 1), 10)
     rows = []
 
-    def cfg(iters, unroll=4):
+    def cfg(iters, unroll=4, **kw):
         # unroll=4 is the recommended production config (exact
         # semantics, amortized loop turnaround — see ADMMConfig.unroll);
         # the lasso_fat_f32_unroll1 row keeps the unrolled-off delta
         # visible.
-        return ADMMConfig(maxiters=iters, domaxiters=True, unroll=unroll)
+        return ADMMConfig(maxiters=iters, domaxiters=True, unroll=unroll,
+                          **kw)
 
     # --- model: two dense n-by-n inverse applies per iteration ----------
     n = 2048 // sc
@@ -288,6 +289,14 @@ def timing_matrix(smoke=False):
         lambda: consensus_lasso(Dsvm, s4, 0.1, cfg(iters), nshards=8))
     rows.append(_row("consensus_lasso_8shard_f32", f"{m}x{n}", iters, res,
                      bytes_per_iter=8 * n * n * 4))  # 8 shard Minv streams
+
+    # Accelerated consensus: the momentum/restart state adds elementwise
+    # work + one extra scalar all-reduce (the d-value) per iteration.
+    res = _run_twice(
+        lambda: consensus_lasso(Dsvm, s4, 0.1,
+                                cfg(iters, fast=True), nshards=8))
+    rows.append(_row("consensus_lasso_8shard_fast_f32", f"{m}x{n}", iters,
+                     res, bytes_per_iter=8 * n * n * 4))
 
     # --- batched regularization path: one vmapped program, B lambdas ----
     from admm_tpu.models.paths import lasso_path
