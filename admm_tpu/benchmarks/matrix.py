@@ -292,9 +292,12 @@ def timing_matrix(smoke=False):
 
     # Accelerated consensus: the momentum/restart state adds elementwise
     # work + one extra scalar all-reduce (the d-value) per iteration.
+    # dvaltol=0 disables the alg-2 d-stop (which ignores domaxiters by
+    # design) so the row measures exactly `iters` iterations.
     res = _run_twice(
         lambda: consensus_lasso(Dsvm, s4, 0.1,
-                                cfg(iters, fast=True), nshards=8))
+                                cfg(iters, fast=True, dvaltol=0.0),
+                                nshards=8))
     rows.append(_row("consensus_lasso_8shard_fast_f32", f"{m}x{n}", iters,
                      res, bytes_per_iter=8 * n * n * 4))
 

@@ -143,6 +143,11 @@ def lasso(D=None, s=None, lam=None, config: ADMMConfig = ADMMConfig(), *, stream
                 "per-shard — use parallel.consensus_lasso(xi0=, ui0=, z0=) "
                 "to warm-start it"
             )
+        if stream_dtype is not None or use_fused_kernel:
+            raise ValueError(
+                "stream_dtype / use_fused_kernel are serial-path options; "
+                "the consensus solver does not consume them"
+            )
         from ..parallel import consensus_lasso
 
         return consensus_lasso(D, s, lam, config, mesh=mesh,

@@ -145,6 +145,12 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
             "uvals": jnp.zeros((N, n), rdtype) if config.record_iterates else (),
             "wvals": jnp.zeros((N, 3 * n), rdtype)
             if config.record_iterates else (),
+            # The momentum predictor v is z-space (n,) — recorded like
+            # the engine's vvals (admm.m:596-599).  The per-slice uhat
+            # predictors stay out of the trace (a (W, n) buffer per
+            # iteration), like xi/ui.
+            "vvals": jnp.zeros((N, n), rdtype)
+            if (config.record_iterates and alg) else (),
         }
         carry0 = {
             "k": jnp.asarray(0, jnp.int32),
@@ -295,6 +301,10 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
                     done=done, dtype=rho.dtype)
                 rho_new = rho * factor
                 ui = ui / factor
+                # Keep the recorded/derr aggregate consistent with the
+                # rescaled per-slice duals (the engine records u AFTER
+                # this rescale, engine.py history block).
+                ubar = ubar / factor
 
             h = dict(c["hist"])
             h["pnorm"] = h["pnorm"].at[k].set(pnorm)
@@ -311,12 +321,16 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
             if config.record_iterates:
                 h["xvals"] = h["xvals"].at[k].set(xbar)
                 h["zvals"] = h["zvals"].at[k].set(z)
+                # ubar is post-rescale under rbadaptive (so uvals agrees
+                # with uopt); rho_new * ubar then preserves the
+                # scaled-dual product rho*ubar_pre — the engine's exact
+                # wvals rule (engine.py history block).
                 h["uvals"] = h["uvals"].at[k].set(ubar)
-                # rbadaptive rescaled ui above; rho_new*ubar/factor ==
-                # rho*ubar, so record with the pre-adaptation product
-                # (engine parity, see engine.py wvals note).
-                h["wvals"] = h["wvals"].at[k].set(
-                    jnp.concatenate([xbar, z, rho * ubar]))
+                h["wvals"] = h["wvals"].at[k].set(jnp.concatenate(
+                    [xbar, z,
+                     (rho_new if config.rbadaptive else rho) * ubar]))
+                if alg:
+                    h["vvals"] = h["vvals"].at[k].set(v_new)
 
             return {
                 "k": k + 1,
@@ -393,6 +407,8 @@ def consensus_admm(
         raise ValueError(
             f"xi0/ui0 must have shape {(W, n)}; got {xi0.shape}/{ui0.shape}"
         )
+    if z0.shape != (n,):
+        raise ValueError(f"z0 must have shape {(n,)}; got {z0.shape}")
 
     runner = _cached_consensus_runner(local_prox, global_prox, config, W, n)
     data, xi0, ui0, z0 = jax.block_until_ready((data, xi0, ui0, z0))

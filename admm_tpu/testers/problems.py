@@ -389,16 +389,12 @@ def linearsvmtest(seed=0, mpos=128, mneg=128, sep=0.5, errtol=0.05, quiet=True,
         t = np.maximum(np.sign(1 - v), 0) if loss == "01" else np.maximum(1 - v, 0)
         return 0.5 * np.sum(x * x) + C * np.sum(t)
 
-    if parallel:
-        from ..parallel import linearsvm_sharded
-
-        res_h = linearsvm_sharded(D, ell, C, cfg, loss="hinge",
-                                  nshards=nshards, seed=seed)
-        res_01 = linearsvm_sharded(D, ell, C, cfg, loss="01",
-                                   nshards=nshards, seed=seed)
-    else:
-        res_h = linearsvm(D, ell, C, cfg, loss="hinge")
-        res_01 = linearsvm(D, ell, C, cfg, loss="01")
+    # Route through the one wrapper (linearsvm handles parallel=True
+    # itself) so serial and sharded sweeps share solverruntime semantics.
+    res_h = linearsvm(D, ell, C, cfg, loss="hinge", parallel=parallel,
+                      nshards=nshards, seed=seed)
+    res_01 = linearsvm(D, ell, C, cfg, loss="01", parallel=parallel,
+                       nshards=nshards, seed=seed)
     xh, x01 = np.asarray(res_h.xopt), np.asarray(res_01.xopt)
     relerr_h = abs(1.0 - (-xh[1] / xh[0]))
     relerr_01 = abs(1.0 - (-x01[1] / x01[0]))

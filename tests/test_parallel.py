@@ -785,6 +785,24 @@ def test_sharded_runners_record_iterates():
     np.testing.assert_array_equal(np.asarray(res2.hist["xvals"][k2 - 1]),
                                   np.asarray(res2.xopt))
 
+    # Under rbadaptive the recorded dual must be the POST-rescale one
+    # (engine parity): uvals[k-1] == uopt exactly, and wvals preserves
+    # the scaled-dual product via rho_new.
+    cfg_rb = ADMMConfig(maxiters=40, domaxiters=True, rbadaptive=True,
+                        record_iterates=True)
+    res3 = consensus_lasso(D, s, lam, cfg_rb, nshards=4)
+    k3 = int(res3.steps)
+    # mean(ui)/factor vs mean(ui/factor): identical up to rounding.
+    np.testing.assert_allclose(np.asarray(res3.hist["uvals"][k3 - 1]),
+                               np.asarray(res3.uopt),
+                               rtol=1e-12, atol=1e-15)
+
+    # Fast consensus records the z-space predictor trace.
+    cfg_f = ADMMConfig(maxiters=40, domaxiters=True, fast=True,
+                       record_iterates=True)
+    res4 = consensus_lasso(D, s, lam, cfg_f, nshards=4)
+    assert res4.hist["vvals"].shape == (40, 12)
+
 
 def test_consensus_lasso_setup_is_cached_across_solves():
     import numpy as np
