@@ -120,6 +120,7 @@ def main(smoke: bool = False):
         json.dumps(
             {
                 "metric": "lasso_n5000_admm_iterations_per_sec_per_chip",
+                "platform": jax.devices()[0].platform,
                 "value": round(iters_per_sec, 2),
                 "unit": "iter/s",
                 "vs_baseline": round(iters_per_sec / baseline, 3),
