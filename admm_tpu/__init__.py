@@ -8,7 +8,10 @@ registry of proximal-operator problem definitions (model, lasso, basis
 pursuit, total variation, LAD, Huber fitting, LP, QP, covariance selection,
 linear SVM with hinge and 0-1 loss via unwrapped ADMM), and distributed
 execution (consensus ADMM, sliced proximal updates, transpose reduction)
-over a jax.sharding Mesh with psum/pmean collectives.
+over a jax.sharding Mesh with psum/pmean collectives.  Beyond the
+reference: instance-batched (vmap) solvers, warm-startable path solvers,
+and differentiable solves via implicit differentiation of the ADMM fixed
+point (make_implicit_solver).
 """
 
 from .config import ADMMConfig
@@ -31,6 +34,7 @@ from .models import (
     unwrappedadmm,
 )
 
+from .diff import make_implicit_solver
 from .models.paths import covsel_path, lasso_path, linearsvm_c_path, tv_path
 from .models.batch import (
     basispursuit_batch,
@@ -57,6 +61,7 @@ __all__ = [
     "Hooks",
     "admm",
     "make_admm_runner",
+    "make_implicit_solver",
     "DenseOp",
     "DiffOp",
     "FnOp",

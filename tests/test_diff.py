@@ -1,0 +1,202 @@
+"""Implicit differentiation through the ADMM fixed point (admm_tpu/diff.py).
+
+Gradient correctness is checked three independent ways: against central
+finite differences (lasso hyperparameter + data gradients), against the
+closed-form sensitivity of a smooth quadratic problem, and by
+neumann-vs-gmres agreement.  Composition with jit/vmap is covered because
+that is the point of the capability.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from admm_tpu.config import ADMMConfig
+from admm_tpu.diff import make_implicit_solver
+
+
+# ---- module-level proxes (engine data convention) -------------------------
+
+def lasso_prox_f(xhat, z, u, rho, data):
+    # argmin 0.5||Ax-b||^2 + rho/2 ||x - (z-u)||^2, solved directly so the
+    # gradient can flow through A and b (no prefactorization).
+    A, b = data["A"], data["b"]
+    n = A.shape[1]
+    G = A.T @ A + rho * jnp.eye(n, dtype=A.dtype)
+    return jnp.linalg.solve(G, A.T @ b + rho * (z - u))
+
+
+def lasso_prox_g(xhat, z, u, rho, data):
+    v = xhat + u
+    k = data["lam"] / rho
+    return jnp.sign(v) * jnp.maximum(jnp.abs(v) - k, 0.0)
+
+
+def quad_prox_f(xhat, z, u, rho, data):
+    # f(x) = 0.5||Ax - b||^2
+    A, b = data["A"], data["b"]
+    n = A.shape[1]
+    G = A.T @ A + rho * jnp.eye(n, dtype=A.dtype)
+    return jnp.linalg.solve(G, A.T @ b + rho * (z - u))
+
+
+def quad_prox_g(xhat, z, u, rho, data):
+    # g(z) = 0.5 * gam ||z||^2  ->  prox = rho/(gam+rho) * (xhat+u)
+    return rho / (data["gam"] + rho) * (xhat + u)
+
+
+def _lasso_data(rng, m=12, n=8, lam=0.35):
+    A = jnp.asarray(rng.standard_normal((m, n)))
+    xtrue = jnp.asarray(rng.standard_normal(n)) * (rng.random(n) < 0.5)
+    b = A @ xtrue + 0.01 * jnp.asarray(rng.standard_normal(m))
+    return {"A": A, "b": b, "lam": jnp.asarray(lam)}
+
+
+_CFG = ADMMConfig(rho=1.0, maxiters=4000, abstol=1e-12, reltol=1e-12,
+                  quiet=True)
+
+
+def _fd(f, x, h=1e-6):
+    """Central finite difference of scalar f at scalar x."""
+    return (f(x + h) - f(x - h)) / (2 * h)
+
+
+class TestImplicitGradients:
+    def test_lasso_lambda_gradient_matches_fd(self, rng):
+        data = _lasso_data(rng)
+        solve = make_implicit_solver(lasso_prox_f, lasso_prox_g, _CFG,
+                                     nA=8, nB=8, m=8)
+
+        def loss_at(lam):
+            d = dict(data, lam=jnp.asarray(lam))
+            x, z, u = solve(d)
+            return jnp.sum(x**2)
+
+        g = jax.grad(loss_at)(data["lam"])
+        g_fd = _fd(loss_at, float(data["lam"]))
+        assert np.isfinite(g)
+        np.testing.assert_allclose(g, g_fd, rtol=2e-4, atol=1e-8)
+
+    def test_lasso_b_gradient_matches_fd(self, rng):
+        data = _lasso_data(rng)
+        solve = make_implicit_solver(lasso_prox_f, lasso_prox_g, _CFG,
+                                     nA=8, nB=8, m=8)
+
+        def loss(d):
+            x, _, _ = solve(d)
+            return jnp.sum(jnp.cos(x))
+
+        g = jax.grad(loss)(data)["b"]
+        for i in [0, 3, 11]:
+            def f(bi, i=i):
+                d = dict(data, b=data["b"].at[i].set(bi))
+                return loss(d)
+            np.testing.assert_allclose(g[i], _fd(f, float(data["b"][i])),
+                                       rtol=2e-4, atol=1e-8)
+
+    def test_quadratic_matches_closed_form(self, rng):
+        # x* solves (AtA + gam I) x = At b  ->  dx*/db = (AtA + gam I)^-1 At.
+        m, n = 10, 6
+        A = jnp.asarray(rng.standard_normal((m, n)))
+        b = jnp.asarray(rng.standard_normal(m))
+        gam = 0.7
+        data = {"A": A, "b": b, "gam": jnp.asarray(gam)}
+        solve = make_implicit_solver(quad_prox_f, quad_prox_g, _CFG,
+                                     nA=n, nB=n, m=n)
+
+        def loss(d):
+            x, _, _ = solve(d)
+            return jnp.sum(x)  # grad_b = At-solve of ones
+
+        H = A.T @ A + gam * jnp.eye(n)
+        expect = A @ jnp.linalg.solve(H, jnp.ones(n))
+        got = jax.grad(loss)(data)["b"]
+        np.testing.assert_allclose(got, expect, rtol=1e-6, atol=1e-9)
+
+    def test_gmres_agrees_with_neumann(self, rng):
+        data = _lasso_data(rng)
+        kw = dict(nA=8, nB=8, m=8)
+        s_ne = make_implicit_solver(lasso_prox_f, lasso_prox_g, _CFG,
+                                    vjp_method="neumann", **kw)
+        s_gm = make_implicit_solver(lasso_prox_f, lasso_prox_g, _CFG,
+                                    vjp_method="gmres", **kw)
+
+        def loss(solve, d):
+            x, z, _ = solve(d)
+            return jnp.sum(x * z)
+
+        g1 = jax.grad(lambda d: loss(s_ne, d))(data)
+        g2 = jax.grad(lambda d: loss(s_gm, d))(data)
+        np.testing.assert_allclose(g1["lam"], g2["lam"], rtol=1e-5)
+        np.testing.assert_allclose(g1["b"], g2["b"], rtol=1e-5, atol=1e-10)
+
+    def test_relaxed_iteration_gradient(self, rng):
+        # relax != 1 changes the stationary map; the IFT must use it too.
+        data = _lasso_data(rng)
+        cfg = ADMMConfig(rho=1.0, relax=1.5, maxiters=4000, abstol=1e-12,
+                         reltol=1e-12, quiet=True)
+        solve = make_implicit_solver(lasso_prox_f, lasso_prox_g, cfg,
+                                     nA=8, nB=8, m=8)
+
+        def loss_at(lam):
+            x, _, _ = solve(dict(data, lam=jnp.asarray(lam)))
+            return jnp.sum(x**2)
+
+        np.testing.assert_allclose(jax.grad(loss_at)(data["lam"]),
+                                   _fd(loss_at, float(data["lam"])),
+                                   rtol=2e-4, atol=1e-8)
+
+
+class TestComposition:
+    def test_jit_and_vmap_over_lambda(self, rng):
+        data = _lasso_data(rng)
+        solve = make_implicit_solver(lasso_prox_f, lasso_prox_g, _CFG,
+                                     nA=8, nB=8, m=8)
+
+        @jax.jit
+        def loss_at(lam):
+            x, _, _ = solve(dict(data, lam=lam))
+            return jnp.sum(x**2)
+
+        lams = jnp.asarray([0.1, 0.35, 0.8])
+        vals = jax.vmap(loss_at)(lams)
+        grads = jax.vmap(jax.grad(loss_at))(lams)
+        for i, lam in enumerate(lams):
+            np.testing.assert_allclose(vals[i], loss_at(lam), rtol=1e-10)
+            np.testing.assert_allclose(grads[i], jax.grad(loss_at)(lam),
+                                       rtol=1e-8)
+
+    def test_no_gradient_to_initial_iterates(self, rng):
+        data = _lasso_data(rng)
+        solve = make_implicit_solver(lasso_prox_f, lasso_prox_g, _CFG,
+                                     nA=8, nB=8, m=8)
+        x0 = jnp.asarray(rng.standard_normal(8))
+        g = jax.grad(lambda x0_: jnp.sum(solve(data, x0=x0_)[0] ** 2))(x0)
+        np.testing.assert_array_equal(g, jnp.zeros_like(x0))
+
+    def test_forward_matches_engine(self, rng):
+        # The differentiable wrapper must not change forward numerics.
+        from admm_tpu.engine import admm
+
+        data = _lasso_data(rng)
+        solve = make_implicit_solver(lasso_prox_f, lasso_prox_g, _CFG,
+                                     nA=8, nB=8, m=8)
+        x, z, u = solve(data)
+        res = admm(lasso_prox_f, lasso_prox_g, _CFG, m=8, data=data)
+        np.testing.assert_allclose(x, res.xopt, rtol=0, atol=0)
+        np.testing.assert_allclose(z, res.zopt, rtol=0, atol=0)
+        np.testing.assert_allclose(u, res.uopt, rtol=0, atol=0)
+
+
+class TestFactoryValidation:
+    def test_rejects_momentum_and_dynamic_rho(self):
+        with pytest.raises(ValueError, match="standard iteration"):
+            make_implicit_solver(lasso_prox_f, lasso_prox_g,
+                                 ADMMConfig(fast=True), nA=8, nB=8, m=8)
+        with pytest.raises(ValueError, match="static rho"):
+            make_implicit_solver(lasso_prox_f, lasso_prox_g,
+                                 ADMMConfig(adaptive=True), nA=8, nB=8, m=8)
+        with pytest.raises(ValueError, match="vjp_method"):
+            make_implicit_solver(lasso_prox_f, lasso_prox_g, ADMMConfig(),
+                                 nA=8, nB=8, m=8, vjp_method="cg")

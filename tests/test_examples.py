@@ -140,3 +140,14 @@ def test_mpc_qp_warm_start_example():
     assert len(cold) == len(warm) == 4
     # After the first step every warm re-solve must beat its cold solve.
     assert all(w < c for w, c in zip(warm[1:], cold[1:]))
+
+
+def test_hypergradient_tuning_improves_mse():
+    from examples.hypergradient import hypergradient_tuning
+
+    hist = hypergradient_tuning(n=80, steps=8, quiet=True)
+    lams = [h[0] for h in hist]
+    mses = [h[1] for h in hist]
+    # The hypergradient must actually move lam and reduce the MSE.
+    assert lams[-1] > 2 * lams[0]
+    assert mses[-1] < 0.8 * mses[0]
