@@ -200,3 +200,41 @@ class TestFactoryValidation:
         with pytest.raises(ValueError, match="vjp_method"):
             make_implicit_solver(lasso_prox_f, lasso_prox_g, ADMMConfig(),
                                  nA=8, nB=8, m=8, vjp_method="cg")
+
+
+def test_bwd_iteration_map_matches_engine_step(rng):
+    # The adjoint linearizes diff.py's one_iter; if the engine's step order
+    # ever drifts from it the gradients silently go wrong.  Pin them to
+    # each other: one engine iteration == one application of the map.
+    from admm_tpu.engine import admm
+
+    data = _lasso_data(rng)
+    for relax in (1.0, 1.5):
+        cfg = ADMMConfig(rho=1.0, relax=relax, maxiters=1, domaxiters=True,
+                         quiet=True)
+        res = admm(lasso_prox_f, lasso_prox_g, cfg, m=8, data=data)
+
+        # Rebuild the stationary map exactly as diff.py documents it and
+        # check the engine's first iteration lands on it.
+        from admm_tpu.linop import as_linop
+        A_op, B_op = as_linop(1.0), as_linop(-1.0)
+        w0 = (jnp.zeros(8), jnp.zeros(8), jnp.zeros(8))
+        c_arr = jnp.zeros(8)
+
+        def one_iter(w):
+            x, z, u = w
+            rho = jnp.asarray(1.0, x.dtype)
+            x1 = lasso_prox_f(x, z, u, rho, data)
+            if relax != 1.0:
+                Axh = relax * A_op.mv(x1) - (1 - relax) * (B_op.mv(z) - c_arr)
+                z1 = lasso_prox_g(Axh, z, u, rho, data)
+                u1 = u + (Axh + B_op.mv(z1) - c_arr)
+            else:
+                z1 = lasso_prox_g(x1, z, u, rho, data)
+                u1 = u + (A_op.mv(x1) + B_op.mv(z1) - c_arr)
+            return x1, z1, u1
+
+        x1, z1, u1 = one_iter(w0)
+        np.testing.assert_allclose(x1, res.xopt, rtol=1e-12)
+        np.testing.assert_allclose(z1, res.zopt, rtol=1e-12)
+        np.testing.assert_allclose(u1, res.uopt, rtol=1e-12)
