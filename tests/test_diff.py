@@ -238,3 +238,28 @@ def test_bwd_iteration_map_matches_engine_step(rng):
         np.testing.assert_allclose(x1, res.xopt, rtol=1e-12)
         np.testing.assert_allclose(z1, res.zopt, rtol=1e-12)
         np.testing.assert_allclose(u1, res.uopt, rtol=1e-12)
+
+
+def test_matrix_iterates_covsel_hypergradient(rng):
+    # Matrix-valued fixed point (graphical lasso, covarianceselection.py
+    # proxes with the eigh x-update): the hypergradient w.r.t. lam flows
+    # through jnp.linalg.eigh and must match finite differences.
+    from admm_tpu.models.covarianceselection import _prox_f, _prox_g
+
+    n = 6
+    Q = rng.standard_normal((n, 2 * n))
+    S = jnp.asarray(Q @ Q.T / (2 * n) + 0.1 * np.eye(n))
+    cfg = ADMMConfig(rho=1.0, maxiters=3000, abstol=1e-12, reltol=1e-12,
+                     quiet=True)
+    solve = make_implicit_solver(_prox_f, _prox_g, cfg,
+                                 shape_x=(n, n), shape_z=(n, n), m=None,
+                                 A=1.0, B=-1.0)
+
+    def loss_at(lam):
+        X, Z, U = solve({"S": S, "lam": lam})
+        return jnp.sum(X**2)
+
+    lam0 = jnp.asarray(0.15)
+    g = jax.grad(loss_at)(lam0)
+    g_fd = _fd(loss_at, float(lam0), h=1e-5)
+    np.testing.assert_allclose(g, g_fd, rtol=5e-4, atol=1e-8)
