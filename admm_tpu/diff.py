@@ -33,6 +33,17 @@ end-to-end learning through an optimization layer (OptNet-style), and
 sensitivity analysis d x* / d b.  Everything composes with ``jax.jit``,
 ``jax.grad``, and ``jax.vmap``.
 
+``mode='jvp'`` builds the forward-mode twin: the tangent fixed point
+
+    wdot = (dF/dw) wdot + (dF/ddata) data_dot
+
+is solved the same way, giving ``jax.jvp`` / ``jax.jacfwd`` through the
+solution map — the cheap direction for few-parameter sensitivities (one
+linear solve per input direction instead of per output).  JAX does not
+allow one function to carry both custom rules, so pick the mode that
+matches the outer transform (``grad``/``jacrev`` -> ``'vjp'``,
+``jacfwd``/``jvp`` -> ``'jvp'``).
+
 Restrictions (checked at factory time): standard iteration only
 (``fast=False``, ``accelerated=False``) and static rho (no ``adaptive`` /
 ``rbadaptive``) — the IFT is stated for a stationary iteration map.
@@ -73,6 +84,43 @@ def _tree_norm2(a):
     return functools.reduce(jnp.add, leaves)
 
 
+def _fixed_point_linear_solve(apply_J, rhs, method, tol, maxiters):
+    """Solve ``v = rhs + J v`` for a contraction ``J`` (pytree linear map).
+
+    ``method='neumann'`` iterates the geometric series ``v_{k+1} = rhs +
+    J v_k`` in a ``lax.while_loop``; ``'gmres'`` hands ``(I - J) v = rhs``
+    to jax.scipy GMRES.  Shared by the VJP (J = dF/dw transposed) and the
+    JVP (J = dF/dw) fixed-point solves — the adjoint and tangent equations
+    are the same linear system up to transposition.
+    """
+    if method == "neumann":
+        scale = _tree_norm2(rhs)
+        tol2 = jnp.asarray(tol, scale.dtype) ** 2 * (scale + 1e-30)
+
+        def cond(s):
+            k, _, delta2 = s
+            return jnp.logical_and(k < maxiters, delta2 > tol2)
+
+        def body(s):
+            k, v, _ = s
+            new = _tree_add(rhs, apply_J(v))
+            return k + 1, new, _tree_sub_norm2(new, v)
+
+        _, v, _ = lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), rhs,
+                         jnp.asarray(jnp.inf, scale.dtype))
+        )
+        return v
+    # gmres on (I - J) v = rhs
+    def mv(v):
+        return jax.tree_util.tree_map(jnp.subtract, v, apply_J(v))
+
+    v, _ = jax.scipy.sparse.linalg.gmres(
+        mv, rhs, x0=rhs, tol=tol, maxiter=maxiters
+    )
+    return v
+
+
 def make_implicit_solver(
     prox_f: Callable,
     prox_g: Callable,
@@ -86,6 +134,7 @@ def make_implicit_solver(
     shape_x=None,
     shape_z=None,
     dtype=None,
+    mode: str = "vjp",
     vjp_method: str = "neumann",
     vjp_maxiters: int = 500,
     vjp_tol: float = 1e-9,
@@ -104,6 +153,13 @@ def make_implicit_solver(
     iteration-VJPs) or ``'gmres'`` (jax.scipy GMRES on ``(I - J^T)``;
     fewer iterations on stiff problems).
 
+    ``mode``: ``'vjp'`` (default) registers a reverse-mode rule — use under
+    ``jax.grad`` / ``jax.jacrev``.  ``'jvp'`` registers the forward-mode
+    rule instead (tangent fixed point ``wdot = J wdot + dF/dtheta
+    theta_dot``) — use under ``jax.jvp`` / ``jax.jacfwd``; JAX forbids one
+    function from carrying both custom rules.  ``vjp_method``/``vjp_tol``/
+    ``vjp_maxiters`` govern the linear solve in either mode.
+
     Returns a function ``solve(data, c=0.0, x0=None, z0=None, u0=None)``
     that is differentiable with respect to ``data`` and ``c`` under
     ``jax.grad`` / ``jax.vjp`` / ``jax.vmap``.  Initial iterates receive no
@@ -120,6 +176,8 @@ def make_implicit_solver(
                          "(adaptive=False, rbadaptive=False)")
     if vjp_method not in ("neumann", "gmres"):
         raise ValueError(f"unknown vjp_method {vjp_method!r}")
+    if mode not in ("vjp", "jvp"):
+        raise ValueError(f"unknown mode {mode!r} (want 'vjp' or 'jvp')")
 
     A_op = as_linop(A)
     B_op = as_linop(B)
@@ -179,55 +237,59 @@ def make_implicit_solver(
             c_arr = jnp.broadcast_to(c_arr, shape_c)
         return c_arr
 
-    @jax.custom_vjp
-    def _solve(data, c_arr, x0, z0, u0):
+    def _solve_raw(data, c_arr, x0, z0, u0):
         raw = runner(x0, z0, u0, c_arr, data)
         return raw["xopt"], raw["zopt"], raw["uopt"]
 
-    def _solve_fwd(data, c_arr, x0, z0, u0):
-        out = _solve(data, c_arr, x0, z0, u0)
-        return out, (out, data, c_arr)
+    if mode == "vjp":
+        _solve = jax.custom_vjp(_solve_raw)
 
-    def _solve_bwd(resids, cots):
-        wstar, data, c_arr = resids
-        theta = (data, c_arr)
-        _, vjp_w = jax.vjp(lambda w: one_iter(w, *theta), wstar)
+        def _solve_fwd(data, c_arr, x0, z0, u0):
+            out = _solve(data, c_arr, x0, z0, u0)
+            return out, (out, data, c_arr)
 
-        if vjp_method == "neumann":
-            # wbar_{k+1} = cot + J^T wbar_k ; geometric series of J^T.
-            scale = _tree_norm2(cots)
-            tol2 = jnp.asarray(vjp_tol, scale.dtype) ** 2 * (scale + 1e-30)
+        def _solve_bwd(resids, cots):
+            wstar, data, c_arr = resids
+            theta = (data, c_arr)
+            _, vjp_w = jax.vjp(lambda w: one_iter(w, *theta), wstar)
 
-            def cond(s):
-                k, _, delta2 = s
-                return jnp.logical_and(k < vjp_maxiters, delta2 > tol2)
-
-            def body(s):
-                k, wbar, _ = s
-                (jtw,) = vjp_w(wbar)
-                new = _tree_add(cots, jtw)
-                return k + 1, new, _tree_sub_norm2(new, wbar)
-
-            _, wbar, _ = lax.while_loop(
-                cond, body, (jnp.asarray(0, jnp.int32), cots,
-                             jnp.asarray(jnp.inf, scale.dtype))
-            )
-        else:  # gmres on (I - J^T) wbar = cot
-            def mv(w):
-                (jtw,) = vjp_w(w)
-                return jax.tree_util.tree_map(jnp.subtract, w, jtw)
-
-            wbar, _ = jax.scipy.sparse.linalg.gmres(
-                mv, cots, x0=cots, tol=vjp_tol, maxiter=vjp_maxiters
+            # Adjoint fixed point: wbar = cot + J^T wbar.
+            wbar = _fixed_point_linear_solve(
+                lambda w: vjp_w(w)[0], cots, vjp_method, vjp_tol,
+                vjp_maxiters,
             )
 
-        _, vjp_theta = jax.vjp(lambda th: one_iter(wstar, *th), theta)
-        (theta_bar,) = vjp_theta(wbar)
-        data_bar, c_bar = theta_bar
-        zero = lambda v: jnp.zeros_like(v)
-        return data_bar, c_bar, zero(wstar[0]), zero(wstar[1]), zero(wstar[2])
+            _, vjp_theta = jax.vjp(lambda th: one_iter(wstar, *th), theta)
+            (theta_bar,) = vjp_theta(wbar)
+            data_bar, c_bar = theta_bar
+            zero = lambda v: jnp.zeros_like(v)
+            return (data_bar, c_bar,
+                    zero(wstar[0]), zero(wstar[1]), zero(wstar[2]))
 
-    _solve.defvjp(_solve_fwd, _solve_bwd)
+        _solve.defvjp(_solve_fwd, _solve_bwd)
+    else:  # mode == 'jvp'
+        _solve = jax.custom_jvp(_solve_raw)
+
+        @_solve.defjvp
+        def _solve_jvp(primals, tangents):
+            data, c_arr, x0, z0, u0 = primals
+            ddata, dc = tangents[0], tangents[1]
+            # x0/z0/u0 tangents are discarded: the fixed point does not
+            # depend on the initial iterates (mirrors the VJP's zeros).
+            out = _solve(data, c_arr, x0, z0, u0)
+            wstar = out
+            theta = (data, c_arr)
+            dtheta = (ddata, dc)
+            # rhs = dF/dtheta theta_dot at the fixed point.
+            _, rhs = jax.jvp(lambda th: one_iter(wstar, *th), (theta,),
+                             (dtheta,))
+            # Tangent fixed point: wdot = J wdot + rhs.
+            wdot = _fixed_point_linear_solve(
+                lambda v: jax.jvp(lambda w: one_iter(w, *theta),
+                                  (wstar,), (v,))[1],
+                rhs, vjp_method, vjp_tol, vjp_maxiters,
+            )
+            return out, wdot
 
     def solve(data, c=0.0, x0=None, z0=None, u0=None):
         dt = dtype

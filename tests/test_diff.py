@@ -189,7 +189,84 @@ class TestComposition:
         np.testing.assert_allclose(u, res.uopt, rtol=0, atol=0)
 
 
+class TestForwardMode:
+    """mode='jvp': the tangent fixed point (jacfwd/jvp direction)."""
+
+    def test_jvp_lambda_matches_fd(self, rng):
+        data = _lasso_data(rng)
+        solve = make_implicit_solver(lasso_prox_f, lasso_prox_g, _CFG,
+                                     nA=8, nB=8, m=8, mode="jvp")
+
+        def loss_at(lam):
+            x, _, _ = solve(dict(data, lam=lam))
+            return jnp.sum(x**2)
+
+        lam0 = data["lam"]
+        _, dot = jax.jvp(loss_at, (lam0,), (jnp.ones_like(lam0),))
+        np.testing.assert_allclose(dot, _fd(loss_at, float(lam0)),
+                                   rtol=2e-4, atol=1e-8)
+
+    def test_jacfwd_matches_jacrev(self, rng):
+        # Full Jacobian dx*/db computed both ways must agree: forward mode
+        # via the tangent fixed point, reverse mode via the adjoint one.
+        data = _lasso_data(rng)
+        kw = dict(nA=8, nB=8, m=8)
+        s_f = make_implicit_solver(lasso_prox_f, lasso_prox_g, _CFG,
+                                   mode="jvp", **kw)
+        s_r = make_implicit_solver(lasso_prox_f, lasso_prox_g, _CFG,
+                                   mode="vjp", **kw)
+        Jf = jax.jacfwd(lambda b: s_f(dict(data, b=b))[0])(data["b"])
+        Jr = jax.jacrev(lambda b: s_r(dict(data, b=b))[0])(data["b"])
+        np.testing.assert_allclose(Jf, Jr, rtol=1e-5, atol=1e-9)
+
+    def test_quadratic_jacfwd_matches_closed_form(self, rng):
+        # x* = (AtA + gam I)^-1 At b  ->  dx*/db = H^-1 At exactly.
+        m, n = 10, 6
+        A = jnp.asarray(rng.standard_normal((m, n)))
+        b = jnp.asarray(rng.standard_normal(m))
+        gam = 0.7
+        data = {"A": A, "b": b, "gam": jnp.asarray(gam)}
+        solve = make_implicit_solver(quad_prox_f, quad_prox_g, _CFG,
+                                     nA=n, nB=n, m=n, mode="jvp")
+        J = jax.jacfwd(lambda b_: solve(dict(data, b=b_))[0])(b)
+        H = A.T @ A + gam * jnp.eye(n)
+        expect = jnp.linalg.solve(H, A.T)
+        np.testing.assert_allclose(J, expect, rtol=1e-6, atol=1e-9)
+
+    def test_jvp_gmres_agrees_with_neumann(self, rng):
+        data = _lasso_data(rng)
+        kw = dict(nA=8, nB=8, m=8, mode="jvp")
+        s_ne = make_implicit_solver(lasso_prox_f, lasso_prox_g, _CFG,
+                                    vjp_method="neumann", **kw)
+        s_gm = make_implicit_solver(lasso_prox_f, lasso_prox_g, _CFG,
+                                    vjp_method="gmres", **kw)
+        tangent = jax.tree_util.tree_map(jnp.ones_like, data)
+        _, d1 = jax.jvp(lambda d: s_ne(d)[0], (data,), (tangent,))
+        _, d2 = jax.jvp(lambda d: s_gm(d)[0], (data,), (tangent,))
+        # atol floor: thresholded-to-zero coordinates carry ~1e-9 linear-
+        # solver residue with huge relative error but no signal.
+        np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-8)
+
+    def test_jit_composition(self, rng):
+        data = _lasso_data(rng)
+        solve = make_implicit_solver(lasso_prox_f, lasso_prox_g, _CFG,
+                                     nA=8, nB=8, m=8, mode="jvp")
+
+        def dot_at(lam):
+            f = lambda l: solve(dict(data, lam=l))[0]
+            return jax.jvp(f, (lam,), (jnp.ones_like(lam),))[1]
+
+        lam0 = data["lam"]
+        np.testing.assert_allclose(jax.jit(dot_at)(lam0), dot_at(lam0),
+                                   rtol=1e-10)
+
+
 class TestFactoryValidation:
+    def test_rejects_unknown_mode(self):
+        with pytest.raises(ValueError, match="mode"):
+            make_implicit_solver(lasso_prox_f, lasso_prox_g, ADMMConfig(),
+                                 nA=8, nB=8, m=8, mode="both")
+
     def test_rejects_momentum_and_dynamic_rho(self):
         with pytest.raises(ValueError, match="standard iteration"):
             make_implicit_solver(lasso_prox_f, lasso_prox_g,
