@@ -283,11 +283,12 @@ def make_implicit_solver(
             # rhs = dF/dtheta theta_dot at the fixed point.
             _, rhs = jax.jvp(lambda th: one_iter(wstar, *th), (theta,),
                              (dtheta,))
-            # Tangent fixed point: wdot = J wdot + rhs.
+            # Tangent fixed point: wdot = J wdot + rhs.  linearize pays
+            # the primal (prox solves included) once, outside the loop —
+            # mirroring how the VJP path hoists jax.vjp.
+            _, f_jvp = jax.linearize(lambda w: one_iter(w, *theta), wstar)
             wdot = _fixed_point_linear_solve(
-                lambda v: jax.jvp(lambda w: one_iter(w, *theta),
-                                  (wstar,), (v,))[1],
-                rhs, vjp_method, vjp_tol, vjp_maxiters,
+                f_jvp, rhs, vjp_method, vjp_tol, vjp_maxiters,
             )
             return out, wdot
 

@@ -12,7 +12,7 @@ the hypergradient through the ADMM fixed point, in a handful of steps —
 versus the dozens of full solves a grid search needs for the same
 resolution.
 
-Usage:  python examples/hypergradient.py
+Usage:  python -m examples.hypergradient   (from the repo root)
 """
 
 from __future__ import annotations
@@ -23,11 +23,12 @@ import numpy as np
 
 
 def tv_prox_f(xhat, z, u, rho, data):
-    # argmin 0.5||x - b||^2 + rho/2 ||Dx - (z - u)||^2
-    D, b = data["D"], data["b"]
-    n = b.shape[0]
-    G = jnp.eye(n, dtype=b.dtype) + rho * (D.T @ D)
-    return jnp.linalg.solve(G, b + rho * (D.T @ (z - u)))
+    # argmin 0.5||x - b||^2 + rho/2 ||Dx - (z - u)||^2.  rho is static, so
+    # Ginv = (I + rho D^T D)^-1 is precomputed ONCE and carried in data —
+    # no refactorization inside the loop (the library-wide invariant);
+    # gradients still flow through the GEMV to every data leaf.
+    D, b, Ginv = data["D"], data["b"], data["Ginv"]
+    return Ginv @ (b + rho * (D.T @ (z - u)))
 
 
 def tv_prox_g(xhat, z, u, rho, data):
@@ -38,8 +39,6 @@ def tv_prox_g(xhat, z, u, rho, data):
 
 def hypergradient_tuning(n=200, noise=0.25, steps=25, lr=0.3, seed=0,
                          quiet=False):
-    import optax
-
     from admm_tpu import ADMMConfig, DiffOp, make_implicit_solver
 
     rng = np.random.default_rng(seed)
@@ -55,6 +54,7 @@ def hypergradient_tuning(n=200, noise=0.25, steps=25, lr=0.3, seed=0,
 
     cfg = ADMMConfig(rho=1.0, maxiters=2000, abstol=1e-10, reltol=1e-10,
                      quiet=True)
+    Ginv = jnp.linalg.inv(jnp.eye(n, dtype=b.dtype) + cfg.rho * (D.T @ D))
     # Constraint Dx - z = 0: A is the difference operator, c = 0.
     solve = make_implicit_solver(tv_prox_f, tv_prox_g, cfg,
                                  A=A_op, nA=n, nB=n)
@@ -62,13 +62,15 @@ def hypergradient_tuning(n=200, noise=0.25, steps=25, lr=0.3, seed=0,
     @jax.jit
     def mse_and_grad(loglam):
         def mse(ll):
-            x, _, _ = solve({"D": D, "b": b, "loglam": ll})
+            x, _, _ = solve({"D": D, "b": b, "Ginv": Ginv, "loglam": ll})
             return jnp.mean((x - truth) ** 2)
         return jax.value_and_grad(mse)(loglam)
 
     loglam = jnp.asarray(float(np.log(0.01)))  # deliberately poor start
-    opt = optax.adam(lr)
-    state = opt.init(loglam)
+    # Adam on the hypergradient (inlined: the one scalar parameter does
+    # not justify an optimizer-library dependency).
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    mt = vt = jnp.zeros_like(loglam)
     history = []
     for k in range(steps):
         val, g = mse_and_grad(loglam)
@@ -76,8 +78,11 @@ def hypergradient_tuning(n=200, noise=0.25, steps=25, lr=0.3, seed=0,
         if not quiet:
             print(f"step {k:2d}: lam = {float(jnp.exp(loglam)):.4f}  "
                   f"MSE = {float(val):.5f}  dMSE/dloglam = {float(g):+.5f}")
-        upd, state = opt.update(g, state)
-        loglam = loglam + upd
+        mt = b1 * mt + (1 - b1) * g
+        vt = b2 * vt + (1 - b2) * g * g
+        mhat = mt / (1 - b1 ** (k + 1))
+        vhat = vt / (1 - b2 ** (k + 1))
+        loglam = loglam - lr * mhat / (jnp.sqrt(vhat) + eps)
 
     final_lam, final_mse = history[-1]
     noisy_mse = float(jnp.mean((b - truth) ** 2))
