@@ -21,13 +21,16 @@ from .results import ADMMResults
 from .models import (
     basispursuit,
     covarianceselection,
+    elasticnet,
     get_prox_ops,
+    grouplasso,
     huberfit,
     lad,
     lasso,
     linearprogram,
     linearsvm,
     model,
+    nnls,
     quadraticprogram,
     totalvariation,
     totalvariation2d,
@@ -70,6 +73,9 @@ __all__ = [
     "get_prox_ops",
     "model",
     "lasso",
+    "elasticnet",
+    "grouplasso",
+    "nnls",
     "basispursuit",
     "totalvariation",
     "totalvariation2d",

@@ -30,9 +30,12 @@ def get_prox_ops(problem: str, **args):
 
 from .basispursuit import basispursuit  # noqa: E402
 from .covarianceselection import covarianceselection  # noqa: E402
+from .elasticnet import elasticnet  # noqa: E402
+from .grouplasso import grouplasso  # noqa: E402
 from .huberfit import huberfit  # noqa: E402
 from .lad import lad  # noqa: E402
 from .lasso import lasso  # noqa: E402
+from .nnls import nnls  # noqa: E402
 from .linearprogram import linearprogram  # noqa: E402
 from .linearsvm import linearsvm  # noqa: E402
 from .model import model  # noqa: E402
@@ -46,6 +49,9 @@ __all__ = [
     "register",
     "model",
     "lasso",
+    "elasticnet",
+    "grouplasso",
+    "nnls",
     "basispursuit",
     "totalvariation",
     "totalvariation2d",

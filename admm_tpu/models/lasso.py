@@ -69,17 +69,22 @@ def _fused_zu(x, u, rho, d):
     return fused_soft_threshold_dual(x, u, d["lam"] / rho)
 
 
-def make_prox_ops(D, s, lam, config: ADMMConfig = ADMMConfig(), stream_dtype=None):
-    """Build (prox_f, prox_g, obj, data) for LASSO (getProxOps.m:313-456).
+def make_ls_xprox(D, s, config: ADMMConfig, stream_dtype=None):
+    """Shared least-squares x-prox: ``argmin 0.5||Dx-s||^2 +
+    rho/2||x-(z-u)||^2`` with the rho-shift folded analytically.
 
-    ``stream_dtype`` (e.g. jnp.bfloat16) stores the fat-branch matvec
-    stream matrices at reduced precision with f32 accumulation — a
-    bandwidth optimization for the HBM-bound regime (see FatShiftSolver).
+    Returns ``(prox_f, data)`` where ``data`` carries D, s, D^T s and the
+    shape-appropriate solver: skinny/square works in the n-by-n Gram,
+    fat (m < n) goes through Woodbury (matrix-inversion lemma, the
+    reference's swapped-roles branch getProxOps.m:1198-1205); static rho
+    materializes one GEMV stream, dynamic rho keeps the eigenbasis.
+    Used by lasso, elastic net, and NNLS — they differ only in the
+    z-prox.
     """
     D = jnp.asarray(D)
     s = jnp.asarray(s)
     m, n = D.shape
-    data = {"D": D, "s": s, "lam": jnp.asarray(lam, D.dtype), "Dts": D.T @ s}
+    data = {"D": D, "s": s, "Dts": D.T @ s}
 
     if m >= n:
         # Skinny/square: work with the n-by-n Gram (solvers/lasso.m:164-168).
@@ -102,6 +107,18 @@ def make_prox_ops(D, s, lam, config: ADMMConfig = ADMMConfig(), stream_dtype=Non
         data["fat"] = FatShiftSolver.from_matrix(D, config.rho, stream_dtype)
         prox_f = _prox_f_fat_static
 
+    return prox_f, data
+
+
+def make_prox_ops(D, s, lam, config: ADMMConfig = ADMMConfig(), stream_dtype=None):
+    """Build (prox_f, prox_g, obj, data) for LASSO (getProxOps.m:313-456).
+
+    ``stream_dtype`` (e.g. jnp.bfloat16) stores the fat-branch matvec
+    stream matrices at reduced precision with f32 accumulation — a
+    bandwidth optimization for the HBM-bound regime (see FatShiftSolver).
+    """
+    prox_f, data = make_ls_xprox(D, s, config, stream_dtype)
+    data["lam"] = jnp.asarray(lam, data["D"].dtype)
     return prox_f, _prox_g, _obj, data
 
 

@@ -20,6 +20,27 @@ def soft_threshold(v, t):
     return jnp.sign(v) * jnp.maximum(jnp.abs(v) - t, 0.0)
 
 
+def block_soft_threshold(v, t, gid, num_groups):
+    """Group-wise shrinkage: each group g of ``v`` (membership ``gid``, a
+    static int array) scales by max(0, 1 - t_g / ||v_g||_2).
+
+    The prox of ``sum_g t_g ||v_g||_2`` (group lasso).  ``t`` is scalar or
+    per-group.  Segment reductions keep the shapes static, so the whole op
+    stays one fused VPU pass under jit.  Beyond the reference (its
+    shrinkage family stops at elementwise soft-thresholding,
+    getProxOps.m:933-938).
+    """
+    import jax
+
+    norm2 = jax.ops.segment_sum(v * v, gid, num_segments=num_groups)
+    norm = jnp.sqrt(norm2)
+    t = jnp.broadcast_to(jnp.asarray(t, v.dtype), (num_groups,))
+    # where-guard: a zero-norm group must scale by 0, not NaN.
+    scale = jnp.maximum(0.0, 1.0 - t / jnp.where(norm > 0, norm, 1.0))
+    scale = jnp.where(norm > 0, scale, 0.0)
+    return scale[gid] * v
+
+
 def hinge_prox(Dx_plus_u, ell, C, rho):
     """Hinge-loss z-prox for the linear SVM.
 

@@ -1,0 +1,172 @@
+"""Beyond-reference model families: elastic net, group lasso, NNLS.
+
+Oracle strategy mirrors the reference testers (SURVEY.md §4): seeded
+random instances with a constructible truth.  Where no closed form
+exists the optimizer's KKT/subgradient conditions are asserted directly
+— a stronger check than objective comparison.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from admm_tpu import ADMMConfig, elasticnet, grouplasso, lasso, nnls
+from admm_tpu.models import get_prox_ops
+from admm_tpu.models.grouplasso import resolve_groups
+
+_CFG = ADMMConfig(maxiters=20000, abstol=1e-12, reltol=1e-12)
+
+
+def _instance(rng, m=60, n=30, sparsity=0.4):
+    D = rng.standard_normal((m, n))
+    xtrue = rng.standard_normal(n) * (rng.random(n) < sparsity)
+    s = D @ xtrue + 0.05 * rng.standard_normal(m)
+    return D, s
+
+
+class TestElasticNet:
+    def test_alpha_zero_is_ridge_closed_form(self, rng):
+        D, s = _instance(rng)
+        lam = 0.8
+        res = elasticnet(D, s, lam, alpha=0.0, config=_CFG)
+        xstar = np.linalg.solve(D.T @ D + lam * np.eye(D.shape[1]), D.T @ s)
+        np.testing.assert_allclose(np.asarray(res.zopt), xstar, atol=1e-8)
+
+    def test_alpha_one_matches_lasso(self, rng):
+        D, s = _instance(rng)
+        lam = 0.5
+        r_en = elasticnet(D, s, lam, alpha=1.0, config=_CFG)
+        r_la = lasso(D, s, lam, _CFG)
+        np.testing.assert_allclose(np.asarray(r_en.zopt),
+                                   np.asarray(r_la.zopt), atol=1e-10)
+
+    def test_kkt_conditions_general_alpha(self, rng):
+        D, s = _instance(rng)
+        lam, alpha = 0.7, 0.6
+        z = np.asarray(elasticnet(D, s, lam, alpha, config=_CFG).zopt)
+        g = D.T @ (D @ z - s) + lam * (1 - alpha) * z
+        active = np.abs(z) > 1e-9
+        # Stationarity on the support, subgradient bound off it.
+        np.testing.assert_allclose(g[active], -lam * alpha * np.sign(z[active]),
+                                   atol=1e-6)
+        assert np.all(np.abs(g[~active]) <= lam * alpha + 1e-6)
+
+    def test_fat_matrix_path(self, rng):
+        # m < n exercises the shared Woodbury/stream x-prox.
+        D, s = _instance(rng, m=24, n=64)
+        lam, alpha = 0.4, 0.5
+        z = np.asarray(elasticnet(D, s, lam, alpha, config=_CFG).zopt)
+        g = D.T @ (D @ z - s) + lam * (1 - alpha) * z
+        active = np.abs(z) > 1e-9
+        np.testing.assert_allclose(g[active], -lam * alpha * np.sign(z[active]),
+                                   atol=1e-6)
+        assert np.all(np.abs(g[~active]) <= lam * alpha + 1e-6)
+
+    def test_validates_alpha(self, rng):
+        D, s = _instance(rng)
+        with pytest.raises(ValueError, match="alpha"):
+            elasticnet(D, s, 0.5, alpha=1.5)
+
+
+class TestGroupLasso:
+    def test_kkt_conditions_uneven_groups(self, rng):
+        # Group-sparse planted truth: groups 1 and 4 identically zero;
+        # the solver must recover that support and satisfy the KKT
+        # conditions group-by-group.
+        m, n = 80, 30
+        lengths = [7, 3, 10, 5, 5]
+        D = rng.standard_normal((m, n))
+        xtrue = rng.standard_normal(n)
+        xtrue[7:10] = 0.0
+        xtrue[25:30] = 0.0
+        s = D @ xtrue + 0.05 * rng.standard_normal(m)
+        lam = 2.0
+        res = grouplasso(D, s, lam, lengths, config=_CFG)
+        z = np.asarray(res.zopt)
+        g = D.T @ (D @ z - s)
+        norms = []
+        start = 0
+        for L in lengths:
+            sl = slice(start, start + L)
+            nz = np.linalg.norm(z[sl])
+            norms.append(nz)
+            if nz > 1e-8:
+                np.testing.assert_allclose(g[sl], -lam * z[sl] / nz, atol=1e-6)
+            else:
+                assert np.linalg.norm(g[sl]) <= lam + 1e-6
+            start += L
+        # The planted-zero groups must come back exactly zero, the
+        # active ones nonzero.
+        assert norms[1] == 0.0 and norms[4] == 0.0
+        assert norms[0] > 1 and norms[2] > 1
+
+    def test_singleton_groups_match_lasso(self, rng):
+        D, s = _instance(rng)
+        n = D.shape[1]
+        lam = 0.5
+        r_gl = grouplasso(D, s, lam, np.arange(n), config=_CFG)
+        r_la = lasso(D, s, lam, _CFG)
+        np.testing.assert_allclose(np.asarray(r_gl.zopt),
+                                   np.asarray(r_la.zopt), atol=1e-8)
+
+    def test_lengths_and_ids_specs_agree(self, rng):
+        D, s = _instance(rng, n=30)
+        lam = 1.0
+        lengths = [12, 8, 10]
+        ids = np.repeat([0, 1, 2], lengths)
+        r1 = grouplasso(D, s, lam, lengths, config=_CFG)
+        r2 = grouplasso(D, s, lam, ids, config=_CFG)
+        np.testing.assert_allclose(np.asarray(r1.zopt), np.asarray(r2.zopt),
+                                   rtol=0, atol=0)
+
+    def test_weights_scale_the_penalty(self, rng):
+        # doubled weights at halved lam = identical problem.
+        D, s = _instance(rng, n=30)
+        r1 = grouplasso(D, s, 1.0, 5, weights=np.full(5, 2.0), config=_CFG)
+        r2 = grouplasso(D, s, 2.0, 5, config=_CFG)
+        np.testing.assert_allclose(np.asarray(r1.zopt), np.asarray(r2.zopt),
+                                   atol=1e-10)
+
+    def test_resolve_groups_validation(self):
+        with pytest.raises(ValueError, match="tile"):
+            resolve_groups(7, 30)
+        with pytest.raises(ValueError, match="sum to"):
+            resolve_groups([10, 10], 30)
+        with pytest.raises(ValueError, match="contiguously"):
+            resolve_groups(np.r_[np.zeros(15, int), np.full(15, 2)], 30)
+        gid, num = resolve_groups([10, 20], 30)
+        assert num == 2 and int(gid[9]) == 0 and int(gid[10]) == 1
+
+
+class TestNNLS:
+    def test_matches_scipy(self, rng):
+        from scipy.optimize import nnls as scipy_nnls
+
+        D, s = _instance(rng, m=60, n=25)
+        z = np.asarray(nnls(D, s, config=_CFG).zopt)
+        xs, _ = scipy_nnls(D, s)
+        np.testing.assert_allclose(z, xs, atol=1e-6)
+        assert np.all(z >= 0)
+
+    def test_kkt_fat_matrix(self, rng):
+        # Underdetermined (m < n): scipy's active-set nnls struggles, the
+        # KKT conditions still characterize a solution. g_i >= 0 where
+        # z_i = 0, g_i ~ 0 where z_i > 0.
+        D, s = _instance(rng, m=20, n=50)
+        z = np.asarray(nnls(D, s, config=_CFG).zopt)
+        g = D.T @ (D @ z - s)
+        assert np.all(z >= 0)
+        assert np.all(np.abs(g[z > 1e-8]) <= 1e-6)
+        assert np.all(g[z <= 1e-8] >= -1e-6)
+
+
+def test_registry_entries(rng):
+    D, s = _instance(rng, n=20)
+    for key, kwargs in [("elasticnet", dict(lam=0.5, alpha=0.5)),
+                        ("grouplasso", dict(lam=0.5, groups=4)),
+                        ("nnls", {})]:
+        pf, pg, obj = get_prox_ops(key, D=D, s=s, **kwargs)
+        x = pf(jnp.zeros(20), jnp.zeros(20), jnp.zeros(20), 1.0)
+        z = pg(x, jnp.zeros(20), jnp.zeros(20), 1.0)
+        assert np.all(np.isfinite(np.asarray(z)))
+        assert np.isfinite(float(obj(x, z)))
