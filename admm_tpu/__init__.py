@@ -42,11 +42,14 @@ from .models.paths import covsel_path, lasso_path, linearsvm_c_path, tv_path
 from .models.batch import (
     basispursuit_batch,
     covsel_batch,
+    elasticnet_batch,
+    grouplasso_batch,
     huberfit_batch,
     lad_batch,
     lasso_batch,
     lp_batch,
     model_batch,
+    nnls_batch,
     qp_batch,
     qp_structure,
     svm_batch,
@@ -91,6 +94,9 @@ __all__ = [
     "tv_path",
     "linearsvm_c_path",
     "lasso_batch",
+    "elasticnet_batch",
+    "grouplasso_batch",
+    "nnls_batch",
     "tv_batch",
     "lad_batch",
     "huberfit_batch",

@@ -44,6 +44,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import ADMMConfig
 from ..linop import as_linop
@@ -160,6 +161,98 @@ def lasso_batch(D, S, lams, config: ADMMConfig = ADMMConfig(), *,
 
     zeros = jnp.zeros((Bn, n), D.dtype)
     return _run(prox_f, prox_g, obj, config, {"s", "Dts", "lam"}, data,
+                zeros, zeros, zeros, zeros, as_linop(1.0), as_linop(-1.0),
+                mesh=mesh, warm=(x0, z0, u0))
+
+
+@_highest_precision_setup
+def elasticnet_batch(D, S, lams, alphas=0.5, config: ADMMConfig = ADMMConfig(), *,
+                     stream_dtype=None, x0=None, z0=None, u0=None,
+                     mesh=None, **overrides) -> BatchResults:
+    """Elastic net for every signal row of ``S`` (shape (B, m)) against
+    the shared dictionary ``D``; ``lams``/``alphas`` are scalars or (B,)
+    per-instance vectors.  Same shared-factorization structure as
+    ``lasso_batch`` (the x-update depends only on (D, rho))."""
+    from .elasticnet import _obj, _prox_g
+    from .lasso import make_ls_xprox
+
+    config = merge_config(config, overrides)
+    D = jnp.asarray(D)
+    m, n = D.shape
+    S = _check_batch(S, m, "S").astype(D.dtype)
+    Bn = S.shape[0]
+    a = np.asarray(alphas, float)
+    if np.any(a < 0) or np.any(a > 1):
+        raise ValueError(f"alpha must be in [0, 1], got {alphas}")
+    prox_f, data = make_ls_xprox(D, S[0], config, stream_dtype)
+    data["s"] = S
+    data["Dts"] = S @ D  # (B, n): per-lane D^T s in one GEMM
+    data["lam"] = jnp.broadcast_to(jnp.asarray(lams, D.dtype), (Bn,))
+    data["alpha"] = jnp.broadcast_to(jnp.asarray(alphas, D.dtype), (Bn,))
+
+    zeros = jnp.zeros((Bn, n), D.dtype)
+    return _run(prox_f, _prox_g, _obj, config,
+                {"s", "Dts", "lam", "alpha"}, data,
+                zeros, zeros, zeros, zeros, as_linop(1.0), as_linop(-1.0),
+                mesh=mesh, warm=(x0, z0, u0))
+
+
+@_highest_precision_setup
+def grouplasso_batch(D, S, lams, groups, weights=None,
+                     config: ADMMConfig = ADMMConfig(), *,
+                     stream_dtype=None, x0=None, z0=None, u0=None,
+                     mesh=None, **overrides) -> BatchResults:
+    """Group lasso for every signal row of ``S`` (shape (B, m)); the
+    group structure (and optional per-group weights) is shared across
+    lanes, ``lams`` is a scalar or (B,) vector."""
+    from .grouplasso import _group_fns, resolve_groups
+    from .lasso import make_ls_xprox
+
+    config = merge_config(config, overrides)
+    D = jnp.asarray(D)
+    m, n = D.shape
+    S = _check_batch(S, m, "S").astype(D.dtype)
+    Bn = S.shape[0]
+    gid, num_groups = resolve_groups(groups, n)
+    w = (jnp.ones(num_groups, D.dtype) if weights is None
+         else jnp.asarray(weights, D.dtype))
+    if w.shape != (num_groups,):
+        raise ValueError(f"weights must have shape ({num_groups},), got {w.shape}")
+    prox_f, data = make_ls_xprox(D, S[0], config, stream_dtype)
+    data["s"] = S
+    data["Dts"] = S @ D
+    data["lam"] = jnp.broadcast_to(jnp.asarray(lams, D.dtype), (Bn,))
+    data["w"] = w
+    data["gid"] = gid
+    prox_g, obj = _group_fns(num_groups)
+
+    zeros = jnp.zeros((Bn, n), D.dtype)
+    return _run(prox_f, prox_g, obj, config, {"s", "Dts", "lam"}, data,
+                zeros, zeros, zeros, zeros, as_linop(1.0), as_linop(-1.0),
+                mesh=mesh, warm=(x0, z0, u0))
+
+
+@_highest_precision_setup
+def nnls_batch(D, S, config: ADMMConfig = ADMMConfig(), *,
+               stream_dtype=None, x0=None, z0=None, u0=None,
+               mesh=None, **overrides) -> BatchResults:
+    """Nonnegative least squares for every row of ``S`` (shape (B, m))
+    against the shared ``D`` — one shared factorization, a projection
+    z-update per lane."""
+    from .nnls import _obj, _prox_g
+    from .lasso import make_ls_xprox
+
+    config = merge_config(config, overrides)
+    D = jnp.asarray(D)
+    m, n = D.shape
+    S = _check_batch(S, m, "S").astype(D.dtype)
+    Bn = S.shape[0]
+    prox_f, data = make_ls_xprox(D, S[0], config, stream_dtype)
+    data["s"] = S
+    data["Dts"] = S @ D
+
+    zeros = jnp.zeros((Bn, n), D.dtype)
+    return _run(prox_f, _prox_g, _obj, config, {"s", "Dts"}, data,
                 zeros, zeros, zeros, zeros, as_linop(1.0), as_linop(-1.0),
                 mesh=mesh, warm=(x0, z0, u0))
 

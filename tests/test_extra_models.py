@@ -160,6 +160,64 @@ class TestNNLS:
         assert np.all(g[z <= 1e-8] >= -1e-6)
 
 
+class TestBatchVariants:
+    """Each lane of the batched solver must match its serial solve
+    exactly (same trajectory, same step count) — the batch-layer
+    contract (models/batch.py)."""
+
+    def test_elasticnet_batch_matches_serial(self, rng):
+        from admm_tpu import elasticnet_batch
+
+        D, _ = _instance(rng, m=40, n=24)
+        S = rng.standard_normal((3, 40))
+        lams = np.array([0.3, 0.6, 0.9])
+        alphas = np.array([0.2, 0.5, 1.0])
+        cfg = ADMMConfig(maxiters=3000)
+        out = elasticnet_batch(D, S, lams, alphas, cfg)
+        for i in range(3):
+            solo = elasticnet(D, S[i], float(lams[i]), float(alphas[i]),
+                              config=cfg)
+            np.testing.assert_allclose(np.asarray(out.xopt[i]),
+                                       np.asarray(solo.xopt), atol=1e-8)
+            assert int(out.steps[i]) == solo.steps
+
+    def test_grouplasso_batch_matches_serial(self, rng):
+        from admm_tpu import grouplasso_batch
+
+        D, _ = _instance(rng, m=40, n=24)
+        S = rng.standard_normal((2, 40))
+        lengths = [10, 6, 8]
+        cfg = ADMMConfig(maxiters=3000)
+        out = grouplasso_batch(D, S, 0.8, lengths, config=cfg)
+        for i in range(2):
+            solo = grouplasso(D, S[i], 0.8, lengths, config=cfg)
+            np.testing.assert_allclose(np.asarray(out.xopt[i]),
+                                       np.asarray(solo.xopt), atol=1e-8)
+            assert int(out.steps[i]) == solo.steps
+
+    def test_nnls_batch_matches_serial(self, rng):
+        from admm_tpu import nnls_batch
+
+        D, _ = _instance(rng, m=40, n=24)
+        S = rng.standard_normal((3, 40))
+        cfg = ADMMConfig(maxiters=5000)
+        out = nnls_batch(D, S, cfg)
+        for i in range(3):
+            solo = nnls(D, S[i], config=cfg)
+            np.testing.assert_allclose(np.asarray(out.zopt[i]),
+                                       np.asarray(solo.zopt), atol=1e-8)
+            assert int(out.steps[i]) == solo.steps
+        assert np.all(np.asarray(out.zopt) >= 0)
+
+    def test_elasticnet_batch_validates_alpha(self, rng):
+        from admm_tpu import elasticnet_batch
+
+        D, _ = _instance(rng, m=40, n=24)
+        S = rng.standard_normal((2, 40))
+        with pytest.raises(ValueError, match="alpha"):
+            elasticnet_batch(D, S, 0.5, np.array([0.5, 1.5]))
+
+
 def test_registry_entries(rng):
     D, s = _instance(rng, n=20)
     for key, kwargs in [("elasticnet", dict(lam=0.5, alpha=0.5)),
