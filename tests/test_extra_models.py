@@ -137,6 +137,17 @@ class TestGroupLasso:
         gid, num = resolve_groups([10, 20], 30)
         assert num == 2 and int(gid[9]) == 0 and int(gid[10]) == 1
 
+    def test_resolve_groups_lengths_vs_ids_ambiguity(self):
+        # np.ones(n) is the natural spelling of n singleton groups via
+        # lengths, but a length-n vector is read as ids — the error must
+        # name the ambiguity, not just say "contiguously" (ADVICE r2).
+        with pytest.raises(ValueError, match="LENGTHS"):
+            resolve_groups(np.ones(12, int), 12)
+        # A length-n vector of ids that sums to n by coincidence but IS a
+        # valid id cover must still resolve as ids.
+        gid, num = resolve_groups(np.r_[np.zeros(6, int), np.ones(6, int)], 12)
+        assert num == 2
+
 
 class TestNNLS:
     def test_matches_scipy(self, rng):
