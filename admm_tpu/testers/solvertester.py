@@ -18,16 +18,18 @@ import numpy as np
 from ..config import ADMMConfig
 from . import problems as _p
 
-# Per-solver default errtol (solvertester.m:114-123).  The SVM bar sits
-# just above the empirical slope scatter of the randomized construction
-# at the 256/class floor (worst observed over 30 seeds: hinge 0.061,
-# 0-1 0.131 with the 2.5x multiplier) so sweep failures indicate solver
-# regressions, not sampling noise.
+# Per-solver default errtol — the REFERENCE bars, verbatim
+# (solvertester.m:114-123).  Note on the SVM bar: the randomized
+# construction's max-margin slope carries sampling scatter that is
+# solver-independent (measured over 130 seeds at the 256/class floor:
+# hinge p99 0.047, worst 0.055), so ~1% of random sweeps fail the 0.05
+# bar on noise alone — a property the reference's harness shares, since
+# it uses the same construction and the same bar.  See PARITY.md.
 _DEFAULT_ERRTOL = {
     "basispursuit": 1e-10,
     "linearprogram": 1e-10,  # reference bar (solvertester.m:114-123); the
     # folded StaticKKTSolver hits ~1e-14 on the f64 oracle path
-    "linearsvm": 0.08,
+    "linearsvm": 0.05,
 }
 
 _TESTERS: dict[str, Callable] = {
@@ -105,11 +107,18 @@ class SolverTestReport:
     runtimes: np.ndarray          # (n_scales, trials) whole-solve seconds
     steps: np.ndarray             # (n_scales, trials)
     failed: np.ndarray            # (n_scales, trials) bool
+    # linearsvm only: the 0-1-loss solve's runtimes (the hinge solve's sit
+    # in ``runtimes``), so the runtime-vs-scale plot can show the
+    # reference's two curves (solvertester.m:243-263).
+    runtimes01: Optional[np.ndarray] = None
     avetimes: np.ndarray = field(init=False)
+    avetimes01: Optional[np.ndarray] = field(init=False, default=None)
     any_failed: bool = field(init=False)
 
     def __post_init__(self):
         self.avetimes = np.nanmean(self.runtimes, axis=1)
+        if self.runtimes01 is not None:
+            self.avetimes01 = np.nanmean(self.runtimes01, axis=1)
         self.any_failed = bool(np.any(self.failed))
 
     def summary(self) -> str:
@@ -170,6 +179,8 @@ def solvertester(
     master = np.random.default_rng(seed)
     scales = list(range(minscale, maxscale + 1))
     runtimes = np.full((len(scales), trials), np.nan)
+    runtimes01 = (np.full((len(scales), trials), np.nan)
+                  if solver == "linearsvm" else None)
     steps = np.full((len(scales), trials), np.nan)
     failed = np.zeros((len(scales), trials), dtype=bool)
 
@@ -182,9 +193,10 @@ def solvertester(
             trial_seed = int(master.integers(0, 2**31 - 1))
             if solver == "linearsvm":
                 # (rows, cols) carries (mpos, mneg) for the SVM presets.
-                res, _, test = tester(
+                res, res01, test = tester(
                     seed=trial_seed, mpos=rows, mneg=cols, errtol=errtol,
                     quiet=True, config=config, **tester_kwargs)
+                runtimes01[i, t] = res01.solverruntime or res01.runtime
             else:
                 res, test = tester(
                     seed=trial_seed, rows=rows, cols=cols, errtol=errtol,
@@ -193,7 +205,8 @@ def solvertester(
             steps[i, t] = res.steps
             failed[i, t] = bool(test["failed"])
 
-    report = SolverTestReport(solver, scales, runtimes, steps, failed)
+    report = SolverTestReport(solver, scales, runtimes, steps, failed,
+                              runtimes01=runtimes01)
     if not quiet:
         print(report.summary())
     if showplots or save_plot:
@@ -209,7 +222,14 @@ def _plot(report: SolverTestReport, show, save):
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(6, 4))
-    ax.semilogy(report.scales, report.avetimes, "o-")
+    if report.avetimes01 is not None:
+        # SVM gets the reference's two curves — hinge and 0-1 loss
+        # (solvertester.m:243-263).
+        ax.semilogy(report.scales, report.avetimes, "o-", label="hinge loss")
+        ax.semilogy(report.scales, report.avetimes01, "s--", label="0-1 loss")
+        ax.legend(fontsize=8)
+    else:
+        ax.semilogy(report.scales, report.avetimes, "o-")
     ax.set_xlabel("problem scale (2^s)")
     ax.set_ylabel("mean solver runtime (s)")
     ax.set_title(f"{report.solver}: runtime vs scale")
@@ -221,3 +241,4 @@ def _plot(report: SolverTestReport, show, save):
         plt.show()
     else:
         plt.close(fig)
+    return fig

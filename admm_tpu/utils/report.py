@@ -93,26 +93,37 @@ def _plot(results: ADMMResults, test, show, save):
         else:
             plt.close(fig0)
 
+    # Panel spec: (title, series, scalar threshold, bound curve).  The
+    # bound curves mirror showresults.m:200-408 — primal/dual norms are
+    # plotted AGAINST their per-iteration Boyd tolerance curves perr/derr
+    # (admm.m:618-658), and the accelerated d-values against the dvaltol
+    # stop line (admm.m:706-707).
     panels = []
     if results.objevals is not None:
-        panels.append(("objective", results.objevals, None))
+        panels.append(("objective", results.objevals, None, None))
     if results.Hnormsq is not None:
-        panels.append(("H-norm^2", results.Hnormsq, results.config.hnormtol))
-    panels.append(("primal norm", results.pnorm, None))
+        panels.append(("H-norm^2", results.Hnormsq,
+                       results.config.hnormtol, None))
+    panels.append(("primal norm", results.pnorm, None, results.perr))
     dn = results.dnorm
     if dn is not None and len(dn) and np.all(np.isfinite(dn)):
-        panels.append(("dual norm", dn, None))
+        panels.append(("dual norm", dn, None, results.derr))
     if results.dvals is not None:
-        panels.append(("accelerated d-values", results.dvals, None))
+        dvaltol = getattr(results.config, "dvaltol", None)
+        panels.append(("accelerated d-values", results.dvals, dvaltol, None))
 
     fig, axes = plt.subplots(len(panels), 1, figsize=(7, 2.2 * len(panels)), squeeze=False)
-    for ax, (title, series, thresh) in zip(axes[:, 0], panels):
+    for ax, (title, series, thresh, bound) in zip(axes[:, 0], panels):
         series = np.asarray(series)
         pos = series[np.isfinite(series) & (series > 0)]
-        if len(pos) == len(series[np.isfinite(series)]) and len(pos):
-            ax.semilogy(series)
-        else:
-            ax.plot(series)
+        logscale = len(pos) == len(series[np.isfinite(series)]) and len(pos)
+        (ax.semilogy if logscale else ax.plot)(series, label=title)
+        if bound is not None:
+            b = np.asarray(bound)
+            if len(b) == len(series) and np.any(np.isfinite(b)):
+                (ax.semilogy if logscale else ax.plot)(
+                    b, linestyle="--", linewidth=0.9, label="tolerance bound")
+                ax.legend(fontsize=7, loc="upper right")
         if thresh is not None:
             ax.axhline(thresh, linestyle="--", linewidth=0.8)
         ax.set_title(title, fontsize=9)
@@ -124,3 +135,4 @@ def _plot(results: ADMMResults, test, show, save):
         plt.show()
     else:
         plt.close(fig)
+    return fig

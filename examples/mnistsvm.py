@@ -6,11 +6,11 @@ normalize /255), subsample train/test sets, train one linear SVM per
 digit with hinge AND 0-1 loss (trainForDigit, mnistsvm.m:121-156), and
 print a per-digit train/test error table (mnistsvm.m:86-113).
 
-The reference mount is missing the MNIST image files
-(.MISSING_LARGE_BLOBS names both idx3 images), so this example reads real
-idx files when a path is given and otherwise generates a synthetic
-MNIST-like dataset (per-digit Gaussian prototypes at 20x20) — same
-pipeline, reproducible without the 10MB binaries.
+The reference mount ships the REAL label files but is missing the MNIST
+image files (.MISSING_LARGE_BLOBS names both idx3 images).  Degradation
+order: real images + real labels when a full idx set exists; REAL labels
+with synthetic images keyed to them when only the idx1 files exist (the
+default — the reference mount's state); fully synthetic otherwise.
 
 Usage:  python examples/mnistsvm.py [--data DIR] [--train N] [--test N]
 """
@@ -62,43 +62,75 @@ def read_idx_labels(path):
     return labels
 
 
-def synthetic_mnist(n_train=6000, n_test=1000, side=20, seed=0):
-    """MNIST-shaped synthetic digits: one smooth random prototype per
-    class + pixel noise.  Stands in for the absent idx image files."""
+# Where to look for idx files when no --data dir is given.  The reference
+# mount ships the two REAL label files (train/t10k idx1) even though the
+# image idx3 files are absent (.MISSING_LARGE_BLOBS) — the default path
+# therefore trains on real label distributions with synthetic images.
+_DEFAULT_DATA_DIRS = (
+    Path(__file__).resolve().parent / "MNIST",
+    Path("/root/reference/examples/MNIST"),
+)
+
+
+def _prototypes(side, seed):
+    """One smooth random prototype per class + shared background: classes
+    overlap (like real digits sharing strokes), so error rates are
+    informative."""
     rng = np.random.default_rng(seed)
-    # Shared background + per-class perturbation: classes overlap (like
-    # real digits sharing strokes), so error rates are informative.
     shared = np.kron(rng.random((side // 4, side // 4)), np.ones((4, 4)))
     protos = []
     for d in range(10):
         delta = np.kron(rng.random((side // 4, side // 4)), np.ones((4, 4)))
         proto = 0.7 * shared + 0.3 * delta
         protos.append(proto / proto.max())
-    protos = np.stack(protos)
+    return np.stack(protos)
 
-    def draw(n):
-        labels = rng.integers(0, 10, size=n)
-        imgs = protos[labels] + 0.9 * rng.standard_normal((n, side, side))
-        return np.clip(imgs, 0, 1), labels
 
-    tr_x, tr_y = draw(n_train)
-    te_x, te_y = draw(n_test)
-    return (tr_x, tr_y), (te_x, te_y)
+def synthetic_images(labels, side=20, seed=0):
+    """MNIST-shaped synthetic digit images KEYED to the given labels.
+    Stands in for the absent idx image files (.MISSING_LARGE_BLOBS)."""
+    rng = np.random.default_rng(seed)
+    protos = _prototypes(side, seed)
+    imgs = protos[labels] + 0.9 * rng.standard_normal((len(labels), side, side))
+    return np.clip(imgs, 0, 1)
+
+
+def synthetic_mnist(n_train=6000, n_test=1000, side=20, seed=0):
+    """Fully synthetic fallback (random labels + keyed images)."""
+    rng = np.random.default_rng(seed)
+    tr_y = rng.integers(0, 10, size=n_train)
+    te_y = rng.integers(0, 10, size=n_test)
+    return ((synthetic_images(tr_y, side, seed), tr_y),
+            (synthetic_images(te_y, side, seed + 1), te_y))
 
 
 def load_mnist(data_dir=None, n_train=6000, n_test=1000, seed=0):
-    """Real idx files when available, synthetic otherwise."""
-    if data_dir is not None:
-        d = Path(data_dir)
+    """Load MNIST with graceful degradation: real images + real labels
+    when the idx3 files exist; REAL labels + synthetic images keyed to
+    them when only the idx1 label files exist (the reference mount's
+    state); fully synthetic otherwise.  Returns
+    ``((train_x, train_y), (test_x, test_y), source)`` where source is
+    'real' | 'real-labels' | 'synthetic'."""
+    dirs = [Path(data_dir)] if data_dir is not None else list(_DEFAULT_DATA_DIRS)
+    d = next((p for p in dirs if (p / "train-labels.idx1-ubyte").exists()), None)
+    if d is None:
+        return (*synthetic_mnist(n_train, n_test, seed=seed), "synthetic")
+
+    tr_y = read_idx_labels(d / "train-labels.idx1-ubyte")
+    te_y = read_idx_labels(d / "t10k-labels.idx1-ubyte")
+    have_images = (d / "train-images.idx3-ubyte").exists()
+    if have_images:
         tr_x = read_idx_images(d / "train-images.idx3-ubyte")
-        tr_y = read_idx_labels(d / "train-labels.idx1-ubyte")
         te_x = read_idx_images(d / "t10k-images.idx3-ubyte")
-        te_y = read_idx_labels(d / "t10k-labels.idx1-ubyte")
-        rng = np.random.default_rng(seed)
-        tr_idx = rng.choice(len(tr_x), size=min(n_train, len(tr_x)), replace=False)
-        te_idx = rng.choice(len(te_x), size=min(n_test, len(te_x)), replace=False)
-        return (tr_x[tr_idx], tr_y[tr_idx]), (te_x[te_idx], te_y[te_idx])
-    return synthetic_mnist(n_train, n_test, seed=seed)
+        source = "real"
+    else:
+        tr_x = synthetic_images(tr_y, seed=seed)
+        te_x = synthetic_images(te_y, seed=seed + 1)
+        source = "real-labels"
+    rng = np.random.default_rng(seed)
+    tr_idx = rng.choice(len(tr_x), size=min(n_train, len(tr_x)), replace=False)
+    te_idx = rng.choice(len(te_x), size=min(n_test, len(te_x)), replace=False)
+    return (tr_x[tr_idx], tr_y[tr_idx]), (te_x[te_idx], te_y[te_idx]), source
 
 
 def train_for_digit(D, labels, digit, C=0.5, rho=1.0, maxiters=500, loss="hinge"):
@@ -143,7 +175,9 @@ def mnistsvm(C=0.5, rho=1.0, n_test=1000, n_train=6000, data_dir=None,
     one vmapped program; ``batched=False`` keeps the reference's
     serial per-digit loop (same results — tests/test_batch.py asserts
     lane-vs-solo agreement)."""
-    (tr_x, tr_y), (te_x, te_y) = load_mnist(data_dir, n_train, n_test)
+    (tr_x, tr_y), (te_x, te_y), source = load_mnist(data_dir, n_train, n_test)
+    if not quiet:
+        print(f"data: {source} ({len(tr_x)} train / {len(te_x)} test)")
     Dtr = tr_x.reshape(len(tr_x), -1)
     Dte = te_x.reshape(len(te_x), -1)
 

@@ -82,6 +82,35 @@ def test_idx_label_parser_against_reference_file():
     labels = read_idx_labels(path)
     assert len(labels) == 10000
     assert set(np.unique(labels)) <= set(range(10))
+    # Canonical MNIST t10k openings and class counts — proves these are
+    # the REAL bytes, not merely well-formed ones.
+    np.testing.assert_array_equal(labels[:10], [7, 2, 1, 0, 4, 1, 4, 9, 5, 9])
+    np.testing.assert_array_equal(
+        np.bincount(labels),
+        [980, 1135, 1032, 1010, 982, 892, 958, 1028, 974, 1009])
+
+    train = path.with_name("train-labels.idx1-ubyte")
+    tr = read_idx_labels(train)
+    assert len(tr) == 60000
+    np.testing.assert_array_equal(tr[:10], [5, 0, 4, 1, 9, 2, 1, 3, 1, 4])
+
+
+def test_load_mnist_defaults_to_real_labels():
+    """With no --data dir, load_mnist must find the reference mount's
+    real label files and key synthetic images to them (mnistsvm.m:50-54
+    reads real idx files; the images are absent per .MISSING_LARGE_BLOBS)."""
+    import pathlib
+
+    if not pathlib.Path(
+            "/root/reference/examples/MNIST/train-labels.idx1-ubyte").exists():
+        pytest.skip("reference MNIST labels not mounted")
+    (tr_x, tr_y), (te_x, te_y), source = load_mnist(n_train=400, n_test=150)
+    assert source == "real-labels"
+    assert tr_x.shape == (400, 20, 20) and te_x.shape == (150, 20, 20)
+    # Labels are a subsample of the real files: all ten digits appear in a
+    # 400-draw at overwhelming probability, values confined to 0..9.
+    assert set(np.unique(tr_y)) == set(range(10))
+    assert set(np.unique(te_y)) <= set(range(10))
 
 
 def test_idx_loader_round_trip(tmp_path):

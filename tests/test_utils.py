@@ -71,3 +71,50 @@ def test_showresults_plots(tmp_path):
     path = tmp_path / "conv.png"
     showresults(res, save_plots=str(path), print_fn=lambda *_: None)
     assert path.exists() and path.stat().st_size > 0
+
+
+def test_showresults_plots_bound_overlays(tmp_path):
+    """The primal/dual panels must carry their perr/derr tolerance curves
+    and the accelerated d-value panel its dvaltol line (showresults.m:
+    200-408 plots the norms AGAINST the bound curves, not bare)."""
+    from admm_tpu import ADMMConfig
+    from admm_tpu.models.model import model
+    from admm_tpu.utils.report import _plot
+
+    rng = np.random.default_rng(2)
+    P, Q = rng.standard_normal((32, 24)), rng.standard_normal((32, 24))
+    r, s = rng.standard_normal(32), rng.standard_normal(32)
+    res = model(P, Q, r, s, ADMMConfig(objevals=True, maxiters=2000,
+                                       fast=True, fasttype="weak"))
+    fig = _plot(res, None, show=False, save=None)
+    by_title = {ax.get_title(): ax for ax in fig.axes}
+    assert "primal norm" in by_title
+    prim = by_title["primal norm"]
+    labels = [ln.get_label() for ln in prim.get_lines()]
+    assert "tolerance bound" in labels, labels
+    assert prim.get_legend() is not None
+    if "dual norm" in by_title:
+        labels_d = [ln.get_label() for ln in by_title["dual norm"].get_lines()]
+        assert "tolerance bound" in labels_d
+    dv = by_title.get("accelerated d-values")
+    assert dv is not None  # fast weak run records d-values
+    # dvaltol is drawn as a horizontal threshold line.
+    assert any(np.allclose(ln.get_ydata(), res.config.dvaltol)
+               for ln in dv.get_lines() if len(np.atleast_1d(ln.get_ydata())))
+
+
+def test_solvertester_svm_two_curve_plot(tmp_path):
+    """The SVM runtime-vs-scale plot must show hinge and 0-1 loss as two
+    curves (solvertester.m:243-263)."""
+    from admm_tpu.testers.solvertester import solvertester
+
+    path = tmp_path / "svm_sweep.png"
+    rep = solvertester("linearsvm", minscale=4, maxscale=4, trials=1,
+                       seed=11, save_plot=str(path))
+    assert rep.runtimes01 is not None and rep.avetimes01 is not None
+    assert np.all(np.isfinite(rep.runtimes01))
+    assert path.exists() and path.stat().st_size > 0
+    from admm_tpu.testers.solvertester import _plot as _sweep_plot
+    fig = _sweep_plot(rep, show=False, save=None)
+    labels = [ln.get_label() for ln in fig.axes[0].get_lines()]
+    assert "hinge loss" in labels and "0-1 loss" in labels
