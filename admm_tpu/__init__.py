@@ -37,7 +37,8 @@ from .models import (
     unwrappedadmm,
 )
 
-from .diff import make_implicit_solver
+from .diff import (make_implicit_batch_solver, make_implicit_consensus_solver,
+                   make_implicit_solver)
 from .models.paths import covsel_path, lasso_path, linearsvm_c_path, tv_path
 from .models.batch import (
     basispursuit_batch,
@@ -67,6 +68,8 @@ __all__ = [
     "Hooks",
     "admm",
     "make_admm_runner",
+    "make_implicit_batch_solver",
+    "make_implicit_consensus_solver",
     "make_implicit_solver",
     "DenseOp",
     "DiffOp",

@@ -58,6 +58,19 @@ large on a poorly scaled problem) is detected by residual blow-up, the
 returned gradients are NaN-poisoned — silent garbage never flows — and a
 ``jax.debug.print`` diagnostic names the failing solve.
 
+The capability reaches every solver tier (round 3):
+
+* :func:`make_implicit_solver` — the serial engine (one program);
+* :func:`make_implicit_consensus_solver` — the SHARDED consensus solver
+  (``parallel/consensus.py``): the fixed point lives on the sharded state
+  ``(xi, z, ui)`` and the backward iteration's means compile to the same
+  all-reduce collectives as the forward solve, so hyperparameter learning
+  over row-sharded data runs end-to-end on the mesh;
+* :func:`make_implicit_batch_solver` — the instance-batched pattern
+  (``models/batch.py``): B lanes against one shared factorization, each
+  lane with its own adjoint solve (per-lane ``d loss_i / d lam_i`` from
+  one compiled program).
+
 Restrictions (checked at factory time): standard iteration only
 (``fast=False``, ``accelerated=False``) and static rho (no ``adaptive`` /
 ``rbadaptive``) — the IFT is stated for a stationary iteration map.
@@ -73,6 +86,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .config import ADMMConfig
@@ -170,32 +184,123 @@ _UNCONVERGED_REL2 = 1e-8
 
 def _check_linear_solve(v, err2, scale2, what):
     """Police a backward linear solve: NaN-poison diverged results, warn
-    loudly on unconverged-but-finite exits.  ``what`` labels the message."""
+    loudly on unconverged-but-finite exits.  ``what`` labels the message.
+
+    The warnings go through ``jax.debug.callback`` with the gating done
+    host-side on concrete values — a traced ``lax.cond`` would lower to a
+    select under ``vmap`` (both branches execute) and fire the prints on
+    healthy lanes.  The NaN poisoning itself stays traced (``where``), so
+    it is correct per-lane under any transform.
+    """
     rel2 = err2 / scale2
     diverged = jnp.logical_or(~jnp.isfinite(rel2), rel2 > _DIVERGED_REL2)
-    unconverged = jnp.logical_and(~diverged, rel2 > _UNCONVERGED_REL2)
 
-    def _print(msg):
-        return lambda: jax.debug.print(
-            msg + " (relative residual^2 {r:.3e})", r=rel2, ordered=False)
+    def _report(rel2_val):
+        import sys
 
-    lax.cond(
-        diverged,
-        _print(f"admm_tpu.diff: {what} linear solve DIVERGED; gradients "
-               "are NaN. The iteration map is not contractive at this "
-               "fixed point (check rho / problem scaling), or try "
-               "vjp_method='gmres'"),
-        lambda: lax.cond(
-            unconverged,
-            _print(f"admm_tpu.diff: {what} linear solve did not reach "
-                   "tolerance (raise vjp_maxiters or loosen vjp_tol); "
-                   "gradients may be inaccurate"),
-            lambda: None,
-        ),
-    )
+        r = np.atleast_1d(np.asarray(rel2_val, dtype=np.float64))
+        bad = ~np.isfinite(r) | (r > _DIVERGED_REL2)
+        soft = ~bad & (r > _UNCONVERGED_REL2)
+        worst = float(np.nanmax(np.where(np.isfinite(r), r, np.inf)))
+        if bad.any():
+            lanes = ("" if r.size == 1 else
+                     f" ({int(bad.sum())}/{r.size} lanes)")
+            print(f"admm_tpu.diff: {what} linear solve DIVERGED{lanes}; "
+                  "affected gradients are NaN. The iteration map is not "
+                  "contractive at this fixed point (check rho / problem "
+                  "scaling), or try vjp_method='gmres' "
+                  f"(worst relative residual^2 {worst:.3e})",
+                  file=sys.stderr)
+        elif soft.any():
+            print(f"admm_tpu.diff: {what} linear solve did not reach "
+                  "tolerance (raise vjp_maxiters or loosen vjp_tol); "
+                  "gradients may be inaccurate "
+                  f"(worst relative residual^2 {worst:.3e})",
+                  file=sys.stderr)
+
+    jax.debug.callback(_report, rel2)
     return jax.tree_util.tree_map(
         lambda t: jnp.where(diverged, jnp.full_like(t, jnp.nan), t), v
     )
+
+
+def _make_differentiable(forward, one_iter, mode, vjp_method, vjp_tol,
+                         vjp_maxiters, what):
+    """Attach implicit-differentiation rules to a fixed-point solver.
+
+    ``forward(theta, state0) -> w`` runs the full (non-differentiable)
+    solve; ``one_iter(w, theta) -> w`` is the stationary map F whose fixed
+    point ``forward`` returns.  Gradients flow to every array leaf of
+    ``theta``; ``state0`` (the initial iterates) gets zeros — the fixed
+    point does not depend on it.  Shared by the serial, consensus, and
+    batched implicit solvers: the IFT algebra is identical, only the
+    stationary map differs.
+    """
+    if mode == "vjp":
+        f = jax.custom_vjp(forward)
+
+        def f_fwd(theta, state0):
+            out = f(theta, state0)
+            return out, (out, theta, state0)
+
+        def f_bwd(resids, cots):
+            wstar, theta, state0 = resids
+            _, vjp_w = jax.vjp(lambda w: one_iter(w, theta), wstar)
+
+            # Adjoint fixed point: wbar = cot + J^T wbar.
+            wbar, err2, scale2 = _fixed_point_linear_solve(
+                lambda w: vjp_w(w)[0], cots, vjp_method, vjp_tol,
+                vjp_maxiters,
+            )
+            wbar = _check_linear_solve(wbar, err2, scale2,
+                                       f"{what} adjoint (VJP)")
+
+            _, vjp_theta = jax.vjp(lambda th: one_iter(wstar, th), theta)
+            (theta_bar,) = vjp_theta(wbar)
+            state0_zero = jax.tree_util.tree_map(jnp.zeros_like, state0)
+            return theta_bar, state0_zero
+
+        f.defvjp(f_fwd, f_bwd)
+        return f
+
+    f = jax.custom_jvp(forward)
+
+    @f.defjvp
+    def f_jvp(primals, tangents):
+        theta, state0 = primals
+        dtheta = tangents[0]
+        # state0 tangents are discarded: the fixed point does not depend
+        # on the initial iterates (mirrors the VJP's zeros).
+        out = f(theta, state0)
+        # rhs = dF/dtheta theta_dot at the fixed point.
+        _, rhs = jax.jvp(lambda th: one_iter(out, th), (theta,), (dtheta,))
+        # Tangent fixed point: wdot = J wdot + rhs.  linearize pays the
+        # primal (prox solves included) once, outside the loop.
+        _, f_lin = jax.linearize(lambda w: one_iter(w, theta), out)
+        wdot, err2, scale2 = _fixed_point_linear_solve(
+            f_lin, rhs, vjp_method, vjp_tol, vjp_maxiters,
+        )
+        wdot = _check_linear_solve(wdot, err2, scale2,
+                                   f"{what} tangent (JVP)")
+        return out, wdot
+
+    return f
+
+
+def _check_diffable_config(config, mode, vjp_method):
+    if config.alg != 0:
+        raise ValueError(
+            "implicit differentiation needs the standard iteration "
+            "(fast=False, accelerated=False); the IFT is stated for a "
+            "stationary map and the momentum state is not part of w"
+        )
+    if config.dynamic_rho:
+        raise ValueError("implicit differentiation needs static rho "
+                         "(adaptive=False, rbadaptive=False)")
+    if vjp_method not in ("neumann", "gmres"):
+        raise ValueError(f"unknown vjp_method {vjp_method!r}")
+    if mode not in ("vjp", "jvp"):
+        raise ValueError(f"unknown mode {mode!r} (want 'vjp' or 'jvp')")
 
 
 def make_implicit_solver(
@@ -242,19 +347,7 @@ def make_implicit_solver(
     ``jax.grad`` / ``jax.vjp`` / ``jax.vmap``.  Initial iterates receive no
     gradient (the fixed point does not depend on them).
     """
-    if config.alg != 0:
-        raise ValueError(
-            "implicit differentiation needs the standard iteration "
-            "(fast=False, accelerated=False); the IFT is stated for a "
-            "stationary map and the momentum state is not part of w"
-        )
-    if config.dynamic_rho:
-        raise ValueError("implicit differentiation needs static rho "
-                         "(adaptive=False, rbadaptive=False)")
-    if vjp_method not in ("neumann", "gmres"):
-        raise ValueError(f"unknown vjp_method {vjp_method!r}")
-    if mode not in ("vjp", "jvp"):
-        raise ValueError(f"unknown mode {mode!r} (want 'vjp' or 'jvp')")
+    _check_diffable_config(config, mode, vjp_method)
 
     A_op = as_linop(A)
     B_op = as_linop(B)
@@ -314,62 +407,15 @@ def make_implicit_solver(
             c_arr = jnp.broadcast_to(c_arr, shape_c)
         return c_arr
 
-    def _solve_raw(data, c_arr, x0, z0, u0):
+    def _forward(theta, state0):
+        data, c_arr = theta
+        x0, z0, u0 = state0
         raw = runner(x0, z0, u0, c_arr, data)
         return raw["xopt"], raw["zopt"], raw["uopt"]
 
-    if mode == "vjp":
-        _solve = jax.custom_vjp(_solve_raw)
-
-        def _solve_fwd(data, c_arr, x0, z0, u0):
-            out = _solve(data, c_arr, x0, z0, u0)
-            return out, (out, data, c_arr)
-
-        def _solve_bwd(resids, cots):
-            wstar, data, c_arr = resids
-            theta = (data, c_arr)
-            _, vjp_w = jax.vjp(lambda w: one_iter(w, *theta), wstar)
-
-            # Adjoint fixed point: wbar = cot + J^T wbar.
-            wbar, err2, scale2 = _fixed_point_linear_solve(
-                lambda w: vjp_w(w)[0], cots, vjp_method, vjp_tol,
-                vjp_maxiters,
-            )
-            wbar = _check_linear_solve(wbar, err2, scale2, "adjoint (VJP)")
-
-            _, vjp_theta = jax.vjp(lambda th: one_iter(wstar, *th), theta)
-            (theta_bar,) = vjp_theta(wbar)
-            data_bar, c_bar = theta_bar
-            zero = lambda v: jnp.zeros_like(v)
-            return (data_bar, c_bar,
-                    zero(wstar[0]), zero(wstar[1]), zero(wstar[2]))
-
-        _solve.defvjp(_solve_fwd, _solve_bwd)
-    else:  # mode == 'jvp'
-        _solve = jax.custom_jvp(_solve_raw)
-
-        @_solve.defjvp
-        def _solve_jvp(primals, tangents):
-            data, c_arr, x0, z0, u0 = primals
-            ddata, dc = tangents[0], tangents[1]
-            # x0/z0/u0 tangents are discarded: the fixed point does not
-            # depend on the initial iterates (mirrors the VJP's zeros).
-            out = _solve(data, c_arr, x0, z0, u0)
-            wstar = out
-            theta = (data, c_arr)
-            dtheta = (ddata, dc)
-            # rhs = dF/dtheta theta_dot at the fixed point.
-            _, rhs = jax.jvp(lambda th: one_iter(wstar, *th), (theta,),
-                             (dtheta,))
-            # Tangent fixed point: wdot = J wdot + rhs.  linearize pays
-            # the primal (prox solves included) once, outside the loop —
-            # mirroring how the VJP path hoists jax.vjp.
-            _, f_jvp = jax.linearize(lambda w: one_iter(w, *theta), wstar)
-            wdot, err2, scale2 = _fixed_point_linear_solve(
-                f_jvp, rhs, vjp_method, vjp_tol, vjp_maxiters,
-            )
-            wdot = _check_linear_solve(wdot, err2, scale2, "tangent (JVP)")
-            return out, wdot
+    _solve = _make_differentiable(
+        _forward, lambda w, th: one_iter(w, *th), mode, vjp_method,
+        vjp_tol, vjp_maxiters, what="engine")
 
     def solve(data, c=0.0, x0=None, z0=None, u0=None):
         dt = dtype
@@ -381,6 +427,136 @@ def make_implicit_solver(
         x0_ = jnp.zeros(shape_x, dt) if x0 is None else jnp.asarray(x0, dt)
         z0_ = jnp.zeros(shape_z, dt) if z0 is None else jnp.asarray(z0, dt)
         u0_ = jnp.zeros(c_arr.shape, dt) if u0 is None else jnp.asarray(u0, dt)
-        return _solve(data, c_arr, x0_, z0_, u0_)
+        return _solve((data, c_arr), (x0_, z0_, u0_))
+
+    return solve
+
+
+def make_implicit_consensus_solver(
+    local_prox: Callable,
+    global_prox: Callable,
+    config: ADMMConfig,
+    n: int,
+    W: int,
+    *,
+    mode: str = "vjp",
+    vjp_method: str = "neumann",
+    vjp_maxiters: int = 500,
+    vjp_tol: float = 1e-9,
+):
+    """Differentiable consensus ADMM (the sharded solver of
+    :mod:`admm_tpu.parallel.consensus`).
+
+    The fixed point lives on the SHARDED state ``w = (xi, z, ui)`` with
+    ``xi``/``ui`` of shape (W, n) (leading axis sharded over the mesh) and
+    the global ``z`` of shape (n,); the stationary map is one consensus
+    iteration (local solves -> pmean aggregates -> global prox -> per-slice
+    dual update; getProxOps.m:1217-1299).  The forward pass runs the
+    normal compiled consensus runner; the adjoint/tangent fixed point is
+    solved with the same iteration-VJP machinery as the serial solver —
+    the per-iteration means become all-reduces in the backward program
+    too, so gradients ride the same collectives as the solve.
+
+    ``local_prox(z, ui, rho, data) -> xi`` / ``global_prox(xbar, ubar,
+    rho, W, data) -> z`` follow the consensus engine's contract
+    (module-level functions, trailing ``data`` pytree).  Gradients flow
+    to every array leaf of ``data``.
+
+    Returns ``solve(data, xi0=None, ui0=None, z0=None) -> (xi, z, ui)``;
+    aggregate ``x* = xi.mean(0)`` as the consensus solution (the solver's
+    ``xopt``).  Restrictions mirror :func:`make_implicit_solver`
+    (standard iteration, static rho; relaxation supported).
+    """
+    from .parallel.consensus import _cached_consensus_runner
+
+    _check_diffable_config(config, mode, vjp_method)
+
+    relax = float(config.relax)
+    use_relax = relax != 1.0
+    rho = float(config.rho)
+    runner = _cached_consensus_runner(local_prox, global_prox, config,
+                                      int(W), int(n))
+
+    def _one_iter(w, data):
+        """One consensus iteration — mirrors _cached_consensus_runner's
+        alg==0 step order exactly (local prox, relaxed aggregate, global
+        prox, per-slice dual update)."""
+        xi, z, ui = w
+        rho_ = jnp.asarray(rho, xi.dtype)
+        zprev = z
+        xi1 = local_prox(z, ui, rho_, data)
+        xhat = (relax * xi1 + (1.0 - relax) * zprev[None, :]
+                if use_relax else xi1)
+        xbar = jnp.mean(xi1, axis=0)
+        xhat_bar = (relax * xbar + (1.0 - relax) * zprev
+                    if use_relax else xbar)
+        ubar = jnp.mean(ui, axis=0)
+        z1 = global_prox(xhat_bar, ubar, rho_, W, data)
+        ui1 = ui + (xhat - z1[None, :])
+        return (xi1, z1, ui1)
+
+    one_iter = _with_matmul_precision(_one_iter, config.matmul_precision)
+
+    def _forward(theta, state0):
+        (data,) = theta
+        xi0, ui0, z0 = state0
+        raw = runner(data, xi0, ui0, z0)
+        return raw["xi"], raw["zopt"], raw["ui"]
+
+    _solve = _make_differentiable(
+        _forward, lambda w, th: one_iter(w, th[0]), mode, vjp_method,
+        vjp_tol, vjp_maxiters, what="consensus")
+
+    def solve(data, xi0=None, ui0=None, z0=None):
+        leaves = jax.tree_util.tree_leaves(data)
+        dt = leaves[0].dtype if leaves else jnp.zeros(0).dtype
+        xi0_ = jnp.zeros((W, n), dt) if xi0 is None else jnp.asarray(xi0, dt)
+        ui0_ = jnp.zeros((W, n), dt) if ui0 is None else jnp.asarray(ui0, dt)
+        z0_ = jnp.zeros((n,), dt) if z0 is None else jnp.asarray(z0, dt)
+        return _solve((data,), (xi0_, ui0_, z0_))
+
+    return solve
+
+
+def make_implicit_batch_solver(
+    prox_f: Callable,
+    prox_g: Callable,
+    config: ADMMConfig = ADMMConfig(),
+    *,
+    mapped: frozenset | set | tuple = (),
+    mode: str = "vjp",
+    vjp_method: str = "neumann",
+    vjp_maxiters: int = 500,
+    vjp_tol: float = 1e-9,
+    **solver_kwargs,
+):
+    """Differentiable INSTANCE-BATCHED solves: the ``models/batch.py``
+    pattern (B problems against shared cached operators) made
+    differentiable per lane.
+
+    ``mapped`` names the ``data`` keys carrying a leading (B, ...) lane
+    axis (e.g. ``{"s", "Dts", "lam"}`` for ``lasso_batch``); the rest are
+    shared across lanes (the cached factorization).  The serial implicit
+    solver is vmapped over the mapped leaves, so each lane gets its own
+    adjoint fixed-point solve and per-lane gradients (e.g. d loss_i /
+    d lam_i) come out of ONE compiled program.
+
+    Returns ``solve(data, c=0.0, x0=None, z0=None, u0=None) -> (X, Z, U)``
+    with (B, ...) outputs.  Remaining keyword arguments (``nA``, ``nB``,
+    ``m``, ``shape_x`` ...) pass through to :func:`make_implicit_solver`.
+    """
+    base = make_implicit_solver(
+        prox_f, prox_g, config, mode=mode, vjp_method=vjp_method,
+        vjp_maxiters=vjp_maxiters, vjp_tol=vjp_tol, **solver_kwargs)
+    mapped = frozenset(mapped)
+
+    def solve(data, c=0.0, x0=None, z0=None, u0=None):
+        axes = {k: (0 if k in mapped else None) for k in data}
+        state_axes = [None if v is None else 0 for v in (x0, z0, u0)]
+
+        def lane(d, x0_, z0_, u0_):
+            return base(d, c=c, x0=x0_, z0=z0_, u0=u0_)
+
+        return jax.vmap(lane, in_axes=(axes, *state_axes))(data, x0, z0, u0)
 
     return solve

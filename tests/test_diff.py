@@ -377,6 +377,174 @@ class TestBackwardDivergenceDetection:
         assert np.isfinite(np.asarray(g))
 
 
+def _consensus_lasso_data(rng, W, m=64, n=10, lam=0.3, rho=1.0, dtype=None):
+    """Build the consensus-lasso data pytree EXACTLY as consensus_lasso
+    does (same cached sharded setup), so the implicit solver's forward
+    pass is bit-identical to the production solver's."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from admm_tpu.parallel.consensus import _cached_lasso_setup
+    from admm_tpu.parallel.mesh import make_mesh, pad_rows, shard_rows
+
+    mesh = make_mesh()
+    D = rng.standard_normal((m, n))
+    xtrue = rng.standard_normal(n) * (rng.random(n) < 0.5)
+    s = D @ xtrue + 0.01 * rng.standard_normal(m)
+    Dp, _ = pad_rows(D, W)
+    sp, _ = pad_rows(s, W)
+    shard_spec = NamedSharding(mesh, P(mesh.axis_names[0]))
+    Di = jax.device_put(jnp.asarray(shard_rows(Dp, W)), shard_spec)
+    si = jax.device_put(jnp.asarray(shard_rows(sp, W)), shard_spec)
+    Minv, Dtsi = _cached_lasso_setup(shard_spec, float(rho))(Di, si)
+    data = {"Minv": Minv, "Dtsi": Dtsi, "lam": jnp.asarray(lam, Dtsi.dtype)}
+    return D, s, data
+
+
+class TestImplicitConsensus:
+    """Gradients through the SHARDED consensus solver on the 8-virtual-
+    device mesh (VERDICT r2 next-step #3)."""
+
+    def _solver(self, W, n, cfg=None, **kw):
+        from admm_tpu.diff import make_implicit_consensus_solver
+        from admm_tpu.parallel.consensus import (_lasso_global_prox,
+                                                 _lasso_local_prox)
+
+        return make_implicit_consensus_solver(
+            _lasso_local_prox, _lasso_global_prox,
+            cfg or _CFG, n, W, **kw)
+
+    def test_forward_matches_consensus_lasso(self, rng):
+        from admm_tpu.parallel.consensus import consensus_lasso
+
+        W, n = 8, 10
+        D, s, data = _consensus_lasso_data(rng, W, n=n)
+        solve = self._solver(W, n)
+        xi, z, ui = solve(data)
+        ref = consensus_lasso(D, s, float(data["lam"]), _CFG, nshards=W)
+        np.testing.assert_allclose(np.mean(np.asarray(xi), axis=0),
+                                   np.asarray(ref.xopt), rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(z), np.asarray(ref.zopt),
+                                   rtol=0, atol=0)
+
+    def test_lambda_gradient_matches_fd(self, rng):
+        W, n = 8, 10
+        _, _, data = _consensus_lasso_data(rng, W, n=n)
+        solve = self._solver(W, n)
+
+        def loss_at(lam):
+            xi, z, ui = solve(dict(data, lam=jnp.asarray(lam)))
+            return jnp.sum(z**2)
+
+        g = jax.grad(loss_at)(data["lam"])
+        g_fd = _fd(loss_at, float(data["lam"]))
+        assert np.isfinite(g)
+        np.testing.assert_allclose(g, g_fd, rtol=2e-4, atol=1e-8)
+
+    def test_data_gradient_matches_fd(self, rng):
+        # Gradient w.r.t. a per-shard data leaf (Dtsi) — exercises the
+        # dF/dtheta pullback through the SHARDED local prox.
+        W, n = 8, 10
+        _, _, data = _consensus_lasso_data(rng, W, n=n)
+        solve = self._solver(W, n)
+
+        def loss(d):
+            xi, z, ui = solve(d)
+            return jnp.sum(jnp.cos(z))
+
+        g = jax.grad(loss)(data)["Dtsi"]
+        for w_idx, j in [(0, 0), (3, 5), (7, 9)]:
+            def f(v, w_idx=w_idx, j=j):
+                d = dict(data, Dtsi=data["Dtsi"].at[w_idx, j].set(v))
+                return loss(d)
+            np.testing.assert_allclose(
+                g[w_idx, j], _fd(f, float(data["Dtsi"][w_idx, j])),
+                rtol=3e-4, atol=1e-8)
+
+    def test_relaxed_consensus_gradient(self, rng):
+        W, n = 8, 10
+        cfg = ADMMConfig(rho=1.0, relax=1.3, maxiters=4000, abstol=1e-12,
+                         reltol=1e-12, quiet=True)
+        _, _, data = _consensus_lasso_data(rng, W, n=n)
+        solve = self._solver(W, n, cfg=cfg)
+
+        def loss_at(lam):
+            xi, z, ui = solve(dict(data, lam=jnp.asarray(lam)))
+            return jnp.sum(z**2)
+
+        np.testing.assert_allclose(jax.grad(loss_at)(data["lam"]),
+                                   _fd(loss_at, float(data["lam"])),
+                                   rtol=2e-4, atol=1e-8)
+
+    def test_jvp_mode_matches_vjp(self, rng):
+        W, n = 8, 10
+        _, _, data = _consensus_lasso_data(rng, W, n=n)
+        s_v = self._solver(W, n, mode="vjp")
+        s_j = self._solver(W, n, mode="jvp")
+        lam0 = data["lam"]
+        g = jax.grad(lambda l: jnp.sum(s_v(dict(data, lam=l))[1] ** 2))(lam0)
+        _, dot = jax.jvp(lambda l: jnp.sum(s_j(dict(data, lam=l))[1] ** 2),
+                         (lam0,), (jnp.ones_like(lam0),))
+        np.testing.assert_allclose(g, dot, rtol=1e-6)
+
+
+class TestImplicitBatch:
+    """Per-lane gradients through the instance-batched pattern
+    (models/batch.py) — B lasso problems against ONE shared
+    factorization, each lane with its own lam (VERDICT r2 #3)."""
+
+    def _setup(self, rng, B=3, m=12, n=8):
+        from admm_tpu.models.lasso import make_prox_ops
+
+        D = jnp.asarray(rng.standard_normal((m, n)))
+        S = jnp.asarray(rng.standard_normal((B, m)))
+        lams = jnp.asarray(0.2 + 0.3 * rng.random(B))
+        prox_f, prox_g, _, data = make_prox_ops(D, S[0], 1.0, _CFG)
+        data = dict(data)
+        data["s"] = S
+        data["Dts"] = S @ D
+        data["lam"] = lams
+        return prox_f, prox_g, data, D, S, lams, n
+
+    def test_per_lane_lambda_gradients_match_fd(self, rng):
+        from admm_tpu.diff import make_implicit_batch_solver
+
+        prox_f, prox_g, data, D, S, lams, n = self._setup(rng)
+        solve = make_implicit_batch_solver(
+            prox_f, prox_g, _CFG, mapped={"s", "Dts", "lam"},
+            nA=n, nB=n, m=n)
+
+        def loss(lams_):
+            X, Z, U = solve(dict(data, lam=lams_))
+            return jnp.sum(X**2, axis=1)  # per-lane losses
+
+        g = jax.grad(lambda l: jnp.sum(loss(l)))(lams)
+        # Lanes are independent, so d(sum loss)/d lam_i = d loss_i/d lam_i.
+        for i in range(len(lams)):
+            def f(li, i=i):
+                return float(loss(lams.at[i].set(li))[i])
+            np.testing.assert_allclose(g[i], _fd(f, float(lams[i])),
+                                       rtol=2e-4, atol=1e-8)
+
+    def test_batch_matches_serial_per_lane(self, rng):
+        from admm_tpu.diff import make_implicit_batch_solver
+
+        prox_f, prox_g, data, D, S, lams, n = self._setup(rng)
+        batched = make_implicit_batch_solver(
+            prox_f, prox_g, _CFG, mapped={"s", "Dts", "lam"},
+            nA=n, nB=n, m=n)
+        serial = make_implicit_solver(prox_f, prox_g, _CFG, nA=n, nB=n, m=n)
+
+        gb = jax.grad(
+            lambda l: jnp.sum(batched(dict(data, lam=l))[0] ** 2))(lams)
+        for i in range(len(lams)):
+            lane = {k: (v[i] if k in ("s", "Dts", "lam") else v)
+                    for k, v in data.items()}
+            gi = jax.grad(lambda li: jnp.sum(
+                serial(dict(lane, lam=li))[0] ** 2))(lams[i])
+            np.testing.assert_allclose(gb[i], gi, rtol=1e-9, atol=1e-12)
+
+
 def test_matrix_iterates_covsel_hypergradient(rng):
     # Matrix-valued fixed point (graphical lasso, covarianceselection.py
     # proxes with the eigh x-update): the hypergradient w.r.t. lam flows
