@@ -101,11 +101,10 @@ def timing_matrix(smoke=False):
     it = lambda n: max(n // (10 if smoke else 1), 10)
     rows = []
 
-    def cfg(iters, unroll=4, **kw):
-        # unroll=4 is the recommended production config (exact
-        # semantics, amortized loop turnaround — see ADMMConfig.unroll);
-        # the lasso_fat_f32_unroll1 row keeps the unrolled-off delta
-        # visible.
+    def cfg(iters, unroll="auto", **kw):
+        # unroll='auto' lets each wrapper resolve its measured body class
+        # (config.resolve_unroll: GEMV bodies 16, heavy bodies 1); the
+        # lasso_fat_f32_unroll1 row keeps the unrolled-off delta visible.
         return ADMMConfig(maxiters=iters, domaxiters=True, unroll=unroll,
                           **kw)
 

@@ -98,7 +98,15 @@ class ADMMConfig:
     # discarded via done-masking, so results and step counts match
     # unroll=1 bit-for-bit; the only cost is up to K-1 wasted sub-steps
     # in the final loop turn (and K-times-larger compiled body).
-    unroll: int = 1
+    #
+    # "auto" lets each solver wrapper resolve a measured-good K for its
+    # iteration-body class (resolve_unroll below): GEMV-dominated bodies
+    # get a deep unroll (the dispatch-bound regime), heavy bodies
+    # (in-loop eigh / triangular sweeps) stay at 1, and paths where
+    # unrolling measured as a no-op (batched lanes) resolve to 1.
+    # Calling the engine directly with "auto" resolves to the balanced
+    # default (4) since the engine cannot classify a user prox.
+    unroll: int | str = 1
     # TPU matmul precision for the compiled loop: 'highest' (default)
     # runs f32 matmuls at true f32 — the MXU's default bf16-pass mode
     # corrupts the KKT/projection solvers (LP diverges; see
@@ -129,8 +137,17 @@ class ADMMConfig:
             raise ValueError(
                 "matmul_precision must be default|high|highest, got "
                 f"{self.matmul_precision!r}")
-        if self.unroll < 1:
+        if isinstance(self.unroll, str):
+            if self.unroll != "auto":
+                raise ValueError(
+                    f"unroll must be an int >= 1 or 'auto', got {self.unroll!r}")
+        elif self.unroll < 1:
             raise ValueError(f"unroll must be >= 1, got {self.unroll}")
+
+    @property
+    def resolved(self) -> bool:
+        """Whether unroll has been resolved to a concrete int."""
+        return not isinstance(self.unroll, str)
 
     @property
     def alg(self) -> int:
@@ -151,3 +168,33 @@ class ADMMConfig:
         """Whether rho can change at runtime — prox builders must then use
         the rho-parameterized (eigh-folded) solve paths."""
         return self.adaptive or self.rbadaptive
+
+
+# unroll='auto' resolution table, by iteration-body class.  Values are
+# MEASURED on v5e (docs/RESULTS.md round 2-3 unroll sweeps;
+# experiments/unroll_sweep{,_small}.py):
+#
+# - 'gemv': bodies that are a handful of GEMVs + vector ops (lasso, lad,
+#   huberfit, model, basis pursuit, serial SVM, LP/QP in affine mode).
+#   These are dispatch-bound at one-iteration-per-step; K=16 recovers
+#   most of the gain at interactive compile times (K=64 adds ~10-20%
+#   more on long runs but compiles for minutes — opt in explicitly).
+# - 'heavy': bodies dominated by an in-loop eigh / Newton-Schulz /
+#   triangular sweep (covariance selection, LP/QP kkt_mode='chol').
+#   Masked redundant sub-steps cost more than the turnaround they save
+#   (-25% measured at K=4 for the chol KKT path): stay at 1.
+# - 'batched': vmapped instance-batched lanes already amortize the loop
+#   turnaround (443k vs 444k inst-iters/s at K=1 vs 4): stay at 1.
+# - 'default': unknown body (engine called directly with a user prox) —
+#   the balanced matrix-bench setting.
+_AUTO_UNROLL = {"gemv": 16, "heavy": 1, "batched": 1, "default": 4}
+
+
+def resolve_unroll(config: ADMMConfig, body: str = "default") -> ADMMConfig:
+    """Resolve ``unroll='auto'`` to a measured-good K for the given
+    iteration-body class (no-op for concrete ints).  Wrappers call this
+    with their body class before handing the config to the engine, so
+    the compiled-runner caches only ever see concrete unroll values."""
+    if isinstance(config.unroll, str):
+        return dataclasses.replace(config, unroll=_AUTO_UNROLL[body])
+    return config

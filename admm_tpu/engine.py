@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .config import ADMMConfig
+from .config import ADMMConfig, resolve_unroll
 from .linop import as_linop
 from .results import ADMMResults
 
@@ -175,6 +175,10 @@ def admm(
     """
     A = as_linop(A)
     B = as_linop(B)
+    # unroll='auto' from a direct engine call: the engine cannot classify
+    # a user prox body, so resolve to the balanced default (wrappers
+    # resolve to their measured body class before calling here).
+    config = resolve_unroll(config, "default")
 
     # --- shape/initial-state resolution (reference admm.m:79-259).
     # For scaled-identity A/B the variable size equals m (the reference
@@ -372,26 +376,53 @@ def residual_balance_factor(cfg: ADMMConfig, *, pnorm, dnorm, done, dtype):
     return jnp.where(done, 1.0, factor).astype(dtype)
 
 
+def freeze_helpers(frozen):
+    """Masked-select helpers for the unroll freeze (see unrolled_body).
+
+    Returns ``(sel, sel_slot)``: ``sel(old, new)`` keeps the old value on
+    frozen sub-steps; ``sel_slot(buf, k, val)`` is the history write
+    ``buf.at[k].set(val)`` gated the same way (it restores the buffer's
+    own untouched slot — a SCALAR gather+select, not a whole-buffer
+    select; whole-(N,)-buffer selects per sub-step were measured at
+    ~10 us/iter of pure overhead on v5e at n=1024, K=16).  When
+    ``frozen`` is the literal Python bool False (the K=1 path), both
+    helpers are statically transparent, so the K=1 trace is unchanged.
+    """
+    if frozen is False:
+        return (lambda old, new: new), (lambda buf, k, val: buf.at[k].set(val))
+
+    def sel(old, new):
+        return jnp.where(frozen, old, new)
+
+    def sel_slot(buf, k, val):
+        return buf.at[k].set(jnp.where(frozen, buf[k], val))
+
+    return sel, sel_slot
+
+
 def unrolled_body(step, K: int, N: int, flags):
-    """Wrap a single-iteration ``step`` into a while_loop body running K
-    masked sub-steps (ADMMConfig.unroll; shared by the core engine and
-    the consensus/transpose-reduction runners).
+    """Wrap a single-iteration ``step(carry, frozen)`` into a while_loop
+    body running K freeze-masked sub-steps (ADMMConfig.unroll; shared by
+    the core engine and the consensus/transpose-reduction runners).
 
     ``flags(carry) -> (k, done)`` extracts the iteration counter and the
     stop flag.  Sub-steps past ``done`` OR past the iteration cap are
-    discarded by the mask — k >= N must freeze too, else the clamped
-    history write at k = N would corrupt the last slot when N % K != 0 —
-    so results, step counts, and histories match K=1 bit-for-bit."""
+    frozen — k >= N must freeze too, else the clamped history write at
+    k = N would corrupt the last slot when N % K != 0 — so results, step
+    counts, and histories match K=1 bit-for-bit.  The step applies the
+    freeze itself via ``freeze_helpers(frozen)``: state updates become
+    element-wise selects (fused into the producing kernels) and history
+    writes scalar-gated scatters, rather than this wrapper re-selecting
+    the whole carry (which paid several full-(N,)-buffer select kernels
+    per sub-step)."""
     if K <= 1:
-        return step
+        return lambda carry: step(carry, False)
 
     def body(carry):
         for _ in range(K):
             k, done = flags(carry)
-            stop = jnp.logical_or(done, k >= N)
-            new = step(carry)
-            carry = jax.tree_util.tree_map(
-                lambda old, upd: jnp.where(stop, old, upd), carry, new)
+            frozen = jnp.logical_or(done, k >= N)
+            carry = step(carry, frozen)
         return carry
 
     return body
@@ -419,6 +450,7 @@ def make_admm_runner(prox_f, prox_g, config, A, B, hooks=Hooks(),
     from x0 at trace time.
     """
     del dtype
+    config = resolve_unroll(config, "default")
     A = as_linop(A)
     B = as_linop(B)
     if hooks.fused_zu is not None:
@@ -509,7 +541,12 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
         def cond(carry: _Carry):
             return jnp.logical_and(carry.k < N, jnp.logical_not(carry.done))
 
-        def step(carry: _Carry):
+        def step(carry: _Carry, frozen):
+            # ``frozen`` gates this sub-step (unrolled_body): literal
+            # False at K=1 (helpers compile away), a traced scalar under
+            # unroll.  State updates select against it element-wise and
+            # history writes per-slot (freeze_helpers docstring).
+            sel, sel_slot = freeze_helpers(frozen)
             k = carry.k            # 0-based index of this iteration
             i = k + 1              # reference's 1-based iteration counter
             rho = carry.rho
@@ -645,41 +682,41 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
             # ---- history (admm.m:596-610) ---------------------------------
             h = carry.hist
             h = h._replace(
-                pnorm=h.pnorm.at[k].set(pnorm),
-                dnorm=h.dnorm.at[k].set(dnorm),
-                perr=h.perr.at[k].set(perr),
-                derr=h.derr.at[k].set(derr),
+                pnorm=sel_slot(h.pnorm, k, pnorm),
+                dnorm=sel_slot(h.dnorm, k, dnorm),
+                perr=sel_slot(h.perr, k, perr),
+                derr=sel_slot(h.derr, k, derr),
             )
             if cfg.objevals and obj_fn is not None:
-                h = h._replace(objvals=h.objvals.at[k].set(obj_fn(x, z)))
+                h = h._replace(objvals=sel_slot(h.objvals, k, obj_fn(x, z)))
             if needs_h:
-                h = h._replace(Hnormsq=h.Hnormsq.at[k].set(Hsq))
+                h = h._replace(Hnormsq=sel_slot(h.Hnormsq, k, Hsq))
             if alg == 2:
                 h = h._replace(
-                    dvals=h.dvals.at[k].set(d_new),
-                    restarted=h.restarted.at[k].set(restarted_i),
+                    dvals=sel_slot(h.dvals, k, d_new),
+                    restarted=sel_slot(h.restarted, k, restarted_i),
                 )
             if alg in (1, 2):
-                h = h._replace(avals=h.avals.at[k].set(a_new))
+                h = h._replace(avals=sel_slot(h.avals, k, a_new))
             if cfg.record_iterates:
                 h = h._replace(
-                    xvals=h.xvals.at[k].set(x),
-                    zvals=h.zvals.at[k].set(z),
-                    uvals=h.uvals.at[k].set(u),
+                    xvals=sel_slot(h.xvals, k, x),
+                    zvals=sel_slot(h.zvals, k, z),
+                    uvals=sel_slot(h.uvals, k, u),
                     # Under rbadaptive u was rescaled above (u/factor)
                     # and rho_new = rho*factor, so rho_new*u preserves the
                     # scaled-dual product rho*u_pre; elsewhere the
                     # reference records with the CURRENT rho (adaptation
                     # happens after recording, admm.m:596-610 vs 724).
-                    wvals=h.wvals.at[k].set(jnp.concatenate(
+                    wvals=sel_slot(h.wvals, k, jnp.concatenate(
                         [x.ravel(), z.ravel(),
                          ((rho_new if cfg.rbadaptive else rho) * u).ravel()]
                     )),
                 )
                 if alg:
                     h = h._replace(
-                        vvals=h.vvals.at[k].set(v_new),
-                        uhatvals=h.uhatvals.at[k].set(uhat_new),
+                        vvals=sel_slot(h.vvals, k, v_new),
+                        uhatvals=sel_slot(h.uhatvals, k, uhat_new),
                     )
 
             # ---- per-iteration console table (admm.m:318-330, 661-673) ----
@@ -701,17 +738,22 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
                 )
 
             new = _Carry(
-                k=k + 1,
-                x=x, z=z, u=u, rho=rho_new,
-                v=v_new if alg else (), uhat=uhat_new if alg else (),
-                a=a_new if alg else (), d=d_new if alg == 2 else (),
-                wz=wz_new if needs_h else (), wu=wu_new if needs_h else (),
-                Hprev=Hsq if needs_h else (),
-                done=done,
-                diverged=carry.diverged | diverged_i,
+                k=sel(k, k + 1),
+                x=sel(carry.x, x), z=sel(carry.z, z), u=sel(carry.u, u),
+                rho=sel(carry.rho, rho_new),
+                v=sel(carry.v, v_new) if alg else (),
+                uhat=sel(carry.uhat, uhat_new) if alg else (),
+                a=sel(carry.a, a_new) if alg else (),
+                d=sel(carry.d, d_new) if alg == 2 else (),
+                wz=sel(carry.wz, wz_new) if needs_h else (),
+                wu=sel(carry.wu, wu_new) if needs_h else (),
+                Hprev=sel(carry.Hprev, Hsq) if needs_h else (),
+                done=sel(carry.done, done),
+                diverged=sel(carry.diverged, carry.diverged | diverged_i),
                 hist=h,
             )
-            # No explicit done-freeze needed at unroll=1: unbatched runs
+            # No explicit done-freeze needed at unroll=1 (frozen=False,
+            # every sel above is statically transparent): unbatched runs
             # never enter the body once cond is false, and under vmap
             # JAX's while_loop batching rule already per-lane-selects the
             # ENTIRE carry against the lane predicate (the done flag in

@@ -11,13 +11,18 @@ import dataclasses
 import time
 from functools import wraps
 
-from ..config import ADMMConfig
+from ..config import ADMMConfig, resolve_unroll
 
 
-def merge_config(config: ADMMConfig, overrides: dict) -> ADMMConfig:
+def merge_config(config: ADMMConfig, overrides: dict,
+                 body: str = "default") -> ADMMConfig:
     """Apply keyword overrides to a config (the reference's pattern of
-    solvers mutating the options struct before calling admm)."""
-    return dataclasses.replace(config, **overrides) if overrides else config
+    solvers mutating the options struct before calling admm), then
+    resolve ``unroll='auto'`` for the wrapper's iteration-body class
+    (config.resolve_unroll; a no-op for concrete unroll ints)."""
+    if overrides:
+        config = dataclasses.replace(config, **overrides)
+    return resolve_unroll(config, body)
 
 
 def bind_data(prox_f, prox_g, obj, data):

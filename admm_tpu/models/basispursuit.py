@@ -84,7 +84,7 @@ def basispursuit(D=None, s=None, config: ADMMConfig = ADMMConfig(), *,
         res, _test = basispursuittest(quiet=False)
         return res
     check_data_vector(D, s)
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="gemv")
     D = jnp.asarray(D)
     n = D.shape[1]
     prox_f, prox_g, obj, data = make_prox_ops(D, s, config)

@@ -46,7 +46,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ADMMConfig
+from ..config import ADMMConfig, resolve_unroll
 from ..linop import as_linop
 from ._common import merge_config
 from .huberfit import make_prox_ops as _huber_make_prox_ops
@@ -147,7 +147,7 @@ def lasso_batch(D, S, lams, config: ADMMConfig = ADMMConfig(), *,
     (s, D^T s, lam) are mapped.  ``stream_dtype`` applies to the shared
     fat-branch stream matrices exactly as in ``lasso``.
     """
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="batched")
     D = jnp.asarray(D)
     m, n = D.shape
     S = _check_batch(S, m, "S").astype(D.dtype)
@@ -176,7 +176,7 @@ def elasticnet_batch(D, S, lams, alphas=0.5, config: ADMMConfig = ADMMConfig(), 
     from .elasticnet import _obj, _prox_g
     from .lasso import make_ls_xprox
 
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="batched")
     D = jnp.asarray(D)
     m, n = D.shape
     S = _check_batch(S, m, "S").astype(D.dtype)
@@ -208,7 +208,7 @@ def grouplasso_batch(D, S, lams, groups, weights=None,
     from .grouplasso import _group_fns, resolve_groups
     from .lasso import make_ls_xprox
 
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="batched")
     D = jnp.asarray(D)
     m, n = D.shape
     S = _check_batch(S, m, "S").astype(D.dtype)
@@ -242,7 +242,7 @@ def nnls_batch(D, S, config: ADMMConfig = ADMMConfig(), *,
     from .nnls import _obj, _prox_g
     from .lasso import make_ls_xprox
 
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="batched")
     D = jnp.asarray(D)
     m, n = D.shape
     S = _check_batch(S, m, "S").astype(D.dtype)
@@ -275,7 +275,7 @@ def basispursuit_batch(D, S, config: ADMMConfig = ADMMConfig(), *,
 
     from .basispursuit import _obj, _prox_f, _prox_g
 
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="batched")
     D = jnp.asarray(D)
     m, n = D.shape
     if m >= n:
@@ -311,7 +311,7 @@ def tv_batch(S, lams, config: ADMMConfig = ADMMConfig(), *,
     signal-independent and shared across lanes; ``lams`` is a scalar or
     (B,) per-signal denoising strength.
     """
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="batched")
     S = jnp.asarray(S)
     if S.ndim != 2:
         raise ValueError(f"S must be a (B, n) batch of signals, got {S.shape}")
@@ -342,7 +342,7 @@ def covsel_batch(Ss, lams, config: ADMMConfig = ADMMConfig(), *,
     batched n^3 GEMM work for the MXU, whereas a batched eigh
     serializes badly on TPU.  ``lams`` is a scalar or (B,) vector.
     """
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="batched")
     from .covarianceselection import make_prox_ops as _covsel_make_prox_ops
 
     Ss = jnp.asarray(Ss)
@@ -379,7 +379,7 @@ def model_batch(P, Q, Rs, Ss, config: ADMMConfig = ADMMConfig(), *,
     """
     from .model import make_prox_ops as _model_make_prox_ops
 
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="batched")
     P = jnp.asarray(P)
     Q = jnp.asarray(Q)
     n = P.shape[1]
@@ -415,7 +415,7 @@ def tv2d_batch(Ss, lams, config: ADMMConfig = ADMMConfig(), *,
     """
     from .totalvariation2d import make_prox_ops as _tv2d_make_prox_ops
 
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="batched")
     Ss = jnp.asarray(Ss)
     if Ss.ndim != 3:
         raise ValueError(
@@ -455,7 +455,7 @@ def lad_batch(D, S, config: ADMMConfig = ADMMConfig(), *,
               x0=None, z0=None, u0=None, mesh=None, **overrides) -> BatchResults:
     """Least absolute deviations for every right-hand side row of ``S``
     (shape (B, m)) against the shared design matrix ``D`` (m, n)."""
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="batched")
     prox_f, prox_g, obj, data, Dj, xz, zz, S = _rhs_batch(
         _lad_make_prox_ops, D, S, config)
     return _run(prox_f, prox_g, obj, config, {"s"}, data,
@@ -468,7 +468,7 @@ def huberfit_batch(D, S, config: ADMMConfig = ADMMConfig(), *,
                    x0=None, z0=None, u0=None, mesh=None, **overrides) -> BatchResults:
     """Huber fitting for every right-hand side row of ``S`` (shape
     (B, m)) against the shared design matrix ``D`` (m, n)."""
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="batched")
     prox_f, prox_g, obj, data, Dj, xz, zz, S = _rhs_batch(
         _huber_make_prox_ops, D, S, config)
     return _run(prox_f, prox_g, obj, config, {"s"}, data,
@@ -525,7 +525,7 @@ def lp_batch(bs, D, Ss, config: ADMMConfig = ADMMConfig(), *,
     """
     from ..ops.solve import kkt_eq_solver
 
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="batched")
     if config.dynamic_rho:
         raise ValueError(
             "lp_batch folds the KKT solve at a fixed rho; adaptive/"
@@ -627,7 +627,7 @@ def qp_batch(P, Qs, rs, cons1, cons2, config: ADMMConfig = ADMMConfig(), *,
     """
     from ..ops.solve import SymShiftSolver, kkt_eq_solver
 
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="batched")
     if config.dynamic_rho:
         raise ValueError(
             "qp_batch folds the x-update at a fixed rho; adaptive/"
@@ -738,7 +738,7 @@ def svm_batch(D, ells, C, config: ADMMConfig = ADMMConfig(), *,
     # path must do the same or lanes stop differently from solo runs.
     overrides["stopcond"] = "both"
     overrides["nodualerror"] = True
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="batched")
     from .linearsvm import make_prox_ops as _svm_make_prox_ops
     from .unwrapped import _prox_f as _unwrapped_prox_f
 

@@ -119,7 +119,7 @@ def covarianceselection(D=None, lam=None, config: ADMMConfig = ADMMConfig(), *,
 
         res, _test = covarianceselectiontest(quiet=False)
         return res
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="heavy")
     D = jnp.asarray(D)
     S = empirical_covariance(D)
     n = S.shape[0]

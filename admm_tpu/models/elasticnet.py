@@ -70,7 +70,7 @@ def elasticnet(D, s, lam, alpha=0.5, config: ADMMConfig = ADMMConfig(), *,
     ``lam``.  Constraint wiring x - z = 0 as in lasso (lasso.m:226-239).
     """
     check_data_vector(D, s)
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="gemv")
     D = jnp.asarray(D)
     n = D.shape[1]
     prox_f, prox_g, obj, data = make_prox_ops(D, s, lam, alpha, config,

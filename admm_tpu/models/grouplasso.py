@@ -143,7 +143,7 @@ def grouplasso(D, s, lam, groups, weights=None,
     the cache; changing the count (or shapes/config) recompiles.
     """
     check_data_vector(D, s)
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="gemv")
     D = jnp.asarray(D)
     n = D.shape[1]
     prox_f, prox_g, obj, data = make_prox_ops(D, s, lam, groups, weights,

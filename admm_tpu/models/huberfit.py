@@ -77,7 +77,7 @@ def huberfit(D=None, s=None, config: ADMMConfig = ADMMConfig(), *,
 
         res, _test = huberfittest(quiet=False)
         return res
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="gemv")
     D = jnp.asarray(D)
     s = jnp.asarray(s)
     m, n = D.shape

@@ -74,7 +74,7 @@ def lad(D=None, s=None, config: ADMMConfig = ADMMConfig(), *,
 
         res, _test = ladtest(quiet=False)
         return res
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="gemv")
     D = jnp.asarray(D)
     s = jnp.asarray(s)
     m, n = D.shape

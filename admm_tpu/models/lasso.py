@@ -152,7 +152,7 @@ def lasso(D=None, s=None, lam=None, config: ADMMConfig = ADMMConfig(), *, stream
         res, _test = lassotest(quiet=False)
         return res
     check_data_vector(D, s)
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="gemv")
     if parallel:
         if x0 is not None or u0 is not None:
             raise ValueError(

@@ -97,7 +97,10 @@ def linearprogram(b=None, D=None, s=None, config: ADMMConfig = ADMMConfig(),
         res, _test = linearprogramtest(quiet=False)
         return res
     check_data_vector(D, s)
-    config = merge_config(config, overrides)
+    # affine mode is a one-GEMV body ('gemv'); the factored chol apply is
+    # triangular-sweep dominated and measured SLOWER unrolled ('heavy').
+    config = merge_config(config, overrides,
+                          body="gemv" if kkt_mode == "affine" else "heavy")
     D = jnp.asarray(D)
     n = D.shape[1]
     prox_f, prox_g, obj, data = make_prox_ops(b, D, s, config,

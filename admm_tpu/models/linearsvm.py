@@ -111,7 +111,7 @@ def linearsvm(
         res, _, _test = linearsvmtest(quiet=False)
         return res
     check_data_vector(D, ell, sname="ell")
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="gemv")
     if parallel:
         from ..parallel import linearsvm_sharded
 

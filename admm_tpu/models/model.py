@@ -87,7 +87,7 @@ def model(P=None, Q=None, r=None, s=None, config: ADMMConfig = ADMMConfig(), *,
 
         res, _test = modeltest(quiet=False)
         return res
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="gemv")
     P = jnp.asarray(P)
     n = P.shape[1]
     prox_f, prox_g, obj, data = make_prox_ops(P, Q, r, s, config)

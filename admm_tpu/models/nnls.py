@@ -49,7 +49,7 @@ def nnls(D, s, config: ADMMConfig = ADMMConfig(), *, stream_dtype=None,
     """Solve nonnegative least squares; ``results.zopt`` is the feasible
     (projected) solution."""
     check_data_vector(D, s)
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="gemv")
     D = jnp.asarray(D)
     n = D.shape[1]
     prox_f, prox_g, obj, data = make_prox_ops(D, s, config, stream_dtype)

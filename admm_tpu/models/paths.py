@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ADMMConfig
+from ..config import ADMMConfig, resolve_unroll
 from ..engine import Hooks, _build_runner, _with_matmul_precision
 from ..linop import as_linop
 from .lasso import make_prox_ops as _lasso_make_prox_ops
@@ -94,7 +94,7 @@ def lasso_path(D, s, lams, config: ADMMConfig = ADMMConfig(), **overrides) -> Pa
     ``'default'`` (bf16 passes) 750k (+74%) with up to percent-level
     gaps the soft-threshold iteration tolerates.
     """
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="batched")
     D = jnp.asarray(D)
     n = D.shape[1]
     lams = jnp.asarray(lams, D.dtype)
@@ -135,7 +135,7 @@ def covsel_path(D, lams, config: ADMMConfig = ADMMConfig(), *,
     empirical covariance is shared across the path — only the scalar
     lambda is mapped).
     """
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="batched")
     from .covarianceselection import empirical_covariance
 
     S = empirical_covariance(jnp.asarray(D))
@@ -176,7 +176,7 @@ def tv_path(s, lams, config: ADMMConfig = ADMMConfig(), *,
     (I + rho D^T D) solve — is lambda-independent, so the whole path
     shares one factorization and only the scalar threshold is mapped.
     """
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="batched")
     from .totalvariation import make_prox_ops as _tv_make_prox_ops
 
     s = jnp.asarray(s)
@@ -215,7 +215,7 @@ def linearsvm_c_path(D, ell, Cs, config: ADMMConfig = ADMMConfig(), *,
     so each lane stops identically to a solo run."""
     overrides["stopcond"] = "both"
     overrides["nodualerror"] = True
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="batched")
     D = jnp.asarray(D)
     m, n = D.shape
     Cs = jnp.asarray(Cs, D.dtype)

@@ -141,7 +141,10 @@ def quadraticprogram(
 
         res, _test = quadraticprogramtest(quiet=False)
         return res
-    config = merge_config(config, overrides)
+    # affine KKT fold = one-GEMV body ('gemv'); chol mode's triangular
+    # sweeps measured slower unrolled ('heavy').
+    config = merge_config(config, overrides,
+                          body="gemv" if kkt_mode == "affine" else "heavy")
     P = jnp.asarray(P)
     q = jnp.asarray(q)
     n = P.shape[0]

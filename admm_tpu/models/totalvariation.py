@@ -128,7 +128,7 @@ def totalvariation(s=None, lam=None, config: ADMMConfig = ADMMConfig(), *,
 
         res, _test = totalvariationtest(quiet=False)
         return res
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="gemv")
     s = jnp.asarray(s)
     n = s.shape[0]
     prox_f, prox_g, obj, data, D = make_prox_ops(s, lam, config, solver)

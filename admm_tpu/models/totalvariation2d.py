@@ -132,7 +132,7 @@ def _registry_entry(S, lam, config=ADMMConfig(), **_):
 def totalvariation2d(S, lam, config: ADMMConfig = ADMMConfig(), *,
                      x0=None, z0=None, u0=None, **overrides) -> ADMMResults:
     """Denoise an image by anisotropic 2-D TV."""
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="gemv")
     S = jnp.asarray(S)
     m, n = S.shape
     prox_f, prox_g, obj, data, A = make_prox_ops(S, lam, config)

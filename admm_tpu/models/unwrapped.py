@@ -64,7 +64,7 @@ def unwrappedadmm(
     # semantics but respect the caller's iteration budget.
     overrides.setdefault("stopcond", "both")
     overrides.setdefault("nodualerror", True)
-    config = merge_config(config, overrides)
+    config = merge_config(config, overrides, body="gemv")
 
     D = jnp.asarray(D)
     m, n = D.shape

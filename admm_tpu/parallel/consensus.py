@@ -95,9 +95,10 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import ADMMConfig
+from ..config import ADMMConfig, resolve_unroll
 from ..engine import (_with_matmul_precision, adaptive_rho_update,
-                      fast_update, residual_balance_factor, unrolled_body)
+                      fast_update, freeze_helpers, residual_balance_factor,
+                      unrolled_body)
 from ..ops.prox import soft_threshold
 from ..results import ADMMResults
 from .mesh import make_mesh, pad_rows, shard_rows
@@ -170,7 +171,11 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
         def cond(c):
             return jnp.logical_and(c["k"] < N, jnp.logical_not(c["done"]))
 
-        def step(c):
+        def step(c, frozen):
+            # freeze gating (engine.freeze_helpers): literal False at
+            # K=1, traced scalar under unroll — state selects fuse,
+            # history writes gate per-slot.
+            sel, sel_slot = freeze_helpers(frozen)
             k = c["k"]
             i = k + 1  # reference's 1-based counter
             rho = c["rho"]
@@ -307,42 +312,45 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
                 ubar = ubar / factor
 
             h = dict(c["hist"])
-            h["pnorm"] = h["pnorm"].at[k].set(pnorm)
-            h["dnorm"] = h["dnorm"].at[k].set(dnorm)
-            h["perr"] = h["perr"].at[k].set(perr)
-            h["derr"] = h["derr"].at[k].set(derr)
+            h["pnorm"] = sel_slot(h["pnorm"], k, pnorm)
+            h["dnorm"] = sel_slot(h["dnorm"], k, dnorm)
+            h["perr"] = sel_slot(h["perr"], k, perr)
+            h["derr"] = sel_slot(h["derr"], k, derr)
             if needs_h:
-                h["Hnormsq"] = h["Hnormsq"].at[k].set(Hsq)
+                h["Hnormsq"] = sel_slot(h["Hnormsq"], k, Hsq)
             if alg == 2:
-                h["dvals"] = h["dvals"].at[k].set(d_new)
-                h["restarted"] = h["restarted"].at[k].set(restarted_i)
+                h["dvals"] = sel_slot(h["dvals"], k, d_new)
+                h["restarted"] = sel_slot(h["restarted"], k, restarted_i)
             if alg:
-                h["avals"] = h["avals"].at[k].set(a_new)
+                h["avals"] = sel_slot(h["avals"], k, a_new)
             if config.record_iterates:
-                h["xvals"] = h["xvals"].at[k].set(xbar)
-                h["zvals"] = h["zvals"].at[k].set(z)
+                h["xvals"] = sel_slot(h["xvals"], k, xbar)
+                h["zvals"] = sel_slot(h["zvals"], k, z)
                 # ubar is post-rescale under rbadaptive (so uvals agrees
                 # with uopt); rho_new * ubar then preserves the
                 # scaled-dual product rho*ubar_pre — the engine's exact
                 # wvals rule (engine.py history block).
-                h["uvals"] = h["uvals"].at[k].set(ubar)
-                h["wvals"] = h["wvals"].at[k].set(jnp.concatenate(
+                h["uvals"] = sel_slot(h["uvals"], k, ubar)
+                h["wvals"] = sel_slot(h["wvals"], k, jnp.concatenate(
                     [xbar, z,
                      (rho_new if config.rbadaptive else rho) * ubar]))
                 if alg:
-                    h["vvals"] = h["vvals"].at[k].set(v_new)
+                    h["vvals"] = sel_slot(h["vvals"], k, v_new)
 
             return {
-                "k": k + 1,
-                "xi": xi, "z": z, "ui": ui,
-                "xbar_prev": xbar,
-                "v": v_new if alg else (), "uhat": uhat_new if alg else (),
-                "a": a_new if alg else (), "d": d_new if alg == 2 else (),
-                "wu_prev": wu_new if needs_h else (),
-                "rho": rho_new,
-                "done": done,
-                "diverged": c["diverged"] | diverged_i,
-                "Hprev": Hsq if needs_h else c["Hprev"],
+                "k": sel(k, k + 1),
+                "xi": sel(c["xi"], xi), "z": sel(c["z"], z),
+                "ui": sel(c["ui"], ui),
+                "xbar_prev": sel(c["xbar_prev"], xbar),
+                "v": sel(c["v"], v_new) if alg else (),
+                "uhat": sel(c["uhat"], uhat_new) if alg else (),
+                "a": sel(c["a"], a_new) if alg else (),
+                "d": sel(c["d"], d_new) if alg == 2 else (),
+                "wu_prev": sel(c["wu_prev"], wu_new) if needs_h else (),
+                "rho": sel(c["rho"], rho_new),
+                "done": sel(c["done"], done),
+                "diverged": sel(c["diverged"], c["diverged"] | diverged_i),
+                "Hprev": sel(c["Hprev"], Hsq) if needs_h else c["Hprev"],
                 "hist": h,
             }
 
@@ -410,6 +418,9 @@ def consensus_admm(
     if z0.shape != (n,):
         raise ValueError(f"z0 must have shape {(n,)}; got {z0.shape}")
 
+    # consensus bodies are GEMV-class but carry collective/carry overhead;
+    # the measured balanced setting is the default (docs/RESULTS.md).
+    config = resolve_unroll(config, "default")
     runner = _cached_consensus_runner(local_prox, global_prox, config, W, n)
     data, xi0, ui0, z0 = jax.block_until_ready((data, xi0, ui0, z0))
     t0 = time.perf_counter()  # loop-only wall clock

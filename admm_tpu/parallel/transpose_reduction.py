@@ -45,9 +45,10 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import ADMMConfig
+from ..config import ADMMConfig, resolve_unroll
 from ..engine import (_with_matmul_precision, adaptive_rho_update,
-                      fast_update, residual_balance_factor, unrolled_body)
+                      fast_update, freeze_helpers, residual_balance_factor,
+                      unrolled_body)
 from ..ops.prox import hinge_prox, zero_one_prox
 from ..results import ADMMResults
 from .mesh import make_mesh, pad_rows, shard_rows
@@ -153,6 +154,7 @@ def unwrapped_admm_sharded(
     z0 = _row_state(z0, kz, "z0")
     u0 = _row_state(u0, ku, "u0")
 
+    config = resolve_unroll(config, "gemv")  # per-shard matvec body
     runner = _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global, config, m)
     jax.block_until_ready((Winv, x0, z0, u0, mask, aux_dev))
     t0 = time.perf_counter()  # loop-only wall clock (setup flushed above)
@@ -231,7 +233,10 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
         def cond(c):
             return jnp.logical_and(c["k"] < N, jnp.logical_not(c["done"]))
 
-        def step(c):
+        def step(c, frozen):
+            # freeze gating (engine.freeze_helpers): literal False at
+            # K=1, traced scalar under unroll.
+            sel, sel_slot = freeze_helpers(frozen)
             k = c["k"]
             i = k + 1
             rho = c["rho"]
@@ -348,31 +353,34 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
 
             # ---- history ---------------------------------------------------
             h = dict(c["hist"])
-            h["pnorm"] = h["pnorm"].at[k].set(pnorm)
-            h["perr"] = h["perr"].at[k].set(perr)
+            h["pnorm"] = sel_slot(h["pnorm"], k, pnorm)
+            h["perr"] = sel_slot(h["perr"], k, perr)
             if need_dual:
-                h["dnorm"] = h["dnorm"].at[k].set(dnorm)
-                h["derr"] = h["derr"].at[k].set(derr)
+                h["dnorm"] = sel_slot(h["dnorm"], k, dnorm)
+                h["derr"] = sel_slot(h["derr"], k, derr)
             if needs_h:
-                h["Hnormsq"] = h["Hnormsq"].at[k].set(Hsq)
+                h["Hnormsq"] = sel_slot(h["Hnormsq"], k, Hsq)
             if alg == 2:
-                h["dvals"] = h["dvals"].at[k].set(d_new)
-                h["restarted"] = h["restarted"].at[k].set(restarted_i)
+                h["dvals"] = sel_slot(h["dvals"], k, d_new)
+                h["restarted"] = sel_slot(h["restarted"], k, restarted_i)
             if alg:
-                h["avals"] = h["avals"].at[k].set(a_new)
+                h["avals"] = sel_slot(h["avals"], k, a_new)
             if config.record_iterates:
-                h["xvals"] = h["xvals"].at[k].set(x)
+                h["xvals"] = sel_slot(h["xvals"], k, x)
 
             return {
-                "k": k + 1,
-                "x": x, "z": zi, "u": ui, "rho": rho_new,
-                "v": v_new if alg else (), "uhat": uhat_new if alg else (),
-                "a": a_new if alg else (), "d": d_new if alg == 2 else (),
-                "wz": wz_new if needs_h else (),
-                "wu": wu_new if needs_h else (),
-                "Hprev": Hsq if needs_h else (),
-                "done": done,
-                "diverged": c["diverged"] | diverged_i,
+                "k": sel(k, k + 1),
+                "x": sel(c["x"], x), "z": sel(c["z"], zi),
+                "u": sel(c["u"], ui), "rho": sel(c["rho"], rho_new),
+                "v": sel(c["v"], v_new) if alg else (),
+                "uhat": sel(c["uhat"], uhat_new) if alg else (),
+                "a": sel(c["a"], a_new) if alg else (),
+                "d": sel(c["d"], d_new) if alg == 2 else (),
+                "wz": sel(c["wz"], wz_new) if needs_h else (),
+                "wu": sel(c["wu"], wu_new) if needs_h else (),
+                "Hprev": sel(c["Hprev"], Hsq) if needs_h else (),
+                "done": sel(c["done"], done),
+                "diverged": sel(c["diverged"], c["diverged"] | diverged_i),
                 "hist": h,
             }
 

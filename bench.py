@@ -45,5 +45,11 @@ if __name__ == "__main__":
         from admm_tpu.benchmarks.matrix import main as matrix_main
 
         matrix_main(smoke="--smoke" in sys.argv)
+    elif "--sweep" in sys.argv:
+        # On-device multi-scale solvertester sweep (the reference's
+        # harness run on TPU f32); writes BENCH_SWEEP.json.
+        from admm_tpu.benchmarks.sweep import main as sweep_main
+
+        sweep_main(smoke="--smoke" in sys.argv)
     else:
         main(smoke="--smoke" in sys.argv)

@@ -259,6 +259,30 @@ def test_unroll_respects_maxiters_cap():
 def test_unroll_validation():
     with pytest.raises(ValueError, match="unroll"):
         ADMMConfig(unroll=0)
+    with pytest.raises(ValueError, match="unroll"):
+        ADMMConfig(unroll="fastest")
+
+
+def test_unroll_auto_resolution():
+    """unroll='auto' resolves per body class in the wrappers (gemv -> 16,
+    heavy -> 1, engine-direct -> 4) and never reaches a runner cache
+    unresolved; auto solves match explicit-unroll solves bit-for-bit."""
+    from admm_tpu.config import _AUTO_UNROLL, resolve_unroll
+
+    cfg = ADMMConfig(unroll="auto")
+    assert not cfg.resolved
+    assert resolve_unroll(cfg, "gemv").unroll == _AUTO_UNROLL["gemv"]
+    assert resolve_unroll(cfg, "heavy").unroll == 1
+    assert resolve_unroll(cfg, "batched").unroll == 1
+    assert resolve_unroll(ADMMConfig(unroll=7), "gemv").unroll == 7  # no-op
+
+    P, Q, r, s, _ = _instance()
+    auto = model(P, Q, r, s, ADMMConfig(maxiters=400, unroll="auto"))
+    explicit = model(P, Q, r, s,
+                     ADMMConfig(maxiters=400, unroll=_AUTO_UNROLL["gemv"]))
+    assert auto.steps == explicit.steps
+    np.testing.assert_array_equal(np.asarray(auto.xopt),
+                                  np.asarray(explicit.xopt))
 
 
 def test_unroll_divergence_detection_exact():
