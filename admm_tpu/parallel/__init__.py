@@ -19,7 +19,8 @@ Three distributed forms, matching SURVEY.md section 2.7:
 """
 
 from .mesh import make_mesh, pad_rows, shard_rows
-from .consensus import consensus_admm, consensus_lasso
+from .consensus import (consensus_admm, consensus_elasticnet,
+                        consensus_lasso)
 from .transpose_reduction import unwrapped_admm_sharded, linearsvm_sharded
 from .sliced import make_parallel_proxes, make_sliced_prox
 from .multihost import global_mesh, initialize_cluster
@@ -31,6 +32,7 @@ __all__ = [
     "pad_rows",
     "shard_rows",
     "consensus_admm",
+    "consensus_elasticnet",
     "consensus_lasso",
     "unwrapped_admm_sharded",
     "linearsvm_sharded",

@@ -459,6 +459,16 @@ def _lasso_global_prox(xbar, ubar, rho, W, d):
     return soft_threshold(xbar + ubar, d["lam"] / (rho * W))
 
 
+def _elasticnet_global_prox(xbar, ubar, rho, W, d):
+    # prox of lam*(alpha ||z||_1 + (1-alpha)/2 ||z||^2) at weight rho*W
+    # (the consensus z-step averages W copies of the constraint):
+    # shrinkage then a uniform rescale — models/elasticnet._prox_g with
+    # rho -> rho*W, exactly as the lasso threshold gains the 1/W.
+    t = d["lam"] * d["alpha"] / (rho * W)
+    scale = 1.0 + d["lam"] * (1.0 - d["alpha"]) / (rho * W)
+    return soft_threshold(xbar + ubar, t) / scale
+
+
 @functools.lru_cache(maxsize=16)
 def _cached_lasso_setup_dyn(shard_spec):
     """Batched per-shard Gram eigh + D^T s (dynamic rho), jitted once per
@@ -493,26 +503,18 @@ def _cached_lasso_setup(shard_spec, rho):
     return jax.jit(body, out_shardings=(shard_spec, shard_spec))
 
 
-def consensus_lasso(
-    D,
-    s,
-    lam,
-    config: ADMMConfig = ADMMConfig(),
-    *,
-    mesh: Optional[Mesh] = None,
-    nshards: Optional[int] = None,
-    xi0=None,
-    ui0=None,
-    z0=None,
-) -> ADMMResults:
-    """Solve LASSO by consensus ADMM with data rows sharded over a mesh.
+def _sharded_ls_setup(D, s, config, mesh, nshards):
+    """Shared consensus setup for least-squares local solves: resolve the
+    mesh/shard count, shard the rows, and build the per-shard solve data
+    (rho-folded inverse for static rho — the reference's per-slice
+    Cholesky caches, getProxOps.m:404-442 — or a batched eigh for dynamic
+    rho).  The jitted setups are lru-cached on (sharding, rho) so repeat
+    solves (warm start, checkpoint resume) don't recompile setup.
 
-    Mirrors ``lasso(..., options.parallel)`` + the consensus closures
-    (solvers/lasso.m:196-224, getProxOps.m:367-442).  ``nshards`` defaults
-    to the mesh size (the reference defaults slices to the worker count,
-    errorcheck.m:240-265).  ``xi0``/``ui0``/``z0`` warm-start (resume)
-    the sharded state — see ``consensus_admm``.
-    """
+    Returns ``(local_prox, data, n, mesh, W)``; callers add the penalty
+    parameters to ``data`` and pick the global prox — the consensus
+    x-step is penalty-independent (all shrinkage-family problems share
+    the per-shard least-squares solve)."""
     if mesh is None:
         mesh = make_mesh()
     axis = mesh.axis_names[0]
@@ -540,24 +542,73 @@ def consensus_lasso(
     Di_dev = jax.device_put(jnp.asarray(Di), shard_spec)
     si_dev = jax.device_put(jnp.asarray(si), shard_spec)
 
-    # Per-shard setup, batched + sharded: Gram, D^T s, and either the
-    # rho-folded inverse (static rho; the reference's per-slice Cholesky
-    # caches, getProxOps.m:404-442) or a batched eigh (dynamic rho).
-    # The jitted setups are lru-cached on (sharding, rho) so repeat
-    # solves (warm start, checkpoint resume) don't recompile setup.
     if config.dynamic_rho:
         w, V, Dtsi = _cached_lasso_setup_dyn(shard_spec)(Di_dev, si_dev)
-        data = {"w": w, "V": V, "Dtsi": Dtsi, "lam": jnp.asarray(lam, Dtsi.dtype)}
-        return consensus_admm(
-            _lasso_local_prox_dynamic, _lasso_global_prox, data, n, config,
-            mesh=mesh, nshards=W, xi0=xi0, ui0=ui0, z0=z0,
-        )
-
+        return (_lasso_local_prox_dynamic,
+                {"w": w, "V": V, "Dtsi": Dtsi}, n, mesh, W)
     Minv, Dtsi = _cached_lasso_setup(shard_spec, float(config.rho))(
         Di_dev, si_dev)
-    data = {"Minv": Minv, "Dtsi": Dtsi, "lam": jnp.asarray(lam, Dtsi.dtype)}
+    return _lasso_local_prox, {"Minv": Minv, "Dtsi": Dtsi}, n, mesh, W
 
+
+def consensus_lasso(
+    D,
+    s,
+    lam,
+    config: ADMMConfig = ADMMConfig(),
+    *,
+    mesh: Optional[Mesh] = None,
+    nshards: Optional[int] = None,
+    xi0=None,
+    ui0=None,
+    z0=None,
+) -> ADMMResults:
+    """Solve LASSO by consensus ADMM with data rows sharded over a mesh.
+
+    Mirrors ``lasso(..., options.parallel)`` + the consensus closures
+    (solvers/lasso.m:196-224, getProxOps.m:367-442).  ``nshards`` defaults
+    to the mesh size (the reference defaults slices to the worker count,
+    errorcheck.m:240-265).  ``xi0``/``ui0``/``z0`` warm-start (resume)
+    the sharded state — see ``consensus_admm``.
+    """
+    local_prox, data, n, mesh, W = _sharded_ls_setup(D, s, config, mesh,
+                                                     nshards)
+    data["lam"] = jnp.asarray(lam, data["Dtsi"].dtype)
     return consensus_admm(
-        _lasso_local_prox, _lasso_global_prox, data, n, config,
+        local_prox, _lasso_global_prox, data, n, config,
+        mesh=mesh, nshards=W, xi0=xi0, ui0=ui0, z0=z0,
+    )
+
+
+def consensus_elasticnet(
+    D,
+    s,
+    lam,
+    alpha=0.5,
+    config: ADMMConfig = ADMMConfig(),
+    *,
+    mesh: Optional[Mesh] = None,
+    nshards: Optional[int] = None,
+    xi0=None,
+    ui0=None,
+    z0=None,
+) -> ADMMResults:
+    """Elastic net by consensus ADMM — the second instantiation of the
+    generic consensus engine (the reference's slice pattern,
+    admm.m:343-467, applied beyond its lasso case): same per-shard
+    least-squares x-solves as consensus_lasso, global z-prox the
+    elastic-net shrink-and-rescale at threshold lam*alpha/(rho W)
+    (models/elasticnet._prox_g with the consensus 1/W weighting).
+    ``alpha=1`` recovers consensus_lasso exactly.
+    """
+    if not 0.0 <= float(alpha) <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    local_prox, data, n, mesh, W = _sharded_ls_setup(D, s, config, mesh,
+                                                     nshards)
+    dt = data["Dtsi"].dtype
+    data["lam"] = jnp.asarray(lam, dt)
+    data["alpha"] = jnp.asarray(alpha, dt)
+    return consensus_admm(
+        local_prox, _elasticnet_global_prox, data, n, config,
         mesh=mesh, nshards=W, xi0=xi0, ui0=ui0, z0=z0,
     )
