@@ -6,10 +6,13 @@ module measures, on the real chip:
 
   * TIMING: ADMM iterations/sec for every solver family at
     production-ish shapes (fixed iteration count, domaxiters, loop-only
-    wall clock after a compile warm-up), plus an HBM roofline estimate —
-    bytes streamed per iteration / peak HBM bandwidth — because every
-    ADMM iteration here is bandwidth-bound (matvec streams), so
-    %-of-roofline is the meaningful efficiency lens, not MFU.
+    wall clock after a compile warm-up), plus an HBM stream estimate —
+    bytes streamed per iteration / peak HBM bandwidth.  The
+    %-of-roofline column is reported ONLY where that byte model is
+    valid: unrolled bodies whose operands fit VMEM amortize HBM traffic
+    across sub-iterations (the resident regime) and are instead
+    annotated, since their floor is the kernel-issue rate
+    (docs/RESULTS.md round-3 floor probes), not bandwidth.
   * ACCURACY: each solver's randomized oracle tester (testers/problems,
     same constructions as the reference testers) run on-device — inputs
     cast to f32 on TPU — with the truth/criteria still computed on host
@@ -47,7 +50,13 @@ def _run_twice(solve):
     return solve()
 
 
-def _row(name, shape, iters, res, bytes_per_iter=None, extra=None):
+# VMEM budget for the resident-reuse test (v5e: 128 MB; leave headroom
+# for the vector state and compiler scratch).
+_VMEM_BUDGET = 100 * 2**20
+
+
+def _row(name, shape, iters, res, bytes_per_iter=None, extra=None,
+         unrolled=True):
     # Bill throughput to the iterations that actually ran: a timing row
     # that NaN-exits early (nanguard) must not report an inflated rate.
     # Path rows carry per-lane step vectors; the batch runs until the
@@ -70,7 +79,18 @@ def _row(name, shape, iters, res, bytes_per_iter=None, extra=None):
     if bytes_per_iter:
         roof_ms = bytes_per_iter / (_HBM_GBPS * 1e9) * 1e3
         out["roofline_ms_per_iter"] = round(roof_ms, 4)
-        out["pct_of_roofline"] = round(100.0 * roof_ms * ips / 1e3, 1)
+        if unrolled and bytes_per_iter <= _VMEM_BUDGET:
+            # Unrolled body with VMEM-resident operands: XLA hoists the
+            # stream matrices across sub-iterations, so per-iteration HBM
+            # traffic amortizes by ~K and the naive two-stream byte model
+            # is NOT a valid efficiency denominator (rows were reading
+            # 105-123% "of roofline" — VERDICT r2 weak #2).  The floor in
+            # this regime is the kernel-issue rate (docs/RESULTS.md
+            # round-3 floor probes), so the % is dropped rather than
+            # faked.
+            out["roofline_note"] = "vmem-resident under unroll; % n/a"
+        else:
+            out["pct_of_roofline"] = round(100.0 * roof_ms * ips / 1e3, 1)
     if extra:
         out.update(extra)
     # Progress line per row (flushed: TPU compiles take minutes, so a
@@ -128,7 +148,7 @@ def timing_matrix(smoke=False):
     streams = 2 * m * n  # FatShiftSolver: two m-by-n matvec streams
     res = _run_twice(lambda: lasso(D, sv, lam, cfg(iters, unroll=1)))
     rows.append(_row("lasso_fat_f32_unroll1", f"{m}x{n}", iters, res,
-                     bytes_per_iter=streams * 4))
+                     bytes_per_iter=streams * 4, unrolled=False))
     res = _run_twice(lambda: lasso(D, sv, lam, cfg(iters)))
     rows.append(_row("lasso_fat_f32", f"{m}x{n}", iters, res,
                      bytes_per_iter=streams * 4))
@@ -211,7 +231,8 @@ def timing_matrix(smoke=False):
     res = _run_twice(lambda: linearprogram(blp, Dlp, slp, cfg(iters, unroll=1),
                                            kkt_mode="chol"))
     rows.append(_row("linearprogram_chol_f32", f"n={n}", iters, res,
-                     bytes_per_iter=3 * n * n * 4))  # Minv, MinvDt, tri pair
+                     bytes_per_iter=3 * n * n * 4,  # Minv, MinvDt, tri pair
+                     unrolled=False))
 
     # QP-standard uses its own well-conditioned constraint block: the
     # LP's reference-style all-positive D makes kappa(D Minv D^T) ~

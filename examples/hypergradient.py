@@ -93,5 +93,71 @@ def hypergradient_tuning(n=200, noise=0.25, steps=25, lr=0.3, seed=0,
     return history
 
 
+def consensus_hypergradient(m=512, n=24, steps=12, lr=0.4, seed=0,
+                            quiet=False):
+    """Hyperparameter learning over SHARDED data (round 3): the lasso
+    strength ``lam`` of a CONSENSUS solve — training rows sharded over
+    the device mesh — learned by descending a held-out MSE through the
+    sharded fixed point (admm_tpu.make_implicit_consensus_solver).  The
+    backward pass's consensus means compile to the same all-reduce
+    collectives as the forward solve, so the whole hypergradient loop
+    runs on the mesh.
+    """
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from admm_tpu import ADMMConfig, make_implicit_consensus_solver
+    from admm_tpu.parallel.consensus import (_cached_lasso_setup,
+                                             _lasso_global_prox,
+                                             _lasso_local_prox)
+    from admm_tpu.parallel.mesh import make_mesh, pad_rows, shard_rows
+
+    rng = np.random.default_rng(seed)
+    xtrue = rng.standard_normal(n) * (rng.random(n) < 0.4)
+    D = rng.standard_normal((m, n))
+    s = D @ xtrue + 0.1 * rng.standard_normal(m)
+    Dval = rng.standard_normal((m // 4, n))
+    sval = jnp.asarray(Dval @ xtrue + 0.1 * rng.standard_normal(m // 4))
+    Dval = jnp.asarray(Dval)
+
+    mesh = make_mesh()
+    W = mesh.devices.size
+    cfg = ADMMConfig(rho=1.0, maxiters=4000, abstol=1e-11, reltol=1e-11,
+                     quiet=True)
+    Dp, _ = pad_rows(D, W)
+    sp, _ = pad_rows(s, W)
+    spec = NamedSharding(mesh, P(mesh.axis_names[0]))
+    Di = jax.device_put(jnp.asarray(shard_rows(Dp, W)), spec)
+    si = jax.device_put(jnp.asarray(shard_rows(sp, W)), spec)
+    Minv, Dtsi = _cached_lasso_setup(spec, float(cfg.rho))(Di, si)
+
+    solve = make_implicit_consensus_solver(
+        _lasso_local_prox, _lasso_global_prox, cfg, n, W)
+
+    @jax.jit
+    def loss_and_grad(loglam):
+        def val_mse(ll):
+            data = {"Minv": Minv, "Dtsi": Dtsi, "lam": jnp.exp(ll)}
+            _, z, _ = solve(data)
+            return jnp.mean((Dval @ z - sval) ** 2)
+        return jax.value_and_grad(val_mse)(loglam)
+
+    loglam = jnp.asarray(float(np.log(50.0)))  # deliberately over-shrunk
+    history = []
+    for k in range(steps):
+        val, g = loss_and_grad(loglam)
+        history.append((float(jnp.exp(loglam)), float(val)))
+        if not quiet:
+            print(f"step {k:2d}: lam = {float(jnp.exp(loglam)):8.4f}  "
+                  f"val MSE = {float(val):.5f}  grad = {float(g):+.5f}")
+        loglam = loglam - lr * jnp.sign(g) * jnp.minimum(jnp.abs(g) * 10, 1.0)
+
+    if not quiet:
+        print(f"\nlearned lam = {history[-1][0]:.4f}: "
+              f"val MSE {history[-1][1]:.5f} (start {history[0][1]:.5f})")
+    return history
+
+
 if __name__ == "__main__":
     hypergradient_tuning()
+    consensus_hypergradient()

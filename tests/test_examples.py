@@ -180,3 +180,17 @@ def test_hypergradient_tuning_improves_mse():
     # The hypergradient must actually move lam and reduce the MSE.
     assert lams[-1] > 2 * lams[0]
     assert mses[-1] < 0.8 * mses[0]
+
+
+def test_consensus_hypergradient_improves_val_mse():
+    """Hyperparameter learning through the SHARDED consensus fixed point
+    on the 8-virtual-device mesh (the round-3 differentiable-distributed
+    path, exercised end-to-end as a user would run it)."""
+    from examples.hypergradient import consensus_hypergradient
+
+    hist = consensus_hypergradient(m=256, n=12, steps=6, quiet=True)
+    lams = [h[0] for h in hist]
+    mses = [h[1] for h in hist]
+    # Started deliberately over-shrunk: lam must fall and val MSE improve.
+    assert lams[-1] < 0.5 * lams[0]
+    assert mses[-1] < 0.8 * mses[0]
