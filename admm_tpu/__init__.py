@@ -22,6 +22,7 @@ from .models import (
     basispursuit,
     covarianceselection,
     elasticnet,
+    quantile,
     get_prox_ops,
     grouplasso,
     huberfit,
@@ -47,6 +48,7 @@ from .models.batch import (
     grouplasso_batch,
     huberfit_batch,
     lad_batch,
+    quantile_batch,
     lasso_batch,
     lp_batch,
     model_batch,
@@ -80,6 +82,7 @@ __all__ = [
     "model",
     "lasso",
     "elasticnet",
+    "quantile",
     "grouplasso",
     "nnls",
     "basispursuit",
@@ -102,6 +105,7 @@ __all__ = [
     "nnls_batch",
     "tv_batch",
     "lad_batch",
+    "quantile_batch",
     "huberfit_batch",
     "basispursuit_batch",
     "covsel_batch",

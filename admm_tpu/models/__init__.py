@@ -34,6 +34,7 @@ from .elasticnet import elasticnet  # noqa: E402
 from .grouplasso import grouplasso  # noqa: E402
 from .huberfit import huberfit  # noqa: E402
 from .lad import lad  # noqa: E402
+from .quantile import quantile  # noqa: E402
 from .lasso import lasso  # noqa: E402
 from .nnls import nnls  # noqa: E402
 from .linearprogram import linearprogram  # noqa: E402
@@ -56,6 +57,7 @@ __all__ = [
     "totalvariation",
     "totalvariation2d",
     "lad",
+    "quantile",
     "huberfit",
     "linearprogram",
     "quadraticprogram",

@@ -476,6 +476,39 @@ def huberfit_batch(D, S, config: ADMMConfig = ADMMConfig(), *,
                 mesh=mesh, warm=(x0, z0, u0))
 
 
+@_highest_precision_setup
+def quantile_batch(D, S, taus, config: ADMMConfig = ADMMConfig(), *,
+                   x0=None, z0=None, u0=None, mesh=None,
+                   **overrides) -> BatchResults:
+    """Quantile regression lanes against the shared design ``D`` (m, n):
+    each lane has its own right-hand side row of ``S`` ((B, m), or one
+    shared (m,) vector broadcast) AND its own quantile level (``taus``
+    scalar or (B,)) — the classic multi-quantile estimate (a tau grid
+    over one dataset) is one vmapped program sharing the single
+    normal-equations factorization."""
+    from .quantile import make_prox_ops as _quantile_make_prox_ops
+
+    config = merge_config(config, overrides, body="batched")
+    D = jnp.asarray(D)
+    m, n = D.shape
+    S = jnp.asarray(S, D.dtype)
+    Bn = _lane_count((S, 1), (taus, 0))
+    S = _broadcast_lane(S, Bn, (m,), D.dtype, "S")
+    taus_arr = jnp.broadcast_to(jnp.asarray(taus, D.dtype), (Bn,))
+    if not (jnp.all(taus_arr > 0) and jnp.all(taus_arr < 1)):
+        raise ValueError("every tau must be in (0, 1)")
+    prox_f, prox_g, obj, data = _quantile_make_prox_ops(
+        D, S[0], float(taus_arr[0]), config)
+    data = dict(data)
+    data["s"] = S
+    data["tau"] = taus_arr
+    xz = jnp.zeros((Bn, n), D.dtype)
+    zz = jnp.zeros((Bn, m), D.dtype)
+    return _run(prox_f, prox_g, obj, config, {"s", "tau"}, data,
+                xz, zz, zz, S, as_linop(D), as_linop(-1.0),
+                mesh=mesh, warm=(x0, z0, u0))
+
+
 def _broadcast_lane(v, Bn, shape1, dtype, what):
     """Coerce ``v`` to a (Bn, *shape1) per-lane stack (broadcasting a
     shared 1-instance value across lanes)."""

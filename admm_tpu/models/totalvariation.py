@@ -128,9 +128,17 @@ def totalvariation(s=None, lam=None, config: ADMMConfig = ADMMConfig(), *,
 
         res, _test = totalvariationtest(quiet=False)
         return res
-    config = merge_config(config, overrides, body="gemv")
     s = jnp.asarray(s)
     n = s.shape[0]
+    # The dense (eig-folded GEMV) body unrolls like any GEMV solver; the
+    # cyclic-reduction body is a log(n) sweep of small kernels and
+    # measured 45% SLOWER at K=16 than the balanced default (round-3
+    # matrix) — resolve the body class per solve path.
+    resolved = solver
+    if resolved == "auto":
+        resolved = "cr" if (n > 2048 and not config.dynamic_rho) else "dense"
+    config = merge_config(config, overrides,
+                          body="gemv" if resolved == "dense" else "default")
     prox_f, prox_g, obj, data, D = make_prox_ops(s, lam, config, solver)
     return admm(
         prox_f, prox_g, config,

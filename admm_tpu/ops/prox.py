@@ -20,6 +20,23 @@ def soft_threshold(v, t):
     return jnp.sign(v) * jnp.maximum(jnp.abs(v) - t, 0.0)
 
 
+def asymmetric_soft_threshold(v, t_pos, t_neg):
+    """Two-sided shrinkage with different thresholds per sign:
+
+        v - t_pos   if v >  t_pos
+        v + t_neg   if v < -t_neg
+        0           otherwise
+
+    — the prox of the pinball (quantile) loss ``tau*max(v,0) +
+    (1-tau)*max(-v,0)`` at thresholds ``(tau/rho, (1-tau)/rho)``.
+    ``t_pos = t_neg`` recovers :func:`soft_threshold`.  Written
+    where-free (two maxima) so XLA fuses it like the symmetric form.
+    Beyond the reference (its shrinkage family is symmetric,
+    getProxOps.m:933-938).
+    """
+    return jnp.maximum(v - t_pos, 0.0) - jnp.maximum(-v - t_neg, 0.0)
+
+
 def block_soft_threshold(v, t, gid, num_groups):
     """Group-wise shrinkage: each group g of ``v`` (membership ``gid``, a
     static int array) scales by max(0, 1 - t_g / ||v_g||_2).

@@ -239,3 +239,99 @@ def test_registry_entries(rng):
         z = pg(x, jnp.zeros(20), jnp.zeros(20), 1.0)
         assert np.all(np.isfinite(np.asarray(z)))
         assert np.isfinite(float(obj(x, z)))
+
+
+class TestQuantileRegression:
+    """Quantile regression (models/quantile.py): pinball loss via the
+    asymmetric soft-threshold prox.  QR is an LP, so scipy linprog is an
+    exact oracle."""
+
+    def _lp_oracle(self, D, s, tau):
+        # min tau 1'p + (1-tau) 1'q  s.t.  Dx - s = p - q, p,q >= 0
+        from scipy.optimize import linprog
+
+        m, n = D.shape
+        cvec = np.r_[np.zeros(n), tau * np.ones(m), (1 - tau) * np.ones(m)]
+        A_eq = np.c_[D, -np.eye(m), np.eye(m)]
+        bounds = [(None, None)] * n + [(0, None)] * (2 * m)
+        out = linprog(cvec, A_eq=A_eq, b_eq=s, bounds=bounds, method="highs")
+        assert out.status == 0
+        return out.fun, out.x[:n]
+
+    @pytest.mark.parametrize("tau", [0.2, 0.5, 0.8])
+    def test_objective_matches_lp_oracle(self, rng, tau):
+        from admm_tpu import quantile
+
+        D, s = _instance(rng, m=80, n=12)
+        res = quantile(D, s, tau, _CFG, objevals=True)
+        f_lp, _ = self._lp_oracle(D, s, tau)
+        r = np.asarray(D @ np.asarray(res.xopt) - s)
+        f_admm = float(np.sum(np.maximum(tau * r, (tau - 1) * r)))
+        # No steps assertion: on this nonsmooth LP the iterates reach
+        # ~1e-6 relative objective then stall (standard ADMM tail
+        # behavior on LPs); the Boyd 1e-12 stop may never fire.
+        np.testing.assert_allclose(f_admm, f_lp, rtol=1e-5, atol=1e-9)
+
+    def test_tau_half_matches_lad(self, rng):
+        from admm_tpu import quantile
+        from admm_tpu.models.lad import lad
+
+        D, s = _instance(rng, m=100, n=10)
+        q = quantile(D, s, 0.5, _CFG)
+        l = lad(D, s, _CFG)
+        # Same minimizer (pinball_0.5 = 0.5 |.|); iterates differ, the
+        # limit must not.
+        np.testing.assert_allclose(np.asarray(q.xopt), np.asarray(l.xopt),
+                                   rtol=0, atol=2e-6)
+
+    def test_empirical_quantile_property(self, rng):
+        # At the optimum roughly (1 - tau) of the residuals Dx - s are
+        # positive (the pinball subgradient balance).
+        from admm_tpu import quantile
+
+        D = np.c_[np.ones(2000), rng.standard_normal((2000, 3))]
+        s = D @ np.array([1.0, 2.0, -1.0, 0.5]) + rng.standard_normal(2000)
+        for tau in (0.2, 0.8):
+            res = quantile(D, s, tau, ADMMConfig(maxiters=20000,
+                                                 abstol=1e-10, reltol=1e-10))
+            r = np.asarray(D @ np.asarray(res.xopt) - s)
+            frac_pos = float(np.mean(r > 0))
+            assert abs(frac_pos - (1 - tau)) < 0.04, (tau, frac_pos)
+
+    def test_validation(self, rng):
+        from admm_tpu import quantile
+
+        D, s = _instance(rng)
+        with pytest.raises(ValueError, match="tau"):
+            quantile(D, s, 0.0, _CFG)
+        with pytest.raises(ValueError, match="tau"):
+            quantile(D, s, 1.2, _CFG)
+
+    def test_relaxed_path(self, rng):
+        from admm_tpu import quantile
+
+        D, s = _instance(rng, m=80, n=12)
+        base = quantile(D, s, 0.3, _CFG)
+        rel = quantile(D, s, 0.3, _CFG, relax=1.5)
+        f = lambda x: float(np.sum(np.maximum(
+            0.3 * (D @ x - s), -0.7 * (D @ x - s))))
+        np.testing.assert_allclose(f(np.asarray(rel.xopt)),
+                                   f(np.asarray(base.xopt)), rtol=1e-6)
+
+    def test_batch_per_lane_taus_match_solo(self, rng):
+        from admm_tpu import quantile, quantile_batch
+
+        D, s = _instance(rng, m=80, n=12)
+        taus = np.array([0.2, 0.5, 0.8])
+        cfg = ADMMConfig(maxiters=8000, abstol=1e-11, reltol=1e-11)
+        out = quantile_batch(D, s, taus, config=cfg)
+        for i, tau in enumerate(taus):
+            solo = quantile(D, s, float(tau), cfg)
+            np.testing.assert_allclose(np.asarray(out.xopt[i]),
+                                       np.asarray(solo.xopt),
+                                       rtol=1e-8, atol=1e-10)
+
+    def test_registry_entry(self, rng):
+        D, s = _instance(rng, m=40, n=8)
+        pf, pg, obj = get_prox_ops("quantile", D=D, s=s, tau=0.3)
+        assert pf is not None and pg is not None and obj is not None
