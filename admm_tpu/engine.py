@@ -381,12 +381,15 @@ def freeze_helpers(frozen):
 
     Returns ``(sel, sel_slot)``: ``sel(old, new)`` keeps the old value on
     frozen sub-steps; ``sel_slot(buf, k, val)`` is the history write
-    ``buf.at[k].set(val)`` gated the same way (it restores the buffer's
-    own untouched slot — a SCALAR gather+select, not a whole-buffer
-    select; whole-(N,)-buffer selects per sub-step were measured at
-    ~10 us/iter of pure overhead on v5e at n=1024, K=16).  When
-    ``frozen`` is the literal Python bool False (the K=1 path), both
-    helpers are statically transparent, so the K=1 trace is unchanged.
+    ``buf.at[k].set(val)`` gated the same way — implemented by redirecting
+    the write index OUT OF BOUNDS and dropping it (``mode='drop'``), so a
+    frozen sub-step costs one scalar index select and no gather.  (The
+    two alternatives both measured slower on v5e: re-selecting whole (N,)
+    buffers per sub-step in the loop wrapper, and a per-slot
+    gather+select, which broke the VMEM-resident GEMV pipeline at K=64 —
+    headline 35.5k -> 28.6k iter/s.)  When ``frozen`` is the literal
+    Python bool False (the K=1 path), both helpers are statically
+    transparent, so the K=1 trace is unchanged.
     """
     if frozen is False:
         return (lambda old, new: new), (lambda buf, k, val: buf.at[k].set(val))
@@ -395,7 +398,8 @@ def freeze_helpers(frozen):
         return jnp.where(frozen, old, new)
 
     def sel_slot(buf, k, val):
-        return buf.at[k].set(jnp.where(frozen, buf[k], val))
+        k_write = jnp.where(frozen, jnp.asarray(buf.shape[0], k.dtype), k)
+        return buf.at[k_write].set(val, mode="drop")
 
     return sel, sel_slot
 

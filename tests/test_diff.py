@@ -487,6 +487,29 @@ class TestImplicitConsensus:
                          (lam0,), (jnp.ones_like(lam0),))
         np.testing.assert_allclose(g, dot, rtol=1e-6)
 
+    def test_generic_over_global_prox_elasticnet(self, rng):
+        # The factory is global-prox-generic: swap in the elastic-net
+        # prox and both hyperparameter gradients (lam AND alpha) must
+        # match finite differences.
+        from admm_tpu.diff import make_implicit_consensus_solver
+        from admm_tpu.parallel.consensus import (_elasticnet_global_prox,
+                                                 _lasso_local_prox)
+
+        W, n = 8, 10
+        _, _, data = _consensus_lasso_data(rng, W, n=n)
+        data = dict(data, alpha=jnp.asarray(0.6))
+        solve = make_implicit_consensus_solver(
+            _lasso_local_prox, _elasticnet_global_prox, _CFG, n, W)
+
+        for key in ("lam", "alpha"):
+            def loss_at(v, key=key):
+                _, z, _ = solve(dict(data, **{key: jnp.asarray(v)}))
+                return jnp.sum(z**2)
+
+            g = jax.grad(loss_at)(data[key])
+            np.testing.assert_allclose(g, _fd(loss_at, float(data[key])),
+                                       rtol=3e-4, atol=1e-8)
+
 
 class TestImplicitBatch:
     """Per-lane gradients through the instance-batched pattern
