@@ -130,16 +130,26 @@ def totalvariation(s=None, lam=None, config: ADMMConfig = ADMMConfig(), *,
         return res
     s = jnp.asarray(s)
     n = s.shape[0]
-    # The dense (eig-folded GEMV) body unrolls like any GEMV solver; the
-    # cyclic-reduction body is a log(n) sweep of small kernels and
-    # measured 45% SLOWER at K=16 than the balanced default (round-3
-    # matrix) — resolve the body class per solve path.
+    # Apply overrides BEFORE resolving the solve path: an override like
+    # adaptive=True flips dynamic_rho, which flips the auto dense/cr
+    # choice.  merge_config would resolve unroll='auto' prematurely, so
+    # replace directly and resolve once the path is known.
+    if overrides:
+        import dataclasses
+
+        config = dataclasses.replace(config, **overrides)
     resolved = solver
     if resolved == "auto":
         resolved = "cr" if (n > 2048 and not config.dynamic_rho) else "dense"
-    config = merge_config(config, overrides,
+    # The dense (eig-folded GEMV) body unrolls like any GEMV solver; the
+    # cyclic-reduction body is a log(n) sweep of small kernels and
+    # measured 45% SLOWER at K=16 than the balanced default (round-3
+    # matrix).
+    config = merge_config(config, {},
                           body="gemv" if resolved == "dense" else "default")
-    prox_f, prox_g, obj, data, D = make_prox_ops(s, lam, config, solver)
+    # Pass the RESOLVED path so this choice and make_prox_ops's cannot
+    # disagree (its own auto branch remains for direct callers).
+    prox_f, prox_g, obj, data, D = make_prox_ops(s, lam, config, resolved)
     return admm(
         prox_f, prox_g, config,
         A=D, B=-1.0, c=0.0, m=n, nA=n, nB=n,

@@ -111,10 +111,21 @@ def load_mnist(data_dir=None, n_train=6000, n_test=1000, seed=0):
     state); fully synthetic otherwise.  Returns
     ``((train_x, train_y), (test_x, test_y), source)`` where source is
     'real' | 'real-labels' | 'synthetic'."""
-    dirs = [Path(data_dir)] if data_dir is not None else list(_DEFAULT_DATA_DIRS)
-    d = next((p for p in dirs if (p / "train-labels.idx1-ubyte").exists()), None)
-    if d is None:
-        return (*synthetic_mnist(n_train, n_test, seed=seed), "synthetic")
+    if data_dir is not None:
+        # An EXPLICIT directory must contain the label files — a typo'd
+        # --data path silently training on synthetic digits would be the
+        # worst failure mode, so raise rather than degrade.
+        d = Path(data_dir)
+        if not (d / "train-labels.idx1-ubyte").exists():
+            raise FileNotFoundError(
+                f"{d}: no train-labels.idx1-ubyte; an explicit --data dir "
+                "must hold MNIST idx files (omit --data for the synthetic "
+                "fallback)")
+    else:
+        d = next((p for p in _DEFAULT_DATA_DIRS
+                  if (p / "train-labels.idx1-ubyte").exists()), None)
+        if d is None:
+            return (*synthetic_mnist(n_train, n_test, seed=seed), "synthetic")
 
     tr_y = read_idx_labels(d / "train-labels.idx1-ubyte")
     te_y = read_idx_labels(d / "t10k-labels.idx1-ubyte")

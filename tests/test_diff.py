@@ -376,6 +376,20 @@ class TestBackwardDivergenceDetection:
         g = jax.grad(loss)(jnp.asarray(0.5))
         assert np.isfinite(np.asarray(g))
 
+    def test_slow_contraction_is_warned_not_poisoned(self, rng):
+        # A contractive-but-slow adjoint that exits at vjp_maxiters must
+        # keep its partially-converged gradient (code-review r3: only a
+        # PROVEN blow-up may NaN-poison; a maxiters exit with finite
+        # shrinking residual gets the warning path).
+        data = _lasso_data(rng)
+        solve = make_implicit_solver(lasso_prox_f, lasso_prox_g, _CFG,
+                                     nA=8, nB=8, m=8, vjp_maxiters=3,
+                                     vjp_tol=1e-14)
+
+        g = jax.grad(lambda lam: jnp.sum(
+            solve(dict(data, lam=lam))[0] ** 2))(data["lam"])
+        assert np.isfinite(np.asarray(g))
+
 
 def _consensus_lasso_data(rng, W, m=64, n=10, lam=0.3, rho=1.0, dtype=None):
     """Build the consensus-lasso data pytree EXACTLY as consensus_lasso
@@ -486,6 +500,18 @@ class TestImplicitConsensus:
         _, dot = jax.jvp(lambda l: jnp.sum(s_j(dict(data, lam=l))[1] ** 2),
                          (lam0,), (jnp.ones_like(lam0),))
         np.testing.assert_allclose(g, dot, rtol=1e-6)
+
+    def test_accepts_unroll_auto(self, rng):
+        # unroll='auto' must resolve (not crash int('auto')) — the one
+        # entry point that missed resolve_unroll in round 3's first cut.
+        from admm_tpu.config import ADMMConfig as _C
+
+        W, n = 8, 10
+        _, _, data = _consensus_lasso_data(rng, W, n=n)
+        cfg = _C(rho=1.0, maxiters=2000, abstol=1e-10, reltol=1e-10,
+                 quiet=True, unroll="auto")
+        xi, z, ui = self._solver(W, n, cfg=cfg)(data)
+        assert np.all(np.isfinite(np.asarray(z)))
 
     def test_generic_over_global_prox_elasticnet(self, rng):
         # The factory is global-prox-generic: swap in the elastic-net

@@ -95,6 +95,13 @@ def test_idx_label_parser_against_reference_file():
     np.testing.assert_array_equal(tr[:10], [5, 0, 4, 1, 9, 2, 1, 3, 1, 4])
 
 
+def test_load_mnist_explicit_bad_dir_raises(tmp_path):
+    """An EXPLICIT --data path with no label files must raise, not
+    silently degrade to synthetic digits (code-review r3)."""
+    with pytest.raises(FileNotFoundError, match="idx"):
+        load_mnist(data_dir=str(tmp_path / "nope"))
+
+
 def test_load_mnist_defaults_to_real_labels():
     """With no --data dir, load_mnist must find the reference mount's
     real label files and key synthetic images to them (mnistsvm.m:50-54
