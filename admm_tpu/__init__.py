@@ -39,7 +39,7 @@ from .models import (
 )
 
 from .diff import (make_implicit_batch_solver, make_implicit_consensus_solver,
-                   make_implicit_solver)
+                   make_implicit_solver, make_implicit_unwrapped_solver)
 from .models.paths import covsel_path, lasso_path, linearsvm_c_path, tv_path
 from .models.batch import (
     basispursuit_batch,
@@ -73,6 +73,7 @@ __all__ = [
     "make_implicit_batch_solver",
     "make_implicit_consensus_solver",
     "make_implicit_solver",
+    "make_implicit_unwrapped_solver",
     "DenseOp",
     "DiffOp",
     "FnOp",

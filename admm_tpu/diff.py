@@ -66,6 +66,11 @@ The capability reaches every solver tier (round 3):
   ``(xi, z, ui)`` and the backward iteration's means compile to the same
   all-reduce collectives as the forward solve, so hyperparameter learning
   over row-sharded data runs end-to-end on the mesh;
+* :func:`make_implicit_unwrapped_solver` — the transpose-reduction
+  (unwrapped) solver (``parallel/transpose_reduction.py``): fixed point
+  on (x, zi, ui) with the replicated primal and row-sharded duals; the
+  backward shard reductions are the same psum collectives (e.g. the
+  sharded SVM's ``d loss / d C``);
 * :func:`make_implicit_batch_solver` — the instance-batched pattern
   (``models/batch.py``): B lanes against one shared factorization, each
   lane with its own adjoint solve (per-lane ``d loss_i / d lam_i`` from
@@ -89,7 +94,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .config import ADMMConfig
+from .config import ADMMConfig, resolve_unroll
 from .engine import Hooks, make_admm_runner, _with_matmul_precision
 from .linop import as_linop
 
@@ -470,7 +475,6 @@ def make_implicit_consensus_solver(
     ``xopt``).  Restrictions mirror :func:`make_implicit_solver`
     (standard iteration, static rho; relaxation supported).
     """
-    from .config import resolve_unroll
     from .parallel.consensus import _cached_consensus_runner
 
     _check_diffable_config(config, mode, vjp_method)
@@ -521,6 +525,102 @@ def make_implicit_consensus_solver(
         ui0_ = jnp.zeros((W, n), dt) if ui0 is None else jnp.asarray(ui0, dt)
         z0_ = jnp.zeros((n,), dt) if z0 is None else jnp.asarray(z0, dt)
         return _solve((data,), (xi0_, ui0_, z0_))
+
+    return solve
+
+
+def make_implicit_unwrapped_solver(
+    prox_g_shard: Callable,
+    config: ADMMConfig,
+    m: int,
+    n: int,
+    W: int,
+    *,
+    mode: str = "vjp",
+    vjp_method: str = "neumann",
+    vjp_maxiters: int = 500,
+    vjp_tol: float = 1e-9,
+):
+    """Differentiable transpose-reduction (unwrapped) ADMM — the third
+    sharded program (parallel/transpose_reduction.py; reference
+    unwrappedadmm.m:96-141) made differentiable.
+
+    The fixed point is ``w = (x, zi, ui)``: the replicated primal x of
+    shape (n,) and the row-sharded zi/ui of shape (W, m/W).  One
+    iteration is the runner's alg==0 step — per-shard ``Di^T (zi - ui)``
+    matvecs, psum, replicated ``Winv`` solve, per-shard z-prox and dual
+    update — so the backward pass's shard reductions compile to the same
+    psum collectives as the forward solve.
+
+    ``data`` keys: ``Di`` (W, m/W, n) sharded row blocks, ``Winv``
+    (n, n) replicated Gram pseudo-inverse, ``mask`` (W, m/W) pad mask,
+    and optional ``aux`` (the prox's per-row operands — e.g. the SVM's
+    (ell_i, mask_i, C_i), making d loss / d C a one-liner).  Gradients
+    flow to every array leaf.
+
+    Returns ``solve(data, x0=None, zi0=None, ui0=None) -> (x, zi, ui)``.
+    Restrictions mirror :func:`make_implicit_solver`.
+
+    .. warning:: POLYHEDRAL proxes (the SVM's hinge/0-1) put the optimum
+       exactly ON the prox's kinks: the solution map is then genuinely
+       nondifferentiable at the fixed point (finite differences disagree
+       with themselves across constructions, and the adjoint map carries
+       eigenvalues at 1, so the backward solve stalls and warns).  That
+       is a property of the problem, not the machinery — the IFT needs a
+       locally smooth stationary map.  Use a smooth surrogate (e.g.
+       squared/huberized hinge) for hyperparameter gradients; the
+       weighted-least-squares oracle in tests/test_diff.py shows the
+       smooth-prox pattern.
+    """
+    from .parallel.transpose_reduction import _cached_unwrapped_runner
+
+    _check_diffable_config(config, mode, vjp_method)
+    config = resolve_unroll(config, "gemv")
+
+    relax = float(config.relax)
+    use_relax = relax != 1.0
+    rho = float(config.rho)
+    runner = _cached_unwrapped_runner(prox_g_shard, None, None, config,
+                                      int(m))
+
+    def _one_iter(w, data):
+        """One transpose-reduction iteration — mirrors
+        _cached_unwrapped_runner's alg==0 step order exactly."""
+        x, zi, ui = w
+        rho_ = jnp.asarray(rho, x.dtype)
+        Di, Winv, mask = data["Di"], data["Winv"], data["mask"]
+        aux = data.get("aux", ())
+        zprev = zi
+        di = jnp.einsum("wij,wi->j", Di, zi - ui)
+        x1 = Winv @ di
+        Dx = jnp.einsum("wij,j->wi", Di, x1)
+        Axr = relax * Dx + (1.0 - relax) * zprev if use_relax else Dx
+        zi1 = prox_g_shard(Axr, zi, ui, rho_, aux) * mask
+        ui1 = ui + (Axr - zi1) * mask
+        return (x1, zi1, ui1)
+
+    one_iter = _with_matmul_precision(_one_iter, config.matmul_precision)
+
+    def _forward(theta, state0):
+        (data,) = theta
+        x0, zi0, ui0 = state0
+        raw = runner(data["Di"], data["Winv"], x0, zi0, ui0, data["mask"],
+                     data.get("aux", ()))
+        return raw["xopt"], raw["zopt"], raw["uopt"]
+
+    _solve = _make_differentiable(
+        _forward, lambda w, th: one_iter(w, th[0]), mode, vjp_method,
+        vjp_tol, vjp_maxiters, what="transpose-reduction")
+
+    def solve(data, x0=None, zi0=None, ui0=None):
+        dt = data["Di"].dtype
+        mi = data["Di"].shape[1]
+        x0_ = jnp.zeros((n,), dt) if x0 is None else jnp.asarray(x0, dt)
+        zi0_ = (jnp.zeros((W, mi), dt) if zi0 is None
+                else jnp.asarray(zi0, dt))
+        ui0_ = (jnp.zeros((W, mi), dt) if ui0 is None
+                else jnp.asarray(ui0, dt))
+        return _solve((data,), (x0_, zi0_, ui0_))
 
     return solve
 
