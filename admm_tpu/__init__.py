@@ -23,6 +23,7 @@ from .models import (
     covarianceselection,
     elasticnet,
     quantile,
+    rpca,
     get_prox_ops,
     grouplasso,
     huberfit,
@@ -84,6 +85,7 @@ __all__ = [
     "lasso",
     "elasticnet",
     "quantile",
+    "rpca",
     "grouplasso",
     "nnls",
     "basispursuit",

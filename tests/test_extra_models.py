@@ -335,3 +335,63 @@ class TestQuantileRegression:
         D, s = _instance(rng, m=40, n=8)
         pf, pg, obj = get_prox_ops("quantile", D=D, s=s, tau=0.3)
         assert pf is not None and pg is not None and obj is not None
+
+
+class TestRobustPCA:
+    """Principal component pursuit (models/rpca.py): exact-recovery
+    oracle per Candes et al. 2011 — plant incoherent low-rank + random
+    sparse, recover both to high precision at the theory lam."""
+
+    def _plant(self, rng, m=60, n=50, r=3, frac=0.05, amp=5.0):
+        L0 = rng.standard_normal((m, r)) @ rng.standard_normal((r, n))
+        S0 = (rng.random((m, n)) < frac) * (amp * rng.standard_normal((m, n)))
+        return L0, S0
+
+    def test_exact_recovery(self, rng):
+        from admm_tpu import rpca
+
+        L0, S0 = self._plant(rng)
+        res = rpca(L0 + S0, config=ADMMConfig(maxiters=3000, abstol=1e-10,
+                                              reltol=1e-10))
+        L, S = np.asarray(res.xopt), np.asarray(res.zopt)
+        assert res.steps < 3000 and not res.diverged
+        assert np.linalg.norm(L - L0) <= 1e-6 * np.linalg.norm(L0)
+        assert np.linalg.norm(S - S0) <= 1e-6 * np.linalg.norm(S0)
+        assert np.linalg.matrix_rank(L, tol=1e-5) == 3
+        # The split reproduces M to the stopping tolerance.
+        np.testing.assert_allclose(L + S, L0 + S0, atol=1e-6)
+
+    def test_objective_beats_truth_perturbation(self, rng):
+        # Objective oracle in the reference testers' style: the ADMM
+        # split must not be beaten by the planted split (it IS the
+        # minimizer under exact recovery) nor by a perturbed one.
+        from admm_tpu import rpca
+        from admm_tpu.models.rpca import _obj
+
+        import jax.numpy as jnp
+
+        L0, S0 = self._plant(rng)
+        M = L0 + S0
+        lam = 1.0 / np.sqrt(max(M.shape))
+        res = rpca(M, config=ADMMConfig(maxiters=3000, abstol=1e-10,
+                                        reltol=1e-10))
+        d = {"lam": jnp.asarray(lam)}
+        f_admm = float(_obj(jnp.asarray(res.xopt), jnp.asarray(res.zopt), d))
+        f_plant = float(_obj(jnp.asarray(L0), jnp.asarray(S0), d))
+        assert f_admm <= f_plant * (1 + 1e-6)
+
+    def test_rectangular_and_validation(self, rng):
+        from admm_tpu import rpca
+
+        with pytest.raises(ValueError, match="matrix"):
+            rpca(np.ones(5))
+        # Tall orientation exercises the non-square SVD path.
+        L0, S0 = self._plant(rng, m=50, n=30, r=2)
+        res = rpca(L0 + S0, config=ADMMConfig(maxiters=3000, abstol=1e-9,
+                                              reltol=1e-9))
+        assert np.linalg.norm(np.asarray(res.xopt) - L0) <= 1e-5 * np.linalg.norm(L0)
+
+    def test_registry(self, rng):
+        L0, S0 = self._plant(rng, m=20, n=16, r=2)
+        pf, pg, obj = get_prox_ops("rpca", M=L0 + S0)
+        assert callable(pf) and callable(pg) and callable(obj)
