@@ -50,6 +50,7 @@ from .models.batch import (
     huberfit_batch,
     lad_batch,
     quantile_batch,
+    rpca_batch,
     lasso_batch,
     lp_batch,
     model_batch,
@@ -109,6 +110,7 @@ __all__ = [
     "tv_batch",
     "lad_batch",
     "quantile_batch",
+    "rpca_batch",
     "huberfit_batch",
     "basispursuit_batch",
     "covsel_batch",

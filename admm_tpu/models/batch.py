@@ -365,6 +365,32 @@ def covsel_batch(Ss, lams, config: ADMMConfig = ADMMConfig(), *,
 
 
 @_highest_precision_setup
+def rpca_batch(Ms, lams=None, config: ADMMConfig = ADMMConfig(), *,
+               x0=None, z0=None, u0=None, mesh=None,
+               **overrides) -> BatchResults:
+    """Robust PCA for every matrix in ``Ms`` (shape (B, m, n)) in one
+    vmapped program — e.g. per-frame background/foreground separation.
+    The SVT L-step becomes one batched svd per iteration; ``lams`` is a
+    scalar or (B,) vector (default: the per-shape 1/sqrt(max(m, n))
+    exact-recovery value)."""
+    config = merge_config(config, overrides, body="batched")
+    from .rpca import make_prox_ops as _rpca_make_prox_ops
+
+    Ms = jnp.asarray(Ms)
+    if Ms.ndim != 3:
+        raise ValueError(f"Ms must be a (B, m, n) stack, got {Ms.shape}")
+    Bn, m, n = Ms.shape
+    prox_f, prox_g, obj, data = _rpca_make_prox_ops(Ms[0], lams, config)
+    data = dict(data)
+    data["M"] = Ms
+    data["lam"] = jnp.broadcast_to(data["lam"], (Bn,))
+    zeros = jnp.zeros((Bn, m, n), Ms.dtype)
+    return _run(prox_f, prox_g, obj, config, {"M", "lam"}, data,
+                zeros, zeros, zeros, Ms, as_linop(1.0), as_linop(1.0),
+                mesh=mesh, warm=(x0, z0, u0))
+
+
+@_highest_precision_setup
 def model_batch(P, Q, Rs, Ss, config: ADMMConfig = ADMMConfig(), *,
                 x0=None, z0=None, u0=None, mesh=None,
                 **overrides) -> BatchResults:

@@ -395,3 +395,28 @@ class TestRobustPCA:
         L0, S0 = self._plant(rng, m=20, n=16, r=2)
         pf, pg, obj = get_prox_ops("rpca", M=L0 + S0)
         assert callable(pf) and callable(pg) and callable(obj)
+
+    def test_rpca_batch_matches_serial(self, rng):
+        from admm_tpu import rpca, rpca_batch
+
+        Ms, L0s = [], []
+        for _ in range(3):
+            L0, S0 = self._plant(rng, m=24, n=20, r=2)
+            Ms.append(L0 + S0)
+            L0s.append(L0)
+        Ms = np.stack(Ms)
+        cfg = ADMMConfig(maxiters=2000, abstol=1e-9, reltol=1e-9)
+        out = rpca_batch(Ms, config=cfg)
+        for i in range(3):
+            solo = rpca(Ms[i], config=cfg)
+            assert int(out.steps[i]) == solo.steps
+            np.testing.assert_allclose(np.asarray(out.xopt[i]),
+                                       np.asarray(solo.xopt),
+                                       rtol=1e-9, atol=1e-11)
+            # Reconstruction to the stopping tolerance.  (Exact L0
+            # recovery is NOT asserted here: 24x20 at rank 2 sits below
+            # the PCP recovery regime — the full-scale oracle is
+            # test_exact_recovery.)
+            np.testing.assert_allclose(
+                np.asarray(out.xopt[i]) + np.asarray(out.zopt[i]),
+                Ms[i], atol=1e-5)
