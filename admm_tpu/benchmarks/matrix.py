@@ -278,6 +278,27 @@ def timing_matrix(smoke=False):
         lambda: covarianceselection(A, 0.1, cfg(iters), prox_method="ns"))
     rows.append(_row("covarianceselection_ns_f32", f"n={n}", iters, res))
 
+    # --- quantile regression: LAD's body with the asymmetric threshold --
+    from admm_tpu.models.quantile import quantile
+
+    m, n = 4096 // sc, 512 // sc
+    Dq5 = rng.standard_normal((m, n)).astype(f32)
+    s5 = rng.standard_normal(m).astype(f32)
+    iters = it(2000)
+    res = _run_twice(lambda: quantile(Dq5, s5, 0.8, cfg(iters)))
+    rows.append(_row("quantile_f32", f"{m}x{n}", iters, res,
+                     bytes_per_iter=(n * n + 2 * m * n) * 4))
+
+    # --- robust PCA: one batched svd per iteration ('heavy' body) -------
+    from admm_tpu.models.rpca import rpca
+
+    nr = 256 // sc
+    Lr = (rng.standard_normal((nr, 8)) @ rng.standard_normal((8, nr))).astype(f32)
+    Sr = ((rng.random((nr, nr)) < 0.05) * 5 * rng.standard_normal((nr, nr))).astype(f32)
+    iters = it(200)
+    res = _run_twice(lambda: rpca(Lr + Sr, config=cfg(iters)))
+    rows.append(_row("rpca_f32", f"{nr}x{nr}", iters, res))
+
     # --- linear SVM: serial + 8-shard transpose reduction on-chip -------
     m, n = 4096 // sc, 512 // sc
     Dsvm = rng.standard_normal((m, n)).astype(f32)
