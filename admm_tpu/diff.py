@@ -613,8 +613,17 @@ def make_implicit_unwrapped_solver(
         vjp_tol, vjp_maxiters, what="transpose-reduction")
 
     def solve(data, x0=None, zi0=None, ui0=None):
-        dt = data["Di"].dtype
-        mi = data["Di"].shape[1]
+        Di = data["Di"]
+        if Di.ndim != 3 or Di.shape[0] != W or Di.shape[2] != n:
+            # Catch factory/data mismatches here with a readable message
+            # instead of a carry/einsum shape error deep in the jitted
+            # runner (only m is non-derivable from Di, due to padding).
+            raise ValueError(
+                f"data['Di'] must have shape (W={W}, m/W, n={n}); got "
+                f"{Di.shape} — the factory's W/n must match the sharded "
+                "row blocks")
+        dt = Di.dtype
+        mi = Di.shape[1]
         x0_ = jnp.zeros((n,), dt) if x0 is None else jnp.asarray(x0, dt)
         zi0_ = (jnp.zeros((W, mi), dt) if zi0 is None
                 else jnp.asarray(zi0, dt))
