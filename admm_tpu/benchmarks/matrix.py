@@ -488,6 +488,96 @@ def accuracy_matrix(smoke=False):
                           else test[k])
         print(json.dumps(row), flush=True)
         rows.append(row)
+
+    rows.extend(_beyond_reference_accuracy())
+    return rows
+
+
+def _beyond_reference_accuracy():
+    """On-device f32 oracles for the beyond-reference families (the CPU
+    suite tests them at f64; this is the evidence the f32 device path is
+    usable for them too).  Truths computed host-side in f64."""
+    import jax.numpy as jnp
+
+    from admm_tpu import (ADMMConfig, elasticnet, grouplasso, nnls,
+                          quantile, rpca)
+
+    rng = np.random.default_rng(1)
+    f32 = np.float32
+    cfg = ADMMConfig(maxiters=20000, abstol=1e-7, reltol=1e-6)
+    rows = []
+
+    def emit(name, errtol, err, res, extra=None):
+        row = {"solver": name, "f32_errtol": errtol,
+               "failed": bool(not (err <= errtol)),
+               "relerror": round(float(err), 8), "steps": int(res.steps)}
+        if extra:
+            row.update(extra)
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+
+    m, n = 192, 96
+    D = rng.standard_normal((m, n)).astype(f32)
+    xt = (rng.standard_normal(n) * (rng.random(n) < 0.4))
+    s = (D.astype(np.float64) @ xt + 0.05 * rng.standard_normal(m)).astype(f32)
+
+    # elasticnet at alpha=0 == ridge closed form (host f64 truth).
+    lam = 0.8
+    res = elasticnet(D, s, lam, alpha=0.0, config=cfg)
+    xstar = np.linalg.solve(
+        D.astype(np.float64).T @ D.astype(np.float64) + lam * np.eye(n),
+        D.astype(np.float64).T @ s.astype(np.float64))
+    err = np.linalg.norm(np.asarray(res.zopt) - xstar) / np.linalg.norm(xstar)
+    emit("elasticnet_ridge", 1e-3, err, res)
+
+    # grouplasso singleton groups == lasso-style KKT stationarity.
+    res = grouplasso(D, s, 0.5, np.arange(n), config=cfg)
+    z = np.asarray(res.zopt, np.float64)
+    g = D.astype(np.float64).T @ (D.astype(np.float64) @ z
+                                  - s.astype(np.float64))
+    act = np.abs(z) > 1e-6
+    kkt = max(
+        float(np.max(np.abs(g[act] + 0.5 * np.sign(z[act])))) if act.any()
+        else 0.0,
+        float(max(np.max(np.abs(g[~act])) - 0.5, 0.0)) if (~act).any()
+        else 0.0)
+    emit("grouplasso_kkt", 5e-3, kkt, res)
+
+    # nnls: feasibility + KKT sign conditions.
+    res = nnls(D, s, config=cfg)
+    z = np.asarray(res.zopt, np.float64)
+    g = D.astype(np.float64).T @ (D.astype(np.float64) @ z
+                                  - s.astype(np.float64))
+    kkt = max(float(np.max(np.abs(g[z > 1e-6]), initial=0.0)),
+              float(max(-np.min(g[z <= 1e-6], initial=0.0), 0.0)),
+              float(max(-np.min(z), 0.0)))
+    emit("nnls_kkt", 5e-3, kkt, res)
+
+    # quantile: objective vs the host-side LP oracle (scipy linprog).
+    from scipy.optimize import linprog
+
+    tau = 0.7
+    res = quantile(D, s, tau, cfg)
+    r_ = D.astype(np.float64) @ np.asarray(res.xopt, np.float64) - s
+    f_admm = float(np.sum(np.maximum(tau * r_, (tau - 1) * r_)))
+    out = linprog(np.r_[np.zeros(n), tau * np.ones(m), (1 - tau) * np.ones(m)],
+                  A_eq=np.c_[D.astype(np.float64), -np.eye(m), np.eye(m)],
+                  b_eq=s.astype(np.float64),
+                  bounds=[(None, None)] * n + [(0, None)] * (2 * m),
+                  method="highs")
+    emit("quantile_lp_oracle", 1e-3, abs(f_admm - out.fun) / abs(out.fun),
+         res, extra={"f_lp": round(float(out.fun), 6)})
+
+    # rpca: planted low-rank + sparse recovery at f32.
+    nr = 96
+    L0 = (rng.standard_normal((nr, 4)) @ rng.standard_normal((4, nr)))
+    S0 = (rng.random((nr, nr)) < 0.05) * (5 * rng.standard_normal((nr, nr)))
+    res = rpca((L0 + S0).astype(f32),
+               config=ADMMConfig(maxiters=3000, abstol=1e-7, reltol=1e-6))
+    err = (np.linalg.norm(np.asarray(res.xopt, np.float64) - L0)
+           / np.linalg.norm(L0))
+    emit("rpca_recovery", 1e-3, err, res)
+
     return rows
 
 
