@@ -22,6 +22,7 @@ from .models import (
     basispursuit,
     covarianceselection,
     elasticnet,
+    fusedlasso,
     quantile,
     rpca,
     get_prox_ops,
@@ -85,6 +86,7 @@ __all__ = [
     "model",
     "lasso",
     "elasticnet",
+    "fusedlasso",
     "quantile",
     "rpca",
     "grouplasso",

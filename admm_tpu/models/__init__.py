@@ -35,6 +35,7 @@ from .grouplasso import grouplasso  # noqa: E402
 from .huberfit import huberfit  # noqa: E402
 from .lad import lad  # noqa: E402
 from .quantile import quantile  # noqa: E402
+from .fusedlasso import fusedlasso  # noqa: E402
 from .rpca import rpca  # noqa: E402
 from .lasso import lasso  # noqa: E402
 from .nnls import nnls  # noqa: E402
@@ -58,6 +59,7 @@ __all__ = [
     "totalvariation",
     "totalvariation2d",
     "lad",
+    "fusedlasso",
     "quantile",
     "rpca",
     "huberfit",

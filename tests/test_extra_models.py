@@ -420,3 +420,67 @@ class TestRobustPCA:
             np.testing.assert_allclose(
                 np.asarray(out.xopt[i]) + np.asarray(out.zopt[i]),
                 Ms[i], atol=1e-5)
+
+
+class TestFusedLasso:
+    """Fused lasso (models/fusedlasso.py): stacked-constraint splitting
+    with exact degenerate-case oracles — lam2=0 is elementwise
+    soft-thresholding (closed form), lam1=0 is the TV denoiser."""
+
+    def _signal(self, rng, n=200):
+        stair = np.repeat(rng.standard_normal(n // 20), 20)
+        return stair + 0.3 * rng.standard_normal(n)
+
+    def test_lam2_zero_is_soft_threshold_closed_form(self, rng):
+        from admm_tpu import fusedlasso
+        from admm_tpu.ops.prox import soft_threshold
+
+        s = self._signal(rng)
+        r = fusedlasso(s, 0.4, 0.0, _CFG)
+        np.testing.assert_allclose(np.asarray(r.xopt),
+                                   np.asarray(soft_threshold(s, 0.4)),
+                                   atol=1e-8)
+
+    def test_lam1_zero_matches_tv(self, rng):
+        from admm_tpu import fusedlasso
+        from admm_tpu.models.totalvariation import totalvariation
+
+        s = self._signal(rng)
+        r = fusedlasso(s, 0.0, 0.6, _CFG)
+        tv = totalvariation(s, 0.6, _CFG, solver="dense")
+        np.testing.assert_allclose(np.asarray(r.xopt), np.asarray(tv.xopt),
+                                   atol=1e-7)
+
+    def test_general_case_structure_and_relax(self, rng):
+        from admm_tpu import fusedlasso
+
+        s = self._signal(rng)
+        r = fusedlasso(s, 0.15, 0.6, _CFG)
+        x = np.asarray(r.xopt)
+        n = len(s)
+        # Both structure types must be present: exact zeros (l1) and
+        # far fewer distinct levels than samples (fused penalty).
+        assert np.sum(np.abs(x) < 1e-6) > n // 10
+        assert len(np.unique(np.round(x, 5))) < n // 4
+        # Relaxation reaches the same minimizer.
+        r2 = fusedlasso(s, 0.15, 0.6, _CFG, relax=1.5)
+        np.testing.assert_allclose(np.asarray(r2.xopt), x, atol=1e-8)
+
+    def test_objective_subgradient_optimality(self, rng):
+        # 0 must lie in (x - s) + lam1 d||x||_1 + lam2 D^T d||Dx||_1:
+        # check via the stacked dual u* = (1/rho) scaled multipliers —
+        # |rho*u| <= t elementwise with equality on active rows.
+        from admm_tpu import fusedlasso
+
+        s = self._signal(rng, n=120)
+        lam1, lam2, rho = 0.2, 0.5, 1.0
+        r = fusedlasso(s, lam1, lam2, _CFG, rho=rho)
+        u = np.asarray(r.uopt)
+        n = len(s)
+        t = np.r_[np.full(n, lam1), np.full(n, lam2)]
+        assert np.all(rho * np.abs(u) <= t + 1e-6)
+
+    def test_registry(self, rng):
+        s = self._signal(rng, n=60)
+        pf, pg, obj = get_prox_ops("fusedlasso", s=s, lam1=0.2, lam2=0.4)
+        assert callable(pf) and callable(pg) and callable(obj)
