@@ -49,6 +49,7 @@ from .models.batch import (
     elasticnet_batch,
     grouplasso_batch,
     huberfit_batch,
+    fusedlasso_batch,
     lad_batch,
     quantile_batch,
     rpca_batch,
@@ -110,6 +111,7 @@ __all__ = [
     "grouplasso_batch",
     "nnls_batch",
     "tv_batch",
+    "fusedlasso_batch",
     "lad_batch",
     "quantile_batch",
     "rpca_batch",

@@ -365,6 +365,36 @@ def covsel_batch(Ss, lams, config: ADMMConfig = ADMMConfig(), *,
 
 
 @_highest_precision_setup
+def fusedlasso_batch(S, lam1s, lam2s, config: ADMMConfig = ADMMConfig(), *,
+                     x0=None, z0=None, u0=None, mesh=None,
+                     **overrides) -> BatchResults:
+    """Fused lasso for every signal row of ``S`` (shape (B, n)) in one
+    vmapped program: the eig-folded (I + rho(I + D^T D)) solve is shared
+    across lanes, each lane carries its own signal and its own
+    (lam1, lam2) pair via the stacked per-row threshold vector."""
+    config = merge_config(config, overrides, body="batched")
+    from .fusedlasso import make_prox_ops as _fl_make_prox_ops
+
+    S = jnp.asarray(S)
+    if S.ndim != 2:
+        raise ValueError(f"S must be a (B, n) stack of signals, got {S.shape}")
+    Bn, n = S.shape
+    prox_f, prox_g, obj, data, A = _fl_make_prox_ops(S[0], 1.0, 1.0, config)
+    data = dict(data)
+    data["s"] = S
+    l1 = jnp.broadcast_to(jnp.asarray(lam1s, S.dtype), (Bn,))
+    l2 = jnp.broadcast_to(jnp.asarray(lam2s, S.dtype), (Bn,))
+    data["t"] = jnp.concatenate(
+        [jnp.repeat(l1[:, None], n, axis=1),
+         jnp.repeat(l2[:, None], n, axis=1)], axis=1)  # (B, 2n)
+    xz = jnp.zeros((Bn, n), S.dtype)
+    zz = jnp.zeros((Bn, 2 * n), S.dtype)
+    return _run(prox_f, prox_g, obj, config, {"s", "t"}, data,
+                xz, zz, zz, zz, A, as_linop(-1.0),
+                mesh=mesh, warm=(x0, z0, u0))
+
+
+@_highest_precision_setup
 def rpca_batch(Ms, lams=None, config: ADMMConfig = ADMMConfig(), *,
                x0=None, z0=None, u0=None, mesh=None,
                **overrides) -> BatchResults:

@@ -484,3 +484,19 @@ class TestFusedLasso:
         s = self._signal(rng, n=60)
         pf, pg, obj = get_prox_ops("fusedlasso", s=s, lam1=0.2, lam2=0.4)
         assert callable(pf) and callable(pg) and callable(obj)
+
+    def test_batch_matches_serial(self, rng):
+        from admm_tpu import fusedlasso, fusedlasso_batch
+
+        n = 80
+        S = np.stack([self._signal(rng, n) for _ in range(3)])
+        l1s = np.array([0.1, 0.3, 0.0])
+        l2s = np.array([0.5, 0.2, 0.7])
+        cfg = ADMMConfig(maxiters=6000, abstol=1e-10, reltol=1e-10)
+        out = fusedlasso_batch(S, l1s, l2s, config=cfg)
+        for i in range(3):
+            solo = fusedlasso(S[i], float(l1s[i]), float(l2s[i]), cfg)
+            assert int(out.steps[i]) == solo.steps
+            np.testing.assert_allclose(np.asarray(out.xopt[i]),
+                                       np.asarray(solo.xopt),
+                                       rtol=1e-9, atol=1e-11)
