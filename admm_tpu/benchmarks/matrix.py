@@ -568,6 +568,17 @@ def _beyond_reference_accuracy():
     emit("quantile_lp_oracle", 1e-3, abs(f_admm - out.fun) / abs(out.fun),
          res, extra={"f_lp": round(float(out.fun), 6)})
 
+    # fusedlasso: lam2=0 degenerates to the soft-threshold closed form.
+    from admm_tpu import fusedlasso
+
+    sig = (np.repeat(rng.standard_normal(8), 24)
+           + 0.3 * rng.standard_normal(192)).astype(f32)
+    res = fusedlasso(sig, 0.4, 0.0, cfg)
+    truth = np.sign(sig) * np.maximum(np.abs(sig) - 0.4, 0.0)
+    err = (np.linalg.norm(np.asarray(res.xopt, np.float64) - truth)
+           / max(np.linalg.norm(truth), 1e-30))
+    emit("fusedlasso_softthresh", 1e-3, err, res)
+
     # rpca: planted low-rank + sparse recovery at f32.
     nr = 96
     L0 = (rng.standard_normal((nr, 4)) @ rng.standard_normal((4, nr)))
