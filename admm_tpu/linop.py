@@ -119,6 +119,37 @@ class DiffOp:
 
 
 @jax.tree_util.register_pytree_node_class
+class StackIDiffOp:
+    """The fused-lasso stacked operator A = [I; D] applied matrix-free:
+    ``mv(x) = concat([x, Dx])`` (2n,), ``rmv(v) = v[:n] + D^T v[n:]`` —
+    O(n) VPU work instead of a dense (2n, n) GEMV per residual/dual
+    evaluation (models/fusedlasso.py)."""
+
+    def __init__(self, n: int):
+        self.n = n
+        self._D = DiffOp(n)
+
+    def mv(self, v):
+        return jnp.concatenate([v, self._D.mv(v)], axis=0)
+
+    def rmv(self, v):
+        return v[: self.n] + self._D.rmv(v[self.n:])
+
+    def out_shape(self, in_shape):
+        return (2 * self.n,) + tuple(in_shape[1:])
+
+    def tree_flatten(self):
+        return (), self.n
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux)
+
+    def __repr__(self):
+        return f"StackIDiffOp({self.n})"
+
+
+@jax.tree_util.register_pytree_node_class
 class FnOp:
     """A matrix-free operator from explicit mv/rmv callables (the
     reference's function-handle A with explicit nA, admm.m:121-130)."""

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..config import ADMMConfig
 from ..engine import Hooks, admm
-from ..linop import DenseOp, DiffOp
+from ..linop import DiffOp, StackIDiffOp
 from ..ops.prox import soft_threshold
 from ..results import ADMMResults
 from . import register
@@ -33,19 +33,19 @@ from ._common import bind_data, merge_config, timed_solver
 
 
 def _prox_f(x, z, u, rho, d):
-    return d["Minv"] @ (d["s"] + rho * d["At"] @ (z - u))
+    return d["Minv"] @ (d["s"] + rho * d["A"].rmv(z - u))
 
 
 def _prox_f_adaptive(x, z, u, rho, d):
     # rho-parameterized eigbasis solve (dynamic rho): M = I + rho(I+DtD).
-    y = d["V"].T @ (d["s"] + rho * d["At"] @ (z - u))
+    y = d["V"].T @ (d["s"] + rho * d["A"].rmv(z - u))
     return d["V"] @ (y / (1.0 + rho * (1.0 + d["w"])))
 
 
 def _prox_g(x, z, u, rho, d):
     # The engine hands the RAW x; apply A = [I; D] here (the TV
-    # z-prox convention, getProxOps.m:1044-1048).
-    return soft_threshold(d["At"].T @ x + u, d["t"] / rho)
+    # z-prox convention, getProxOps.m:1044-1048) — matrix-free.
+    return soft_threshold(d["A"].mv(x) + u, d["t"] / rho)
 
 
 def _prox_g_relaxed(Axhat, z, u, rho, d):
@@ -68,12 +68,11 @@ def make_prox_ops(s, lam1, lam2, config: ADMMConfig = ADMMConfig()):
     one-time."""
     s = jnp.asarray(s)
     n = s.shape[0]
-    D_op = DiffOp(n)
-    D = D_op.dense(s.dtype)
-    A = DenseOp(jnp.concatenate([jnp.eye(n, dtype=s.dtype), D], axis=0))
+    D = DiffOp(n).dense(s.dtype)  # dense ONLY for the one-time eig-fold
+    A = StackIDiffOp(n)           # matrix-free [I; D] inside the loop
     t = jnp.concatenate([
         jnp.full((n,), lam1, s.dtype), jnp.full((n,), lam2, s.dtype)])
-    data = {"s": s, "t": t, "At": A.M.T}
+    data = {"s": s, "t": t, "A": A}
     DtD = D.T @ D
     DtD = 0.5 * (DtD + DtD.T)
     w, V = jnp.linalg.eigh(DtD)
