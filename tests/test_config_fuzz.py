@@ -71,3 +71,30 @@ def test_random_config_two_prox_problem(trial):
     res = model(P, Q, r, s, cfg)
     assert 1 <= int(res.steps) <= cfg.maxiters
     assert bool(res.diverged) or np.all(np.isfinite(np.asarray(res.xopt)))
+
+
+@pytest.mark.parametrize("trial", range(12))
+def test_random_config_new_families_never_crash(trial):
+    """Round-3 families (quantile / rpca / fusedlasso) through the same
+    random-config sweep: converge cleanly or flag divergence, never
+    crash at trace time or return silent NaNs."""
+    from admm_tpu import fusedlasso, quantile, rpca
+
+    rng = np.random.default_rng(2000 + trial)
+    cfg = _random_config(rng)
+    fam = ("quantile", "rpca", "fusedlasso")[trial % 3]
+    if fam == "quantile":
+        D = rng.standard_normal((48, 12))
+        s = rng.standard_normal(48)
+        res = quantile(D, s, float(rng.choice([0.3, 0.5, 0.8])), cfg)
+    elif fam == "rpca":
+        L0 = rng.standard_normal((20, 3)) @ rng.standard_normal((3, 16))
+        S0 = (rng.random((20, 16)) < 0.05) * rng.standard_normal((20, 16))
+        res = rpca(L0 + S0, config=cfg)
+    else:
+        sig = np.repeat(rng.standard_normal(4), 12) \
+            + 0.3 * rng.standard_normal(48)
+        res = fusedlasso(sig, 0.2, 0.4, cfg)
+    assert 1 <= int(res.steps) <= cfg.maxiters
+    x = np.asarray(res.xopt)
+    assert bool(res.diverged) or np.all(np.isfinite(x))
