@@ -298,6 +298,9 @@ def timing_matrix(smoke=False):
     iters = it(200)
     res = _run_twice(lambda: rpca(Lr + Sr, config=cfg(iters)))
     rows.append(_row("rpca_f32", f"{nr}x{nr}", iters, res))
+    res = _run_twice(lambda: rpca(Lr + Sr, config=cfg(iters),
+                                  prox_method="rsvd", rank=16))
+    rows.append(_row("rpca_rsvd16_f32", f"{nr}x{nr}", iters, res))
 
     # --- linear SVM: serial + 8-shard transpose reduction on-chip -------
     m, n = 4096 // sc, 512 // sc

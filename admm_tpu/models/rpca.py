@@ -21,6 +21,8 @@ low-rank + random sparse inputs — the oracle test plants exactly that.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 
 from ..config import ADMMConfig
@@ -39,6 +41,37 @@ def _prox_f(L, S, U, rho, d):
     return (u_ * s_[None, :]) @ vt
 
 
+@functools.lru_cache(maxsize=None)
+def _rsvd_prox_f(k: int, power_iters: int, seed: int):
+    """Randomized-SVD SVT (Halko-Martinsson-Tropp range finder): project
+    onto a k-dimensional random range (matmuls on the MXU), SVD only the
+    small (k, n) sketch — O(m n k) instead of O(m n min(m, n)).  Exact
+    when the thresholded matrix has rank <= k; PCP iterates converge to
+    the planted low rank, so pick ``rank`` comfortably above it (the
+    wrapper adds oversampling).  lru-cached so the engine's runner cache
+    keys on a stable function identity per (k, power_iters, seed)."""
+
+    def prox_f(L, S, U, rho, d):
+        import jax
+
+        V = d["M"] - S - U
+        n = V.shape[1]
+        G = jax.random.normal(jax.random.PRNGKey(seed), (n, k), V.dtype)
+        Y = V @ G
+        for _ in range(power_iters):
+            # Subspace/power iteration sharpens the range estimate; QR
+            # re-orthonormalization keeps it numerically sane.
+            Y, _ = jnp.linalg.qr(Y)
+            Y = V @ (V.T @ Y)
+        Q, _ = jnp.linalg.qr(Y)          # (m, k) orthonormal range
+        B = Q.T @ V                       # (k, n) small sketch
+        ub, sb, vtb = jnp.linalg.svd(B, full_matrices=False)
+        sb = jnp.maximum(sb - 1.0 / rho, 0.0)
+        return (Q @ (ub * sb[None, :])) @ vtb
+
+    return prox_f
+
+
 def _prox_g(L, S, U, rho, d):
     # S-step: elementwise shrinkage toward M - L - U at lam/rho.
     return soft_threshold(d["M"] - L - U, d["lam"] / rho)
@@ -49,29 +82,48 @@ def _obj(L, S, d):
         jnp.abs(S))
 
 
-def make_prox_ops(M, lam=None, config: ADMMConfig = ADMMConfig()):
+def make_prox_ops(M, lam=None, config: ADMMConfig = ADMMConfig(), *,
+                  prox_method: str = "exact", rank=None, oversample: int = 10,
+                  power_iters: int = 2, seed: int = 0):
     """Build (prox_f, prox_g, obj, data) for robust PCA.
 
     ``lam`` defaults to 1/sqrt(max(M.shape)) (the exact-recovery theory
     value); it rides in ``data`` so re-solves across lam share the
-    compiled runner."""
+    compiled runner.  ``prox_method='rsvd'`` swaps the full per-iteration
+    SVD for the randomized-range SVT (requires ``rank``: an upper bound
+    on the expected rank of L; ``oversample`` columns are added)."""
     M = jnp.asarray(M)
     if M.ndim != 2:
         raise ValueError(f"M must be a matrix, got shape {M.shape}")
     if lam is None:
         lam = 1.0 / float(max(M.shape)) ** 0.5
     data = {"M": M, "lam": jnp.asarray(lam, M.dtype)}
-    return _prox_f, _prox_g, _obj, data
+    if prox_method == "exact":
+        prox_f = _prox_f
+    elif prox_method == "rsvd":
+        if rank is None:
+            raise ValueError("prox_method='rsvd' needs rank= (an upper "
+                             "bound on rank(L))")
+        k = min(int(rank) + int(oversample), min(M.shape))
+        prox_f = _rsvd_prox_f(k, int(power_iters), int(seed))
+    else:
+        raise ValueError(
+            f"prox_method must be 'exact' or 'rsvd', got {prox_method!r}")
+    return prox_f, _prox_g, _obj, data
 
 
 @register("rpca")
-def _registry_entry(M, lam=None, config=ADMMConfig(), **_):
-    pf, pg, obj, data = make_prox_ops(M, lam, config)
+def _registry_entry(M, lam=None, config=ADMMConfig(), prox_method="exact",
+                    rank=None, **_):
+    pf, pg, obj, data = make_prox_ops(M, lam, config,
+                                      prox_method=prox_method, rank=rank)
     return bind_data(pf, pg, obj, data)
 
 
 @timed_solver
 def rpca(M, lam=None, config: ADMMConfig = ADMMConfig(), *,
+         prox_method: str = "exact", rank=None, oversample: int = 10,
+         power_iters: int = 2, seed: int = 0,
          x0=None, z0=None, u0=None, **overrides) -> ADMMResults:
     """Decompose ``M`` into low-rank ``xopt`` (= L) + sparse ``zopt``
     (= S) by principal component pursuit.
@@ -82,7 +134,9 @@ def rpca(M, lam=None, config: ADMMConfig = ADMMConfig(), *,
     """
     config = merge_config(config, overrides, body="heavy")
     M = jnp.asarray(M)
-    prox_f, prox_g, obj, data = make_prox_ops(M, lam, config)
+    prox_f, prox_g, obj, data = make_prox_ops(
+        M, lam, config, prox_method=prox_method, rank=rank,
+        oversample=oversample, power_iters=power_iters, seed=seed)
     return admm(
         prox_f, prox_g, config,
         A=1.0, B=1.0, c=M,

@@ -391,6 +391,25 @@ class TestRobustPCA:
                                               reltol=1e-9))
         assert np.linalg.norm(np.asarray(res.xopt) - L0) <= 1e-5 * np.linalg.norm(L0)
 
+
+    def test_rsvd_prox_matches_exact(self, rng):
+        # Randomized-range SVT at rank >= rank(L): same recovery as the
+        # full-SVD prox (matmul-only range finding, small-sketch svd).
+        from admm_tpu import rpca
+
+        L0, S0 = self._plant(rng, m=72, n=60, r=3)
+        cfg = ADMMConfig(maxiters=3000, abstol=1e-9, reltol=1e-9)
+        exact = rpca(L0 + S0, config=cfg)
+        rs = rpca(L0 + S0, config=cfg, prox_method="rsvd", rank=6)
+        np.testing.assert_allclose(np.asarray(rs.xopt),
+                                   np.asarray(exact.xopt), atol=1e-6)
+        assert (np.linalg.norm(np.asarray(rs.xopt) - L0)
+                <= 1e-6 * np.linalg.norm(L0))
+        with pytest.raises(ValueError, match="rank"):
+            rpca(L0 + S0, prox_method="rsvd")
+        with pytest.raises(ValueError, match="prox_method"):
+            rpca(L0 + S0, prox_method="power")
+
     def test_registry(self, rng):
         L0, S0 = self._plant(rng, m=20, n=16, r=2)
         pf, pg, obj = get_prox_ops("rpca", M=L0 + S0)
