@@ -396,13 +396,17 @@ def fusedlasso_batch(S, lam1s, lam2s, config: ADMMConfig = ADMMConfig(), *,
 
 @_highest_precision_setup
 def rpca_batch(Ms, lams=None, config: ADMMConfig = ADMMConfig(), *,
+               prox_method: str = "exact", rank=None, oversample: int = 10,
+               power_iters: int = 2, seed: int = 0,
                x0=None, z0=None, u0=None, mesh=None,
                **overrides) -> BatchResults:
     """Robust PCA for every matrix in ``Ms`` (shape (B, m, n)) in one
     vmapped program — e.g. per-frame background/foreground separation.
-    The SVT L-step becomes one batched svd per iteration; ``lams`` is a
-    scalar or (B,) vector (default: the per-shape 1/sqrt(max(m, n))
-    exact-recovery value)."""
+    The SVT L-step becomes one batched svd per iteration — or, at
+    ``prox_method='rsvd'`` with a ``rank`` bound, a batched
+    randomized-range sketch (matmul-only + small svds; 8-45x the exact
+    prox per lane on v5e).  ``lams`` is a scalar or (B,) vector
+    (default: the per-shape 1/sqrt(max(m, n)) exact-recovery value)."""
     config = merge_config(config, overrides, body="batched")
     from .rpca import make_prox_ops as _rpca_make_prox_ops
 
@@ -410,7 +414,9 @@ def rpca_batch(Ms, lams=None, config: ADMMConfig = ADMMConfig(), *,
     if Ms.ndim != 3:
         raise ValueError(f"Ms must be a (B, m, n) stack, got {Ms.shape}")
     Bn, m, n = Ms.shape
-    prox_f, prox_g, obj, data = _rpca_make_prox_ops(Ms[0], lams, config)
+    prox_f, prox_g, obj, data = _rpca_make_prox_ops(
+        Ms[0], lams, config, prox_method=prox_method, rank=rank,
+        oversample=oversample, power_iters=power_iters, seed=seed)
     data = dict(data)
     data["M"] = Ms
     data["lam"] = jnp.broadcast_to(data["lam"], (Bn,))

@@ -410,6 +410,23 @@ class TestRobustPCA:
         with pytest.raises(ValueError, match="prox_method"):
             rpca(L0 + S0, prox_method="power")
 
+    def test_batch_rsvd_matches_serial_rsvd(self, rng):
+        from admm_tpu import rpca, rpca_batch
+
+        Ms = []
+        for _ in range(2):
+            L0, S0 = self._plant(rng, m=40, n=32, r=2)
+            Ms.append(L0 + S0)
+        Ms = np.stack(Ms)
+        cfg = ADMMConfig(maxiters=2000, abstol=1e-9, reltol=1e-9)
+        out = rpca_batch(Ms, config=cfg, prox_method="rsvd", rank=5)
+        for i in range(2):
+            solo = rpca(Ms[i], config=cfg, prox_method="rsvd", rank=5)
+            assert int(out.steps[i]) == solo.steps
+            np.testing.assert_allclose(np.asarray(out.xopt[i]),
+                                       np.asarray(solo.xopt),
+                                       rtol=1e-9, atol=1e-11)
+
     def test_registry(self, rng):
         L0, S0 = self._plant(rng, m=20, n=16, r=2)
         pf, pg, obj = get_prox_ops("rpca", M=L0 + S0)
