@@ -64,6 +64,15 @@ class ADMMConfig:
       (the reference records these unconditionally, admm.m:607-610,
       680-682; here they are opt-in because a (maxiters, n) buffer is
       HBM-expensive).
+    - ``stallwindow`` / ``stalltol``: plateau detector for reduced
+      precision (no reference analog; its f64 loop either converges or
+      hits maxiters, admm.m:705-722).  At f32 the primal residual can
+      floor ABOVE the Boyd gate — the stopping rule then never fires and
+      the solve burns the whole iteration budget at constant quality.
+      With ``stallwindow = k > 0``, the loop stops (results.stalled)
+      once the best-seen pnorm has not improved by a relative
+      ``stalltol`` for k consecutive iterations.  Disabled by default
+      and under ``domaxiters`` (which demands all N iterations).
     """
 
     rho: float = 1.0
@@ -86,6 +95,8 @@ class ADMMConfig:
     rbmu: float = 10.0
     rbtau: float = 2.0
     nanguard: bool = True
+    stallwindow: int = 0
+    stalltol: float = 1e-3
     objevals: bool = False
     quiet: bool = True
     record_iterates: bool = False
@@ -133,6 +144,10 @@ class ADMMConfig:
             raise ValueError("choose one adaptive-rho mode: adaptive or rbadaptive")
         if self.rbadaptive and self.fast:
             raise ValueError("rbadaptive applies to the standard iteration only")
+        if self.stallwindow < 0:
+            raise ValueError(f"stallwindow must be >= 0, got {self.stallwindow}")
+        if not 0.0 <= self.stalltol < 1.0:
+            raise ValueError(f"stalltol must be in [0, 1), got {self.stalltol}")
         if self.matmul_precision not in ("default", "high", "highest"):
             raise ValueError(
                 "matmul_precision must be default|high|highest, got "
@@ -162,6 +177,13 @@ class ADMMConfig:
     def needs_hnorm(self) -> bool:
         """Whether the H-norm machinery must be traced (admm.m:302-313)."""
         return self.convtest or self.stopcond in ("hnorm", "both")
+
+    @property
+    def use_stall(self) -> bool:
+        """Whether the plateau detector is traced into the loop (see
+        ``stallwindow``); domaxiters wins, as it does for the standard
+        and hnorm stops (admm.m:705-722)."""
+        return self.stallwindow > 0 and not self.domaxiters
 
     @property
     def dynamic_rho(self) -> bool:

@@ -99,9 +99,14 @@ class _Carry(NamedTuple):
     wz: Any
     wu: Any
     Hprev: Any
+    # plateau detector (ADMMConfig.stallwindow): best pnorm seen + number
+    # of consecutive iterations without relative progress
+    best_p: Any
+    since: Any
     # flags
     done: Any
     diverged: Any
+    stalled: Any
     hist: Any
 
 
@@ -475,6 +480,7 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
     needs_h = cfg.needs_hnorm
     std_stop = cfg.stopcond in ("standard", "both")
     h_stop = cfg.stopcond in ("hnorm", "both")
+    use_stall = cfg.use_stall
 
     def run(x0, z0, u0, c, A, B, data):
         if has_data:
@@ -538,7 +544,10 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
             d=sc(jnp.inf) if alg == 2 else (),
             wz=z0 if needs_h else (), wu=rho0 * u0 if needs_h else (),
             Hprev=sc(jnp.inf) if needs_h else (),
+            best_p=sc(jnp.inf) if use_stall else (),
+            since=jnp.asarray(0, jnp.int32) if use_stall else (),
             done=jnp.asarray(False), diverged=jnp.asarray(False),
+            stalled=jnp.asarray(False),
             hist=hist,
         )
 
@@ -652,6 +661,21 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
             else:
                 wz_new = wu_new = ()
 
+            # ---- plateau detector (ADMMConfig.stallwindow) -----------------
+            stall_i = jnp.asarray(False)
+            if use_stall:
+                # Progress = the best-seen pnorm improves by a relative
+                # stalltol.  NaN pnorm never counts as progress (the
+                # comparison is False), so a NaN plateau also trips the
+                # window even with nanguard off.
+                improved = pnorm < carry.best_p * (1.0 - cfg.stalltol)
+                best_new = jnp.minimum(carry.best_p, pnorm)
+                since_new = jnp.where(improved, 0, carry.since + 1).astype(
+                    jnp.int32)
+                stall_i = since_new >= cfg.stallwindow
+            else:
+                best_new, since_new = (), ()
+
             # ---- stopping (admm.m:705-722) --------------------------------
             stop = jnp.asarray(False)
             if alg == 2:
@@ -666,7 +690,7 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
                 stop = (pnorm < perr) & dual_ok
             if h_stop and not cfg.domaxiters and needs_h:
                 stop = stop | ((i > 2) & (Hsq <= cfg.hnormtol))
-            done = stop | diverged_i
+            done = stop | diverged_i | stall_i
 
             # ---- adaptive rho (admm.m:724-741) ----------------------------
             rho_new = rho
@@ -752,8 +776,11 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
                 wz=sel(carry.wz, wz_new) if needs_h else (),
                 wu=sel(carry.wu, wu_new) if needs_h else (),
                 Hprev=sel(carry.Hprev, Hsq) if needs_h else (),
+                best_p=sel(carry.best_p, best_new) if use_stall else (),
+                since=sel(carry.since, since_new) if use_stall else (),
                 done=sel(carry.done, done),
                 diverged=sel(carry.diverged, carry.diverged | diverged_i),
+                stalled=sel(carry.stalled, carry.stalled | stall_i),
                 hist=h,
             )
             # No explicit done-freeze needed at unroll=1 (frozen=False,
@@ -775,6 +802,7 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
             "uopt": final.u,
             "rho_final": final.rho,
             "diverged": final.diverged,
+            "stalled": final.stalled,
             "hist": final.hist._asdict(),
             "objopt": obj_fn(final.x, final.z) if obj_fn is not None else (),
         }

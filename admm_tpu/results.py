@@ -41,6 +41,10 @@ class ADMMResults:
     runtime: float = 0.0
     solverruntime: float = 0.0
     extra: dict = dataclasses.field(default_factory=dict)
+    # Plateau-stop flag (ADMMConfig.stallwindow): the solve ended because
+    # pnorm made no relative progress for stallwindow iterations, not
+    # because a convergence test fired.  No reference analog.
+    stalled: bool = False
 
     @classmethod
     def from_raw(cls, raw: dict, config, x0=None, z0=None, u0=None) -> "ADMMResults":
@@ -55,6 +59,7 @@ class ADMMResults:
             steps=int(raw["steps"]),
             objopt=None if objopt is None else float(objopt),
             diverged=bool(raw["diverged"]),
+            stalled=bool(np.asarray(raw.get("stalled", False))),
             rho_final=float(raw["rho_final"]),
             hist=hist,
             config=config,

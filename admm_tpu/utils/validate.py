@@ -26,6 +26,14 @@ def errorcheck(arg, check: str, name: str = "argument", *, opts: dict | None = N
         o = opts or {}
         return slicemaker(arg, o["slicelength"], o["workers"])
 
+    if check == "isstruct":
+        # MATLAB struct <-> Python dict (errorcheck.m:117): the options
+        # pytree the solvers pass around.  Not coerced, just gated.
+        if not isinstance(arg, dict):
+            raise ValueError(
+                f"{name} must be a struct (dict), got {type(arg).__name__}")
+        return arg
+
     a = np.asarray(arg)
     if np.iscomplexobj(a):
         a = np.real(a)  # coerce like the reference (errorcheck.m:60-66)

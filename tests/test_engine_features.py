@@ -357,3 +357,94 @@ def test_preprocess_hook_receives_data():
                data={"t": np.float64(0.5)})
     assert seen["keys"] == ["t"]
     assert res.steps == 5
+
+
+# ---- plateau / stall detector (ADMMConfig.stallwindow) --------------------
+
+
+def _f32_stalling_instance(seed=3, m=24, n=96):
+    """A basis-pursuit instance solved at f32 with an f64-grade stop:
+    the primal residual floors above the Boyd gate, so without the
+    detector the solve burns the whole iteration budget."""
+    rng = np.random.default_rng(seed)
+    D = rng.standard_normal((m, n)).astype(np.float32)
+    x = np.zeros(n)
+    x[rng.choice(n, size=8, replace=False)] = rng.standard_normal(8)
+    s = (D @ x).astype(np.float32)
+    return D, s
+
+
+def test_stall_detector_stops_plateaued_f32_run():
+    from admm_tpu import basispursuit
+
+    D, s = _f32_stalling_instance()
+    kw = dict(maxiters=4000, abstol=1e-12, reltol=1e-11)
+    burn = basispursuit(D, s, ADMMConfig(**kw))
+    assert burn.steps == 4000 and not burn.stalled  # the failure mode
+
+    res = basispursuit(D, s, ADMMConfig(stallwindow=60, **kw))
+    assert res.stalled and not res.diverged
+    assert res.steps < 4000
+    # Stopping at the plateau loses nothing: the solution quality equals
+    # the full burn's (both sit at the f32 floor).
+    q_stall = np.linalg.norm(D @ np.asarray(res.xopt, np.float64) - s)
+    q_burn = np.linalg.norm(D @ np.asarray(burn.xopt, np.float64) - s)
+    assert q_stall <= 2.0 * q_burn + 1e-6
+
+
+def test_stall_detector_inert_on_converging_run():
+    P, Q, r, s, truex = _instance()
+    base = model(P, Q, r, s, ADMMConfig(maxiters=2000))
+    res = model(P, Q, r, s, ADMMConfig(maxiters=2000, stallwindow=200))
+    # A healthy solve converges long before any 200-iteration plateau.
+    assert not res.stalled
+    assert res.steps == base.steps
+    np.testing.assert_array_equal(np.asarray(res.xopt), np.asarray(base.xopt))
+
+
+def test_stall_detector_unroll_exact():
+    """Stall-stop must fire at the SAME step under unroll=K as K=1."""
+    D, s = _f32_stalling_instance(seed=11)
+    kw = dict(maxiters=3000, abstol=1e-12, reltol=1e-11, stallwindow=50)
+    from admm_tpu import basispursuit
+
+    r1 = basispursuit(D, s, ADMMConfig(unroll=1, **kw))
+    rK = basispursuit(D, s, ADMMConfig(unroll=8, **kw))
+    assert r1.stalled and rK.stalled
+    assert r1.steps == rK.steps
+    np.testing.assert_array_equal(np.asarray(r1.xopt), np.asarray(rK.xopt))
+
+
+def test_stall_config_validation_and_domaxiters_gate():
+    with pytest.raises(ValueError, match="stallwindow"):
+        ADMMConfig(stallwindow=-1)
+    with pytest.raises(ValueError, match="stalltol"):
+        ADMMConfig(stalltol=1.5)
+    assert not ADMMConfig(stallwindow=50, domaxiters=True).use_stall
+    assert ADMMConfig(stallwindow=50).use_stall
+
+    # domaxiters wins: all N iterations run even on a plateau.
+    D, s = _f32_stalling_instance()
+    from admm_tpu import basispursuit
+
+    res = basispursuit(D, s, ADMMConfig(
+        maxiters=300, domaxiters=True, stallwindow=20,
+        abstol=1e-12, reltol=1e-11))
+    assert res.steps == 300 and not res.stalled
+
+
+def test_quiet_false_prints_table_rows(capfd):
+    """quiet=0 per-iteration console table (admm.m:318-330, 661-673):
+    one row per executed iteration plus the final summary line, gated on
+    the live mask so unrolled sub-steps past done print nothing."""
+    import jax
+
+    P, Q, r, s, _ = _instance()
+    res = model(P, Q, r, s, ADMMConfig(maxiters=500, quiet=False, unroll=4))
+    jax.effects_barrier()  # drain the debug.print callbacks
+    out = capfd.readouterr().out
+    rows = [ln for ln in out.splitlines() if "pnorm" in ln and "perr" in ln]
+    assert len(rows) == res.steps, (len(rows), res.steps)
+    # Rows carry the 1-based iteration counter in order.
+    assert rows[0].startswith("1\t") and rows[-1].startswith(f"{res.steps}\t")
+    assert f"ADMM finished: {res.steps} steps" in out

@@ -40,6 +40,14 @@ def test_errorcheck_shapes():
     assert errorcheck(3.0, "isinteger") == 3
 
 
+def test_errorcheck_isstruct_roundtrip():
+    # errorcheck.m:117: struct arguments gate through unchanged.
+    opts = {"rho": 2.0, "maxiters": 10}
+    assert errorcheck(opts, "isstruct") is opts
+    with pytest.raises(ValueError, match="must be a struct"):
+        errorcheck([("rho", 2.0)], "isstruct", "options")
+
+
 def test_showresults_text_report():
     from admm_tpu import ADMMConfig
     from admm_tpu.models.model import model
