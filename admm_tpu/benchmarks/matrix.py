@@ -443,7 +443,12 @@ _F32_ERRTOL = {
     "linearprogram": 1e-4,    # f64 bar 1e-10
     "quadraticprogram": 5e-3,  # x-residual criterion; ~2e-3 is the f32 floor
     "covarianceselection": 1e-3,
-    "linearsvm": 0.08,
+    # Reference bar (solvertester.m:114-123), reconciled: f32 adds no
+    # measurable slope scatter over the construction's own sampling noise
+    # (matrix row at seed 1 reads hinge 0.004 / 0-1 0.040; the 0-1 bar is
+    # errtol01 = 2.5x this inside linearsvmtest).  The earlier 0.08 was a
+    # conservative placeholder, not a measured f32 floor.
+    "linearsvm": 0.05,
 }
 
 
@@ -473,15 +478,18 @@ def accuracy_matrix(smoke=False):
         t0 = time.perf_counter()
         # The testers default to f64-grade stopping (abstol 1e-11) which
         # sits below the f32 floor and burns the full iteration budget;
-        # use f32-appropriate Boyd tolerances instead.
+        # use f32-appropriate Boyd tolerances PLUS the plateau detector
+        # (ADMMConfig.stallwindow) for families whose f32 residual floor
+        # sits above even those — a stalled row stops at its floor
+        # instead of measuring the iteration cap (VERDICT r3 weak #1).
         out = tester(seed=1, errtol=errtol, quiet=True,
-                     abstol=1e-7, reltol=1e-6, **kw)
+                     abstol=1e-7, reltol=1e-6, stallwindow=100, **kw)
         dt = time.perf_counter() - t0
         test = out[-1]
         res = out[0]
         row = {"solver": name, "f32_errtol": errtol,
                "failed": bool(test["failed"]), "steps": int(res.steps),
-               "wall_s": round(dt, 2)}
+               "stalled": bool(res.stalled), "wall_s": round(dt, 2)}
         for k in ("objerror", "xresidual", "relerror", "objopt",
                   "trueobjopt", "relerr_hinge", "relerr_01", "failreason"):
             if k in test and test[k] is not None and not isinstance(
@@ -507,13 +515,17 @@ def _beyond_reference_accuracy():
 
     rng = np.random.default_rng(1)
     f32 = np.float32
-    cfg = ADMMConfig(maxiters=20000, abstol=1e-7, reltol=1e-6)
+    # stallwindow: nnls/quantile floor above the f32 Boyd gate and would
+    # otherwise burn all 20k iterations at constant quality.
+    cfg = ADMMConfig(maxiters=20000, abstol=1e-7, reltol=1e-6,
+                     stallwindow=100)
     rows = []
 
     def emit(name, errtol, err, res, extra=None):
         row = {"solver": name, "f32_errtol": errtol,
                "failed": bool(not (err <= errtol)),
-               "relerror": round(float(err), 8), "steps": int(res.steps)}
+               "relerror": round(float(err), 8), "steps": int(res.steps),
+               "stalled": bool(res.stalled)}
         if extra:
             row.update(extra)
         print(json.dumps(row), flush=True)
@@ -587,7 +599,8 @@ def _beyond_reference_accuracy():
     L0 = (rng.standard_normal((nr, 4)) @ rng.standard_normal((4, nr)))
     S0 = (rng.random((nr, nr)) < 0.05) * (5 * rng.standard_normal((nr, nr)))
     res = rpca((L0 + S0).astype(f32),
-               config=ADMMConfig(maxiters=3000, abstol=1e-7, reltol=1e-6))
+               config=ADMMConfig(maxiters=3000, abstol=1e-7, reltol=1e-6,
+                                 stallwindow=100))
     err = (np.linalg.norm(np.asarray(res.xopt, np.float64) - L0)
            / np.linalg.norm(L0))
     emit("rpca_recovery", 1e-3, err, res)

