@@ -118,16 +118,28 @@ def test_sharded_svm_across_two_processes():
         pid = int(sys.argv[1])
         jax.distributed.initialize("127.0.0.1:47219", 2, pid)
         print("DIST_INIT_OK", flush=True)
+        # f64 so the sharded-vs-serial trajectory comparison is exact
+        # (the psum reassociates float sums; at f32 the drift compounds).
+        jax.config.update("jax_enable_x64", True)
         import numpy as np
-        from admm_tpu import ADMMConfig
+        from admm_tpu import ADMMConfig, linearsvm
         from admm_tpu.parallel import linearsvm_sharded, make_mesh
         from admm_tpu.testers.problems import make_svm_instance
         D, ell = make_svm_instance(0, 64, 64, 0.5)
-        res = linearsvm_sharded(D, ell, 1.0, ADMMConfig(maxiters=300),
-                                mesh=make_mesh())
+        cfg = ADMMConfig(maxiters=300)
+        res = linearsvm_sharded(D, ell, 1.0, cfg, mesh=make_mesh(),
+                                seed=3)
         x = np.asarray(jax.device_get(res.xopt))
         assert np.isfinite(x).all()
         assert x[0] > 0 and x[1] < 0  # separator orientation recovered
+        # Exactness across the process boundary: the sharded program is
+        # algebraically the serial unwrapped iteration (psum of
+        # per-shard D_i^T v_i == D^T v), so from the same warm start it
+        # must match the SERIAL solve trajectory, not just its sign.
+        ser = linearsvm(D, ell, 1.0, cfg, seed=3)
+        xs = np.asarray(jax.device_get(ser.xopt))
+        assert res.steps == ser.steps, (res.steps, ser.steps)
+        np.testing.assert_allclose(x, xs, rtol=1e-8, atol=1e-8)
     ''')
     _check(*_run_workers(code))
 
