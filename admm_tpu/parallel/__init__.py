@@ -18,9 +18,9 @@ Three distributed forms, matching SURVEY.md section 2.7:
   `sliced.make_parallel_proxes`
 """
 
-from .mesh import make_mesh, pad_rows, shard_rows
+from .mesh import make_mesh, make_mesh2d, pad_rows, shard_rows
 from .consensus import (consensus_admm, consensus_elasticnet,
-                        consensus_lasso)
+                        consensus_lasso, consensus_lasso_batch)
 from .transpose_reduction import unwrapped_admm_sharded, linearsvm_sharded
 from .sliced import make_parallel_proxes, make_sliced_prox
 from .multihost import global_mesh, initialize_cluster
@@ -29,11 +29,13 @@ __all__ = [
     "initialize_cluster",
     "global_mesh",
     "make_mesh",
+    "make_mesh2d",
     "pad_rows",
     "shard_rows",
     "consensus_admm",
     "consensus_elasticnet",
     "consensus_lasso",
+    "consensus_lasso_batch",
     "unwrapped_admm_sharded",
     "linearsvm_sharded",
     "make_parallel_proxes",

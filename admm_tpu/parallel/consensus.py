@@ -101,15 +101,15 @@ from ..engine import (_with_matmul_precision, adaptive_rho_update,
                       unrolled_body)
 from ..ops.prox import soft_threshold
 from ..results import ADMMResults
-from .mesh import make_mesh, pad_rows, shard_rows
+from .mesh import make_mesh, make_mesh2d, pad_rows, shard_rows
 
 
-@functools.lru_cache(maxsize=64)
-def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
-                             W: int, n: int):
-    """Cross-call compile cache: repeat consensus solves of the same
-    (proxes, config, shard count, width) family reuse the compiled
-    program."""
+def _make_consensus_run(local_prox, global_prox, config: ADMMConfig,
+                        W: int, n: int):
+    """Build the (unjitted) consensus iteration program
+    ``run(data, xi0, ui0, z0) -> raw dict``.  Jitted directly by
+    ``_cached_consensus_runner``; vmapped over an instance-lane axis by
+    ``_cached_consensus_batch_runner`` (the 2-D lanes x shards mesh)."""
     N = int(config.maxiters)
     relax = float(config.relax)
     use_relax = relax != 1.0
@@ -371,7 +371,34 @@ def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
             "hist": final["hist"],
         }
 
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_consensus_runner(local_prox, global_prox, config: ADMMConfig,
+                             W: int, n: int):
+    """Cross-call compile cache: repeat consensus solves of the same
+    (proxes, config, shard count, width) family reuse the compiled
+    program."""
+    run = _make_consensus_run(local_prox, global_prox, config, W, n)
     return jax.jit(_with_matmul_precision(run, config.matmul_precision))
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_consensus_batch_runner(local_prox, global_prox,
+                                   config: ADMMConfig, W: int, n: int,
+                                   mapped: frozenset, data_keys: frozenset):
+    """Instance-batched consensus runner: vmap the consensus program over
+    a leading lane axis (one independent problem per lane), each lane
+    still row-sharded W ways.  Data leaves named in ``mapped`` carry the
+    lane axis; the rest (shared factorizations) are broadcast.  Under
+    vmap, JAX's while_loop batching per-lane-selects the carry against
+    each lane's done flag, so converged lanes freeze (engine.py note) —
+    the program runs until the slowest lane."""
+    run = _make_consensus_run(local_prox, global_prox, config, W, n)
+    data_axes = {k: (0 if k in mapped else None) for k in data_keys}
+    vrun = jax.vmap(run, in_axes=(data_axes, 0, 0, 0))
+    return jax.jit(_with_matmul_precision(vrun, config.matmul_precision))
 
 
 def consensus_admm(
@@ -577,6 +604,163 @@ def consensus_lasso(
     return consensus_admm(
         local_prox, _lasso_global_prox, data, n, config,
         mesh=mesh, nshards=W, xi0=xi0, ui0=ui0, z0=z0,
+    )
+
+
+# ---- 2-D mesh: instance lanes x consensus shards --------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_lasso_batch_setup(shard_spec, lane_spec, rho):
+    """Shared per-shard rho-folded Gram inverse (one dictionary D for the
+    whole batch) + per-lane, per-shard D_i^T s_b,i — jitted once per
+    (shardings, rho)."""
+
+    def body(Di, Sib):
+        with jax.default_matmul_precision("highest"):
+            n = Di.shape[-1]
+            G = jnp.einsum("wij,wik->wjk", Di, Di)
+            G = G + rho * jnp.eye(n, dtype=Di.dtype)[None]
+            Minv = jnp.linalg.inv(G)
+            Dtsi = jnp.einsum("wij,bwi->bwj", Di, Sib)
+            return Minv, Dtsi
+
+    return jax.jit(body, out_shardings=(shard_spec, lane_spec))
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_lasso_batch_setup_dyn(shard_spec, lane_spec):
+    """Dynamic-rho variant: batched per-shard Gram eigh (shared) +
+    per-lane D_i^T s_b,i."""
+
+    def body(Di, Sib):
+        with jax.default_matmul_precision("highest"):
+            G = jnp.einsum("wij,wik->wjk", Di, Di)
+            G = 0.5 * (G + jnp.swapaxes(G, -1, -2))
+            w, V = jnp.linalg.eigh(G)
+            Dtsi = jnp.einsum("wij,bwi->bwj", Di, Sib)
+            return w, V, Dtsi
+
+    return jax.jit(body, out_shardings=(shard_spec, shard_spec, lane_spec))
+
+
+def consensus_lasso_batch(
+    D,
+    S,
+    lams,
+    config: ADMMConfig = ADMMConfig(),
+    *,
+    mesh: Optional[Mesh] = None,
+    nshards: Optional[int] = None,
+    xi0=None,
+    ui0=None,
+    z0=None,
+):
+    """B independent LASSO instances — one shared dictionary ``D``, a
+    per-lane signal ``S[b]`` and penalty ``lams[b]`` — each solved by
+    consensus ADMM with its data rows sharded W ways, as ONE jitted
+    GSPMD program over a 2-D (lanes x shards) mesh.
+
+    This composes the library's two data-parallel axes (lane-sharded
+    batches, models/batch.py, and row-sharded consensus, the reference's
+    getProxOps.m:367-442): a pod runs both at once — instance lanes
+    spread over one mesh axis, each lane's consensus collectives riding
+    the other.  The per-iteration collective payload stays 2n floats per
+    lane (xbar/ubar means over the shard axis); the lane axis needs no
+    communication at all beyond the while_loop's scalar continue-
+    predicate.  Converged lanes freeze via JAX's while_loop batching
+    rule, exactly as in the engine's vmapped paths.
+
+    ``mesh`` must be 2-D (lanes, shards), e.g. ``make_mesh2d(2, 4)``;
+    defaults to 1 lane x all devices.  B must divide over the lane axis
+    and ``nshards`` (default: the shard-axis size) over the shard axis.
+    ``xi0``/``ui0`` (B, W, n) and ``z0`` (B, n) warm-start the lanes.
+    Returns stacked per-lane results (models.batch.BatchResults) with
+    per-lane xi/ui in ``hist`` omitted — ``extra`` is not available on
+    BatchResults, so resume state is the returned xopt/zopt/uopt.
+    """
+    from jax.sharding import PartitionSpec
+
+    if mesh is None:
+        mesh = make_mesh2d(1, jax.device_count())
+    if len(mesh.axis_names) != 2:
+        raise ValueError(
+            f"consensus_lasso_batch needs a 2-D (lanes, shards) mesh; got "
+            f"axes {mesh.axis_names}")
+    lane_ax, shard_ax = mesh.axis_names
+    L, Wdev = mesh.devices.shape
+    W = nshards if nshards is not None else Wdev
+    if W % Wdev:
+        raise ValueError(
+            f"nshards={W} must be a multiple of the mesh shard-axis size "
+            f"{Wdev}")
+
+    D = np.asarray(D)
+    S = np.asarray(S)
+    m, n = D.shape
+    if S.ndim != 2 or S.shape[1] != m:
+        raise ValueError(f"S must be (B, {m}) signal lanes, got {S.shape}")
+    Bn = S.shape[0]
+    if Bn % L:
+        raise ValueError(
+            f"batch size {Bn} must divide over the {L}-device lane axis")
+
+    Dp, _ = pad_rows(D, W)
+    Di = shard_rows(Dp, W)                       # (W, m/W, n)
+    Sp = np.pad(S, ((0, 0), (0, Dp.shape[0] - m)))
+    Sib = Sp.reshape(Bn, W, -1)                  # (B, W, m/W)
+
+    shard_spec = NamedSharding(mesh, PartitionSpec(shard_ax))
+    lane_spec = NamedSharding(mesh, PartitionSpec(lane_ax, shard_ax))
+    Di_dev = jax.device_put(jnp.asarray(Di), shard_spec)
+    Sib_dev = jax.device_put(jnp.asarray(Sib), lane_spec)
+
+    rdtype = Di_dev.dtype
+    if config.dynamic_rho:
+        w, V, Dtsi = _cached_lasso_batch_setup_dyn(shard_spec, lane_spec)(
+            Di_dev, Sib_dev)
+        local_prox, data = _lasso_local_prox_dynamic, {"w": w, "V": V,
+                                                       "Dtsi": Dtsi}
+    else:
+        Minv, Dtsi = _cached_lasso_batch_setup(
+            shard_spec, lane_spec, float(config.rho))(Di_dev, Sib_dev)
+        local_prox, data = _lasso_local_prox, {"Minv": Minv, "Dtsi": Dtsi}
+    lam_spec = NamedSharding(mesh, PartitionSpec(lane_ax))
+    data["lam"] = jax.device_put(
+        jnp.broadcast_to(jnp.asarray(lams, rdtype), (Bn,)), lam_spec)
+
+    state_spec = lane_spec
+    z_spec = NamedSharding(mesh, PartitionSpec(lane_ax))
+    xi0 = (jnp.zeros((Bn, W, n), rdtype) if xi0 is None
+           else jnp.asarray(xi0, rdtype))
+    ui0 = (jnp.zeros((Bn, W, n), rdtype) if ui0 is None
+           else jnp.asarray(ui0, rdtype))
+    z0 = jnp.zeros((Bn, n), rdtype) if z0 is None else jnp.asarray(z0, rdtype)
+    if xi0.shape != (Bn, W, n) or ui0.shape != (Bn, W, n):
+        raise ValueError(
+            f"xi0/ui0 must have shape {(Bn, W, n)}; got "
+            f"{xi0.shape}/{ui0.shape}")
+    if z0.shape != (Bn, n):
+        raise ValueError(f"z0 must have shape {(Bn, n)}; got {z0.shape}")
+    xi0 = jax.device_put(xi0, state_spec)
+    ui0 = jax.device_put(ui0, state_spec)
+    z0 = jax.device_put(z0, z_spec)
+
+    config = resolve_unroll(config, "default")
+    runner = _cached_consensus_batch_runner(
+        local_prox, _lasso_global_prox, config, W, n,
+        frozenset({"Dtsi", "lam"}), frozenset(data))
+
+    from ..models.batch import BatchResults
+
+    data, xi0, ui0, z0 = jax.block_until_ready((data, xi0, ui0, z0))
+    t0 = time.perf_counter()  # loop-only wall clock
+    out = jax.block_until_ready(runner(data, xi0, ui0, z0))
+    return BatchResults(
+        xopt=out["xopt"], zopt=out["zopt"], uopt=out["uopt"],
+        steps=out["steps"], runtime=time.perf_counter() - t0,
+        hist={k: v for k, v in out["hist"].items()
+              if not isinstance(v, tuple)},
     )
 
 

@@ -26,6 +26,20 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "shards") -> Mes
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh2d(lanes: int, shards: int,
+                axis_names: Tuple[str, str] = ("lanes", "shards"),
+                devices=None) -> Mesh:
+    """A 2-D (lanes x shards) mesh: instance lanes on axis 0, consensus /
+    transpose-reduction row shards on axis 1.  A pod runs both axes at
+    once — batched instances, each row-sharded (VERDICT r3 #7)."""
+    devs = jax.devices() if devices is None else list(devices)
+    need = lanes * shards
+    if need > len(devs):
+        raise ValueError(
+            f"mesh {lanes}x{shards} needs {need} devices, have {len(devs)}")
+    return Mesh(np.asarray(devs[:need]).reshape(lanes, shards), axis_names)
+
+
 def pad_rows(M: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
     """Zero-pad axis 0 of ``M`` to a multiple; returns (padded, n_pad)."""
     m = M.shape[0]

@@ -855,3 +855,64 @@ def test_consensus_lasso_setup_is_cached_across_solves():
     before = _cached_lasso_setup.cache_info().hits
     consensus_lasso(D, s + 0.1, 0.1, cfg, nshards=4)
     assert _cached_lasso_setup.cache_info().hits == before + 1
+
+
+# ---- 2-D mesh: instance lanes x consensus shards (round 4) ----------------
+
+
+def test_consensus_lasso_batch_lane_exact_2d_mesh():
+    """consensus_lasso_batch over a 2x4 (lanes x shards) mesh must equal
+    the 1-D 4-shard consensus solve lane for lane — same step counts,
+    same solutions (f64)."""
+    import numpy as np
+
+    from admm_tpu import ADMMConfig
+    from admm_tpu.parallel import (consensus_lasso, consensus_lasso_batch,
+                                   make_mesh, make_mesh2d)
+
+    rng = np.random.default_rng(5)
+    m, n, B = 64, 10, 4
+    D = rng.standard_normal((m, n))
+    S = rng.standard_normal((B, m))
+    lams = np.geomspace(0.05, 0.4, B)
+    cfg = ADMMConfig(maxiters=500)
+    batch = consensus_lasso_batch(D, S, lams, cfg, mesh=make_mesh2d(2, 4))
+    sub = make_mesh(4)
+    for b in range(B):
+        solo = consensus_lasso(D, S[b], float(lams[b]), cfg, mesh=sub,
+                               nshards=4)
+        assert int(np.asarray(batch.steps)[b]) == int(solo.steps)
+        np.testing.assert_allclose(np.asarray(batch.zopt)[b],
+                                   np.asarray(solo.zopt),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(batch.xopt)[b],
+                                   np.asarray(solo.xopt),
+                                   rtol=1e-10, atol=1e-12)
+    # per-lane residual histories recorded
+    assert batch.hist["pnorm"].shape == (B, cfg.maxiters)
+
+
+def test_consensus_lasso_batch_dynamic_rho_and_validation():
+    import numpy as np
+    import pytest as _pytest
+
+    from admm_tpu import ADMMConfig
+    from admm_tpu.parallel import consensus_lasso_batch, make_mesh, make_mesh2d
+
+    rng = np.random.default_rng(6)
+    D = rng.standard_normal((48, 8))
+    S = rng.standard_normal((4, 48))
+
+    # rbadaptive engages the batched-eigh (rho-parameterized) local solve.
+    res = consensus_lasso_batch(D, S, 0.1,
+                                ADMMConfig(maxiters=200, rbadaptive=True),
+                                mesh=make_mesh2d(2, 2))
+    assert np.isfinite(np.asarray(res.zopt)).all()
+    assert np.asarray(res.steps).shape == (4,)
+
+    with _pytest.raises(ValueError, match="2-D"):
+        consensus_lasso_batch(D, S, 0.1, mesh=make_mesh(4))
+    with _pytest.raises(ValueError, match="divide over"):
+        consensus_lasso_batch(D, S[:3], 0.1, mesh=make_mesh2d(2, 2))
+    with _pytest.raises(ValueError, match="signal lanes"):
+        consensus_lasso_batch(D, S[:, :20], 0.1, mesh=make_mesh2d(2, 2))
