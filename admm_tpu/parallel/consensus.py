@@ -445,18 +445,28 @@ def consensus_admm(
     if z0.shape != (n,):
         raise ValueError(f"z0 must have shape {(n,)}; got {z0.shape}")
 
-    # consensus bodies are GEMV-class but carry collective/carry overhead;
-    # the measured balanced setting is the default (docs/RESULTS.md).
-    config = resolve_unroll(config, "default")
+    # consensus bodies are GEMV-class: with honest loop-only timing the
+    # deep unroll matches the hand-loop floor (unroll 16: 51.4k vs 43.9k
+    # iter/s at 4, = the bare-loop 52.4k; round-3's "balanced default"
+    # reading was an artifact of the runtime clock stopping after
+    # from_raw's host transfers — experiments/consensus_gap_bisect.py).
+    config = resolve_unroll(config, "gemv")
     runner = _cached_consensus_runner(local_prox, global_prox, config, W, n)
     data, xi0, ui0, z0 = jax.block_until_ready((data, xi0, ui0, z0))
     t0 = time.perf_counter()  # loop-only wall clock
     out = jax.block_until_ready(runner(data, xi0, ui0, z0))
+    # Stop the clock BEFORE from_raw: its scalar int()/float()/bool()
+    # conversions are each a device->host round trip, which on the
+    # tunneled TPU costs ~10 ms apiece — measured 58 vs 24 us/iter on a
+    # 2000-iteration solve with the old after-from_raw placement
+    # (experiments/consensus_gap_bisect.py; the engine and the
+    # transpose-reduction runner already measured in this order).
+    runtime = time.perf_counter() - t0
 
     res = ADMMResults.from_raw(
         {k: v for k, v in out.items() if k not in ("xi", "ui")}, config
     )
-    res.runtime = time.perf_counter() - t0
+    res.runtime = runtime
     res.extra["xi"] = out["xi"]
     res.extra["ui"] = out["ui"]
     res.extra["nshards"] = W
