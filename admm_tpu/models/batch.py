@@ -67,6 +67,9 @@ class BatchResults:
     objopt: Any = None  # (B,) per-instance objective at the solution
     runtime: float = 0.0
     hist: dict = dataclasses.field(default_factory=dict)
+    # Solver-specific extras (e.g. consensus_lasso_batch's per-lane
+    # sharded xi/ui for warm-start resume), like ADMMResults.extra.
+    extra: dict = dataclasses.field(default_factory=dict)
 
 
 def _check_batch(S, m, what):

@@ -48,13 +48,15 @@ def _prox_f(X, Z, U, rho, d):
 
 
 @functools.lru_cache(maxsize=32)
-def _ns_prox_f(ns_iters: int):
+def _ns_prox_f(ns_iters: int, ns_coarse: int = 0, ns_correct: int = 0):
     """Module-level-cached NS x-prox so repeat solves with the same
-    ``ns_iters`` reuse the engine's compiled runner (the caching
-    contract keys on function identity — see engine._cached_runner)."""
+    ``(ns_iters, ns_coarse)`` reuse the engine's compiled runner (the
+    caching contract keys on function identity — see
+    engine._cached_runner)."""
 
     def prox(X, Z, U, rho, d):
-        return covsel_ns_prox(rho * (Z - U) - d["S"], rho, ns_iters)
+        return covsel_ns_prox(rho * (Z - U) - d["S"], rho, ns_iters,
+                              ns_coarse, ns_correct)
 
     return prox
 
@@ -69,25 +71,42 @@ def _obj(X, Z, d):
 
 
 def make_prox_ops(S, lam, config: ADMMConfig = ADMMConfig(), *,
-                  prox_method: str = "eigh", ns_iters: int = 20):
+                  prox_method: str = "eigh", ns_iters: int = 20,
+                  ns_coarse: int = 0, ns_correct: int = 0):
     """Build (prox_f, prox_g, obj, data) from the empirical covariance S
     (getProxOps.m:669-750).
 
     ``prox_method='ns'`` swaps the eigh x-prox for the Newton-Schulz
     matmul-only evaluation (``ns_iters`` square-root steps, static).
+    ``ns_coarse`` runs that many leading NS steps in the MXU's bf16-pass
+    mode and ``ns_correct`` appends that many full-precision residual
+    corrections (ops/matfun.ns_sqrtm): the measured fast recipe is
+    ns_coarse=ns_iters, ns_correct=2 — bf16-class speed at near-f32
+    accuracy (experiments/covsel_tail_probe.py).
     """
-    if prox_method not in ("eigh", "ns"):
-        raise ValueError(f"prox_method must be 'eigh' or 'ns', got {prox_method!r}")
+    if prox_method not in ("eigh", "ns", "ns_fast"):
+        raise ValueError(
+            f"prox_method must be 'eigh', 'ns' or 'ns_fast', got {prox_method!r}")
+    if prox_method == "ns_fast":
+        # The measured v5e recipe: ALL square-root steps in bf16-pass
+        # mode + 2 full-precision residual corrections — same final
+        # accuracy as the all-full-precision NS (rel-F ~1.6e-7 vs its
+        # 1.75e-7 against eigh) at 1.9-2.6x its speed, 10.8-11.8x eigh
+        # (n=512-1024, experiments/covsel_tail_probe.py round 4).
+        ns_coarse, ns_correct = ns_iters, max(int(ns_correct), 2)
     S = jnp.asarray(S)
     data = {"S": S, "lam": jnp.asarray(lam, S.dtype)}
-    pf = _prox_f if prox_method == "eigh" else _ns_prox_f(int(ns_iters))
+    pf = (_prox_f if prox_method == "eigh"
+          else _ns_prox_f(int(ns_iters), int(ns_coarse), int(ns_correct)))
     return pf, _prox_g, _obj, data
 
 
 @register("covarianceselection")
-def _registry_entry(S, lam, config=ADMMConfig(), prox_method="eigh", ns_iters=20, **_):
+def _registry_entry(S, lam, config=ADMMConfig(), prox_method="eigh", ns_iters=20,
+                    ns_coarse=0, ns_correct=0, **_):
     pf, pg, obj, data = make_prox_ops(S, lam, config,
-                                      prox_method=prox_method, ns_iters=ns_iters)
+                                      prox_method=prox_method, ns_iters=ns_iters,
+                                      ns_coarse=ns_coarse, ns_correct=ns_correct)
     return bind_data(pf, pg, obj, data)
 
 
@@ -103,6 +122,7 @@ def empirical_covariance(D):
 @timed_solver
 def covarianceselection(D=None, lam=None, config: ADMMConfig = ADMMConfig(), *,
                         prox_method: str = "eigh", ns_iters: int = 20,
+                        ns_coarse: int = 0, ns_correct: int = 0,
                         x0=None, z0=None, u0=None, **overrides) -> ADMMResults:
     """Solve covariance selection (reference solvers/covarianceselection.m:80).
 
@@ -111,7 +131,10 @@ def covarianceselection(D=None, lam=None, config: ADMMConfig = ADMMConfig(), *,
     initial state (covarianceselection.m:164-166).
 
     ``prox_method='ns'`` selects the matmul-only Newton-Schulz x-prox —
-    the TPU performance mode (no eigh inside the compiled loop).
+    the TPU performance mode (no eigh inside the compiled loop);
+    ``'ns_fast'`` additionally runs the square-root steps in the MXU's
+    bf16-pass mode with 2 full-precision residual corrections — the
+    same final accuracy at ~2x the 'ns' speed (make_prox_ops).
     """
     if D is None:
         # Zero-arg demo mode (reference solvers, e.g. lasso.m:122-129).
@@ -125,7 +148,9 @@ def covarianceselection(D=None, lam=None, config: ADMMConfig = ADMMConfig(), *,
     n = S.shape[0]
     prox_f, prox_g, obj, data = make_prox_ops(S, lam, config,
                                               prox_method=prox_method,
-                                              ns_iters=ns_iters)
+                                              ns_iters=ns_iters,
+                                              ns_coarse=ns_coarse,
+                                              ns_correct=ns_correct)
     zero = jnp.zeros((n, n), dtype=S.dtype)
     return admm(
         prox_f, prox_g, config,

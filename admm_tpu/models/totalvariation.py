@@ -65,9 +65,15 @@ def make_prox_ops(s, lam, config: ADMMConfig = ADMMConfig(), solver: str = "auto
     """Build (prox_f, prox_g, obj, data, D) for TV (getProxOps.m:145-199).
 
     ``solver``: 'dense' diagonalizes D^T D once (O(n^2) apply per
-    iteration); 'cr' precomputes a cyclic-reduction elimination of the
-    fixed tridiagonal system (O(n log n) apply — the large-n path);
-    'auto' picks 'cr' for n > 2048 with static rho.
+    iteration); 'cr' precomputes a HYBRID cyclic-reduction elimination
+    of the fixed tridiagonal system — masked full-length levels down to
+    a <= 1023-size reduced system finished by one dense-inverse GEMV
+    (ops/tridiag.CyclicReductionSolver dense_cutoff; measured 1.7-2.5x
+    the all-levels masked form at n = 8192-65536 on v5e); 'cr_masked'
+    runs every level masked; 'cr_packed' is the per-level packed layout
+    (asymptotically fewer bytes, measured 4.8-16x SLOWER on TPU —
+    retained as the documented negative result); 'auto' picks 'cr' for
+    n > 2048 with static rho.
     """
     s = jnp.asarray(s)
     n = s.shape[0]
@@ -76,22 +82,33 @@ def make_prox_ops(s, lam, config: ADMMConfig = ADMMConfig(), solver: str = "auto
 
     if solver == "auto":
         solver = "cr" if (n > 2048 and not config.dynamic_rho) else "dense"
-    if solver == "cr" and config.dynamic_rho:
+    if solver in ("cr", "cr_masked", "cr_packed") and config.dynamic_rho:
         raise ValueError("cyclic-reduction TV requires static rho")
 
-    if solver == "cr":
+    if solver in ("cr", "cr_masked", "cr_packed"):
         import numpy as np
 
-        from ..ops.tridiag import CyclicReductionSolver
+        from ..ops.tridiag import (CyclicReductionSolver,
+                                   PackedCyclicReductionSolver)
 
         # I + rho D^T D is tridiag(-rho, 1 + rho*[1,2,...,2], -rho)
         # (D^T D = I + diag(0,1,..,1) - U - U^T for the DiffOp stencil).
         rho = config.rho
         diag = 1.0 + rho * np.r_[1.0, 2.0 * np.ones(n - 1)]
         off = -rho * np.ones(n)
-        data["cr"] = CyclicReductionSolver.from_tridiag(
-            np.r_[0.0, off[1:]], diag, np.r_[off[:-1], 0.0]
-        )
+        args = (np.r_[0.0, off[1:]], diag, np.r_[off[:-1], 0.0])
+        if solver == "cr_packed":
+            data["cr"] = PackedCyclicReductionSolver.from_tridiag(*args)
+        elif solver == "cr_masked":
+            data["cr"] = CyclicReductionSolver.from_tridiag(*args)
+        else:
+            # Hybrid dense tail only where the saved deep sweeps beat
+            # its fixed gather/scatter+GEMV cost: +22% at n=65536,
+            # within noise / slightly negative at n=8192 (round-4
+            # probe), so gate on depth.
+            cutoff = 1023 if n > 16384 else None
+            data["cr"] = CyclicReductionSolver.from_tridiag(
+                *args, dense_cutoff=cutoff)
         prox_f = _prox_f_cr
     else:
         Dd = D.dense(s.dtype)

@@ -48,7 +48,7 @@ def _spectral_upper_bound(A):
     return jnp.minimum(fro, row)
 
 
-def ns_sqrtm(A, iters: int = 20):
+def ns_sqrtm(A, iters: int = 20, coarse: int = 0, correct: int = 0):
     """sqrt(A) for symmetric positive-definite A via coupled
     Newton-Schulz — matmuls only, no factorization.
 
@@ -56,6 +56,24 @@ def ns_sqrtm(A, iters: int = 20):
     unrolled at trace time into 2 GEMMs + 1 batched GEMM per step, all
     MXU work).  Use iters ~ log(kappa(A))/log(2.25) + 5; the default 20
     covers kappa up to ~1e7 at f64 machine precision.
+
+    ``coarse``: run the FIRST ``coarse`` iterations with the TPU's
+    default (bf16-pass) matmul mode and only the remaining ones at the
+    ambient (full) precision.  MEASURED CAVEAT (v5e, n = 512-1024,
+    experiments/covsel_tail_probe.py): trailing full-precision NS steps
+    do NOT square the coarse noise away (coarse-11 + 3 full landed at
+    2.6e-3 rel-F vs 3.2e-3 all-coarse) — bf16 noise drifts the coupled
+    (Y, Z) pair off its invariant manifold, in exactly the directions
+    the iteration does not contract (the same instability that forbids
+    the Z <- ZT rearrangement).  Use ``correct`` to recover accuracy.
+
+    ``correct``: after the iteration, apply that many residual
+    corrections at the ambient precision — the first-order Sylvester
+    update dS S + S dS = A - S^2 approximated via the computed inverse
+    root, S += 0.5 (A - S^2) Z/sqrt(c).  Unlike trailing NS steps this
+    contracts the actual residual regardless of manifold drift: bf16 NS
+    noise (~3e-3) drops to ~1e-5 per correction step at a cost of ~3
+    matmuls.  The fast covsel recipe is coarse=iters, correct=2.
     """
     n = A.shape[-1]
     I = jnp.eye(n, dtype=A.dtype)
@@ -63,25 +81,50 @@ def ns_sqrtm(A, iters: int = 20):
     Y = A / c
     Z = jnp.broadcast_to(I, A.shape)
     tr = lambda M: jnp.swapaxes(M, -1, -2)
-    for _ in range(iters):
+
+    def step(Y, Z):
         T = 1.5 * I - 0.5 * (Z @ Y)
         # Stable coupled update Y <- Y T, Z <- T Z, with T Z computed as
         # (Z^T T^T)^T so both products form one batched GEMM.
         P = jnp.stack([Y, tr(Z)], axis=0) @ jnp.stack([T, tr(T)], axis=0)
-        Y, Z = P[0], tr(P[1])
+        return P[0], tr(P[1])
+
+    import jax
+
+    coarse = min(int(coarse), int(iters))
+    if coarse:
+        with jax.default_matmul_precision("default"):
+            for _ in range(coarse):
+                Y, Z = step(Y, Z)
+    for _ in range(iters - coarse):
+        Y, Z = step(Y, Z)
     S = jnp.sqrt(c) * Y
-    return 0.5 * (S + tr(S))
+    S = 0.5 * (S + tr(S))
+    if correct:
+        Zs = Z / jnp.sqrt(c)  # ~ S^{-1} from the coupled iteration
+        for _ in range(int(correct)):
+            E = A - S @ S
+            S = S + 0.5 * (E @ Zs)
+            S = 0.5 * (S + tr(S))
+    return S
 
 
-def covsel_ns_prox(W, rho, iters: int = 20):
+def covsel_ns_prox(W, rho, iters: int = 20, coarse: int = 0,
+                   correct: int = 0):
     """Covariance-selection x-prox via Newton-Schulz square root.
 
     Exact same spectral function as ops/prox.py:covsel_eig_prox
     (reference getProxOps.m:1487-1496) but evaluated as
     (W + sqrt(W^2 + 4 rho I)) / (2 rho) with ns_sqrtm — pure matmul
-    work, no eigendecomposition inside the ADMM loop.
+    work, no eigendecomposition inside the ADMM loop.  ``coarse`` (see
+    ns_sqrtm) runs that many leading square-root steps in bf16-pass
+    mode; the W^2 forming A stays at the ambient full precision — a
+    coarse A would bound the result's accuracy at bf16 no matter how
+    the iteration refines.  ``correct`` residual-correction steps at
+    full precision recover the accuracy the coarse phase loses (see
+    ns_sqrtm; the measured fast recipe is coarse=iters, correct=2).
     """
     n = W.shape[-1]
     I = jnp.eye(n, dtype=W.dtype)
     A = W @ W + (4.0 * rho) * I
-    return (W + ns_sqrtm(A, iters)) / (2.0 * rho)
+    return (W + ns_sqrtm(A, iters, coarse, correct)) / (2.0 * rho)

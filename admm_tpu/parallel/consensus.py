@@ -686,8 +686,7 @@ def consensus_lasso_batch(
     and ``nshards`` (default: the shard-axis size) over the shard axis.
     ``xi0``/``ui0`` (B, W, n) and ``z0`` (B, n) warm-start the lanes.
     Returns stacked per-lane results (models.batch.BatchResults) with
-    per-lane xi/ui in ``hist`` omitted — ``extra`` is not available on
-    BatchResults, so resume state is the returned xopt/zopt/uopt.
+    the final sharded per-lane xi/ui in ``extra`` for resume.
     """
     from jax.sharding import PartitionSpec
 
@@ -771,6 +770,7 @@ def consensus_lasso_batch(
         steps=out["steps"], runtime=time.perf_counter() - t0,
         hist={k: v for k, v in out["hist"].items()
               if not isinstance(v, tuple)},
+        extra={"xi": out["xi"], "ui": out["ui"], "nshards": W, "mesh": mesh},
     )
 
 

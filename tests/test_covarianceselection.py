@@ -112,3 +112,21 @@ def test_covsel_ns_prox_f32_accuracy():
         got32 = np.asarray(covsel_ns_prox(W64.astype(jnp.float32), 1.0))
     rel = np.linalg.norm(got32 - ref) / np.linalg.norm(ref)
     assert rel < 5e-6, rel
+
+
+def test_ns_fast_mode_matches_eigh():
+    """prox_method='ns_fast' (coarse NS + residual corrections) must
+    land on the eigh path's solution; on CPU the coarse phase is
+    numerically a no-op, so this pins the plumbing and the correction's
+    exactness at convergence."""
+    rng = np.random.default_rng(4)
+    D = rng.standard_normal((160, 24))
+    cfg = ADMMConfig(maxiters=400)
+    r_e = covarianceselection(D, 0.3, cfg)
+    r_f = covarianceselection(D, 0.3, cfg, prox_method="ns_fast")
+    np.testing.assert_allclose(np.asarray(r_f.xopt), np.asarray(r_e.xopt),
+                               rtol=1e-6, atol=1e-8)
+    import pytest
+
+    with pytest.raises(ValueError, match="prox_method"):
+        covarianceselection(D, 0.3, cfg, prox_method="bogus")

@@ -916,3 +916,32 @@ def test_consensus_lasso_batch_dynamic_rho_and_validation():
         consensus_lasso_batch(D, S[:3], 0.1, mesh=make_mesh2d(2, 2))
     with _pytest.raises(ValueError, match="signal lanes"):
         consensus_lasso_batch(D, S[:, :20], 0.1, mesh=make_mesh2d(2, 2))
+
+
+def test_consensus_lasso_batch_warm_start_resumes():
+    """Resume from extra['xi']/['ui'] + zopt: the continued solve picks
+    up near the converged state (few steps, same solution)."""
+    import numpy as np
+
+    from admm_tpu import ADMMConfig
+    from admm_tpu.parallel import consensus_lasso_batch, make_mesh2d
+
+    rng = np.random.default_rng(8)
+    D = rng.standard_normal((48, 8))
+    S = rng.standard_normal((4, 48))
+    mesh = make_mesh2d(2, 2)
+    cfg = ADMMConfig(maxiters=400)
+    full = consensus_lasso_batch(D, S, 0.2, cfg, mesh=mesh)
+    resumed = consensus_lasso_batch(
+        D, S, 0.2, cfg, mesh=mesh,
+        xi0=full.extra["xi"], ui0=full.extra["ui"], z0=full.zopt)
+    assert int(np.asarray(resumed.steps).max()) <= 3
+    # The resumed solve may take 1-2 polishing steps, so compare at the
+    # stopping tolerance, not bit-exactly.
+    np.testing.assert_allclose(np.asarray(resumed.zopt),
+                               np.asarray(full.zopt), atol=1e-3)
+    for b in range(4):
+        obj = lambda z: (0.5 * np.sum((D @ z - S[b]) ** 2)
+                         + 0.2 * np.sum(np.abs(z)))
+        zf, zr = np.asarray(full.zopt)[b], np.asarray(resumed.zopt)[b]
+        assert abs(obj(zr) - obj(zf)) <= 1e-4 * (1.0 + abs(obj(zf)))

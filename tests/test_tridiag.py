@@ -75,3 +75,86 @@ def test_tv_cr_large_n():
 
     assert objective(x) < objective(truex)
     assert objective(x) < objective(s)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 7, 64, 255, 1000])
+def test_packed_cr_matches_dense_solve(n):
+    import jax.numpy as jnp
+
+    from admm_tpu.ops.tridiag import PackedCyclicReductionSolver
+
+    rng = np.random.default_rng(3)
+    dl = np.r_[0.0, rng.standard_normal(n - 1)] if n > 1 else np.zeros(1)
+    du = np.r_[rng.standard_normal(n - 1), 0.0] if n > 1 else np.zeros(1)
+    d = 4.0 + np.abs(rng.standard_normal(n))
+    T = np.diag(d)
+    if n > 1:
+        T += np.diag(dl[1:], -1) + np.diag(du[:-1], 1)
+    b = rng.standard_normal(n)
+    sol = PackedCyclicReductionSolver.from_tridiag(dl, d, du)
+    np.testing.assert_allclose(np.asarray(sol.solve(jnp.asarray(b))),
+                               np.linalg.solve(T, b), rtol=1e-10, atol=1e-12)
+
+
+def test_packed_cr_jits_vmaps_and_batches():
+    import jax
+    import jax.numpy as jnp
+
+    from admm_tpu.ops.tridiag import PackedCyclicReductionSolver
+
+    rng = np.random.default_rng(4)
+    n = 129
+    dl = np.r_[0.0, rng.standard_normal(n - 1)]
+    du = np.r_[rng.standard_normal(n - 1), 0.0]
+    d = 4.0 + np.abs(rng.standard_normal(n))
+    T = np.diag(d) + np.diag(dl[1:], -1) + np.diag(du[:-1], 1)
+    sol = PackedCyclicReductionSolver.from_tridiag(dl, d, du)
+    B = rng.standard_normal((5, n))
+    want = np.linalg.solve(T, B.T).T
+    # jit over the pytree-registered solver
+    got = np.asarray(jax.jit(lambda s, b: s.solve(b))(sol, jnp.asarray(B)))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+    # native leading batch dim == vmap
+    got_v = np.asarray(jax.vmap(sol.solve)(jnp.asarray(B)))
+    np.testing.assert_allclose(got_v, want, rtol=1e-10, atol=1e-12)
+
+
+def test_tv_cr_packed_equals_masked_path():
+    """solver='cr' (packed) and 'cr_masked' must produce the same TV
+    trajectory; both must match the dense path."""
+    from admm_tpu import ADMMConfig, totalvariation
+
+    rng = np.random.default_rng(5)
+    n = 300
+    sig = np.repeat(rng.standard_normal(10), 30) + 0.3 * rng.standard_normal(n)
+    cfg = ADMMConfig(maxiters=400)
+    r_p = totalvariation(sig, 0.8, cfg, solver="cr")
+    r_m = totalvariation(sig, 0.8, cfg, solver="cr_masked")
+    r_d = totalvariation(sig, 0.8, cfg, solver="dense")
+    assert r_p.steps == r_m.steps
+    np.testing.assert_allclose(np.asarray(r_p.xopt), np.asarray(r_m.xopt),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(r_p.xopt), np.asarray(r_d.xopt),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_hybrid_cr_dense_tail_matches_masked():
+    """dense_cutoff (hybrid) must reproduce the all-levels masked solve
+    exactly, across cut depths and at awkward sizes."""
+    import jax.numpy as jnp
+
+    from admm_tpu.ops.tridiag import CyclicReductionSolver
+
+    rng = np.random.default_rng(9)
+    for n, cutoff in ((5000, 1023), (5000, 63), (300, 1023), (130, 7)):
+        dl = np.r_[0.0, rng.standard_normal(n - 1)]
+        du = np.r_[rng.standard_normal(n - 1), 0.0]
+        d = 4.0 + np.abs(rng.standard_normal(n))
+        b = rng.standard_normal(n)
+        full = CyclicReductionSolver.from_tridiag(dl, d, du)
+        hyb = CyclicReductionSolver.from_tridiag(dl, d, du,
+                                                 dense_cutoff=cutoff)
+        np.testing.assert_allclose(
+            np.asarray(hyb.solve(jnp.asarray(b))),
+            np.asarray(full.solve(jnp.asarray(b))),
+            rtol=1e-10, atol=1e-11)
