@@ -366,6 +366,20 @@ def timing_matrix(smoke=False):
         rows.append(_row(f"consensus_lasso_{Wsh}shard_f32", f"{m}x{n}",
                          iters, res, bytes_per_iter=Wsh * n * n * 4))
 
+    # 2-D composition on one chip: B=8 instance lanes x 8 row shards in
+    # one program (consensus_lasso_batch over make_mesh2d(1,1) — lanes
+    # and shards both stacked on the single device; on a pod they spread
+    # over the two mesh axes).
+    from admm_tpu.parallel import consensus_lasso_batch, make_mesh2d
+
+    S8 = np.stack([s4 + 0.01 * k for k in range(8)]).astype(f32)
+    res = _run_twice(
+        lambda: consensus_lasso_batch(Dsvm, S8, 0.1, cfg(iters),
+                                      mesh=make_mesh2d(1, 1), nshards=8))
+    rows.append(_row("consensus_lasso_batch_B8x8shard", f"{m}x{n}", iters,
+                     res, extra={"inst_iters_per_sec":
+                                 round(8 * iters / res.runtime, 1)}))
+
     # Accelerated consensus: the momentum/restart state adds elementwise
     # work + one extra scalar all-reduce (the d-value) per iteration.
     # dvaltol=0 disables the alg-2 d-stop (which ignores domaxiters by

@@ -20,7 +20,8 @@ Three distributed forms, matching SURVEY.md section 2.7:
 
 from .mesh import make_mesh, make_mesh2d, pad_rows, shard_rows
 from .consensus import (consensus_admm, consensus_elasticnet,
-                        consensus_lasso, consensus_lasso_batch)
+                        consensus_elasticnet_batch, consensus_lasso,
+                        consensus_lasso_batch)
 from .transpose_reduction import unwrapped_admm_sharded, linearsvm_sharded
 from .sliced import make_parallel_proxes, make_sliced_prox
 from .multihost import global_mesh, initialize_cluster
@@ -36,6 +37,7 @@ __all__ = [
     "consensus_elasticnet",
     "consensus_lasso",
     "consensus_lasso_batch",
+    "consensus_elasticnet_batch",
     "unwrapped_admm_sharded",
     "linearsvm_sharded",
     "make_parallel_proxes",

@@ -654,47 +654,22 @@ def _cached_lasso_batch_setup_dyn(shard_spec, lane_spec):
     return jax.jit(body, out_shardings=(shard_spec, shard_spec, lane_spec))
 
 
-def consensus_lasso_batch(
-    D,
-    S,
-    lams,
-    config: ADMMConfig = ADMMConfig(),
-    *,
-    mesh: Optional[Mesh] = None,
-    nshards: Optional[int] = None,
-    xi0=None,
-    ui0=None,
-    z0=None,
+def _consensus_ls_batch(
+    D, S, penalties, global_prox, config, *, mesh, nshards,
+    xi0, ui0, z0, what,
 ):
-    """B independent LASSO instances — one shared dictionary ``D``, a
-    per-lane signal ``S[b]`` and penalty ``lams[b]`` — each solved by
-    consensus ADMM with its data rows sharded W ways, as ONE jitted
-    GSPMD program over a 2-D (lanes x shards) mesh.
-
-    This composes the library's two data-parallel axes (lane-sharded
-    batches, models/batch.py, and row-sharded consensus, the reference's
-    getProxOps.m:367-442): a pod runs both at once — instance lanes
-    spread over one mesh axis, each lane's consensus collectives riding
-    the other.  The per-iteration collective payload stays 2n floats per
-    lane (xbar/ubar means over the shard axis); the lane axis needs no
-    communication at all beyond the while_loop's scalar continue-
-    predicate.  Converged lanes freeze via JAX's while_loop batching
-    rule, exactly as in the engine's vmapped paths.
-
-    ``mesh`` must be 2-D (lanes, shards), e.g. ``make_mesh2d(2, 4)``;
-    defaults to 1 lane x all devices.  B must divide over the lane axis
-    and ``nshards`` (default: the shard-axis size) over the shard axis.
-    ``xi0``/``ui0`` (B, W, n) and ``z0`` (B, n) warm-start the lanes.
-    Returns stacked per-lane results (models.batch.BatchResults) with
-    the final sharded per-lane xi/ui in ``extra`` for resume.
-    """
+    """Shared 2-D-mesh batched consensus core for the shrinkage family:
+    per-shard least-squares local solves (shared dictionary D), a
+    pluggable replicated global prox, B instance lanes x W row shards in
+    one GSPMD program.  ``penalties`` is a dict of scalar-or-(B,) lane
+    parameters added to the data pytree (lane-mapped)."""
     from jax.sharding import PartitionSpec
 
     if mesh is None:
         mesh = make_mesh2d(1, jax.device_count())
     if len(mesh.axis_names) != 2:
         raise ValueError(
-            f"consensus_lasso_batch needs a 2-D (lanes, shards) mesh; got "
+            f"{what} needs a 2-D (lanes, shards) mesh; got "
             f"axes {mesh.axis_names}")
     lane_ax, shard_ax = mesh.axis_names
     L, Wdev = mesh.devices.shape
@@ -735,8 +710,11 @@ def consensus_lasso_batch(
             shard_spec, lane_spec, float(config.rho))(Di_dev, Sib_dev)
         local_prox, data = _lasso_local_prox, {"Minv": Minv, "Dtsi": Dtsi}
     lam_spec = NamedSharding(mesh, PartitionSpec(lane_ax))
-    data["lam"] = jax.device_put(
-        jnp.broadcast_to(jnp.asarray(lams, rdtype), (Bn,)), lam_spec)
+    mapped = {"Dtsi"}
+    for key, val in penalties.items():
+        data[key] = jax.device_put(
+            jnp.broadcast_to(jnp.asarray(val, rdtype), (Bn,)), lam_spec)
+        mapped.add(key)
 
     state_spec = lane_spec
     z_spec = NamedSharding(mesh, PartitionSpec(lane_ax))
@@ -757,8 +735,8 @@ def consensus_lasso_batch(
 
     config = resolve_unroll(config, "default")
     runner = _cached_consensus_batch_runner(
-        local_prox, _lasso_global_prox, config, W, n,
-        frozenset({"Dtsi", "lam"}), frozenset(data))
+        local_prox, global_prox, config, W, n,
+        frozenset(mapped), frozenset(data))
 
     from ..models.batch import BatchResults
 
@@ -772,6 +750,73 @@ def consensus_lasso_batch(
               if not isinstance(v, tuple)},
         extra={"xi": out["xi"], "ui": out["ui"], "nshards": W, "mesh": mesh},
     )
+
+
+def consensus_lasso_batch(
+    D,
+    S,
+    lams,
+    config: ADMMConfig = ADMMConfig(),
+    *,
+    mesh: Optional[Mesh] = None,
+    nshards: Optional[int] = None,
+    xi0=None,
+    ui0=None,
+    z0=None,
+):
+    """B independent LASSO instances — one shared dictionary ``D``, a
+    per-lane signal ``S[b]`` and penalty ``lams[b]`` — each solved by
+    consensus ADMM with its data rows sharded W ways, as ONE jitted
+    GSPMD program over a 2-D (lanes x shards) mesh.
+
+    This composes the library's two data-parallel axes (lane-sharded
+    batches, models/batch.py, and row-sharded consensus, the reference's
+    getProxOps.m:367-442): a pod runs both at once — instance lanes
+    spread over one mesh axis, each lane's consensus collectives riding
+    the other.  The per-iteration collective payload stays 2n floats per
+    lane (xbar/ubar means over the shard axis); the lane axis needs no
+    communication at all beyond the while_loop's scalar continue-
+    predicate.  Converged lanes freeze via JAX's while_loop batching
+    rule, exactly as in the engine's vmapped paths.
+
+    ``mesh`` must be 2-D (lanes, shards), e.g. ``make_mesh2d(2, 4)``;
+    defaults to 1 lane x all devices.  B must divide over the lane axis
+    and ``nshards`` (default: the shard-axis size) over the shard axis.
+    ``xi0``/``ui0`` (B, W, n) and ``z0`` (B, n) warm-start the lanes.
+    Returns stacked per-lane results (models.batch.BatchResults) with
+    the final sharded per-lane xi/ui in ``extra`` for resume.
+    """
+    return _consensus_ls_batch(
+        D, S, {"lam": lams}, _lasso_global_prox, config, mesh=mesh,
+        nshards=nshards, xi0=xi0, ui0=ui0, z0=z0,
+        what="consensus_lasso_batch")
+
+
+def consensus_elasticnet_batch(
+    D,
+    S,
+    lams,
+    alphas=0.5,
+    config: ADMMConfig = ADMMConfig(),
+    *,
+    mesh: Optional[Mesh] = None,
+    nshards: Optional[int] = None,
+    xi0=None,
+    ui0=None,
+    z0=None,
+):
+    """Elastic net over the 2-D (lanes x shards) mesh: the second
+    instantiation of the batched consensus core — same per-shard
+    least-squares local solves, global shrink-and-rescale prox at
+    per-lane (lam, alpha) (see consensus_elasticnet).  ``alphas=1``
+    recovers consensus_lasso_batch exactly."""
+    a = np.asarray(alphas, dtype=np.float64)
+    if np.any(a < 0.0) or np.any(a > 1.0):
+        raise ValueError(f"alphas must be in [0, 1], got {alphas}")
+    return _consensus_ls_batch(
+        D, S, {"lam": lams, "alpha": alphas}, _elasticnet_global_prox,
+        config, mesh=mesh, nshards=nshards, xi0=xi0, ui0=ui0, z0=z0,
+        what="consensus_elasticnet_batch")
 
 
 def consensus_elasticnet(

@@ -21,6 +21,9 @@ def _random_config(rng):
         unroll=int(rng.choice([1, 1, 3, 4])),
         nanguard=bool(rng.random() < 0.5),
         domaxiters=bool(rng.random() < 0.2),
+        # Plateau detector (round 4): off / on with a small window —
+        # must compose with every variant branch without crashing.
+        stallwindow=int(rng.choice([0, 0, 0, 30])),
         quiet=True,
     )
     mode = rng.choice(["plain", "fast_w", "fast_s", "adaptive", "rb"])

@@ -945,3 +945,46 @@ def test_consensus_lasso_batch_warm_start_resumes():
                          + 0.2 * np.sum(np.abs(z)))
         zf, zr = np.asarray(full.zopt)[b], np.asarray(resumed.zopt)[b]
         assert abs(obj(zr) - obj(zf)) <= 1e-4 * (1.0 + abs(obj(zf)))
+
+
+def test_consensus_elasticnet_batch_2d_mesh():
+    """Second instantiation of the batched consensus core: alphas=1
+    recovers consensus_lasso_batch exactly; alphas<1 matches the 1-D
+    consensus_elasticnet lane for lane."""
+    import numpy as np
+
+    from admm_tpu import ADMMConfig
+    from admm_tpu.parallel import (consensus_elasticnet,
+                                   consensus_elasticnet_batch,
+                                   consensus_lasso_batch, make_mesh,
+                                   make_mesh2d)
+
+    rng = np.random.default_rng(10)
+    D = rng.standard_normal((48, 8))
+    S = rng.standard_normal((4, 48))
+    lams = np.geomspace(0.05, 0.3, 4)
+    mesh = make_mesh2d(2, 2)
+    cfg = ADMMConfig(maxiters=400)
+
+    en1 = consensus_elasticnet_batch(D, S, lams, 1.0, cfg, mesh=mesh)
+    la = consensus_lasso_batch(D, S, lams, cfg, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(en1.steps), np.asarray(la.steps))
+    np.testing.assert_allclose(np.asarray(en1.zopt), np.asarray(la.zopt),
+                               rtol=1e-12, atol=1e-14)
+
+    alphas = np.array([0.3, 0.6, 0.8, 1.0])
+    enb = consensus_elasticnet_batch(D, S, lams, alphas, cfg, mesh=mesh)
+    sub = make_mesh(2)
+    for b in range(4):
+        solo = consensus_elasticnet(D, S[b], float(lams[b]),
+                                    float(alphas[b]), cfg, mesh=sub,
+                                    nshards=2)
+        assert int(np.asarray(enb.steps)[b]) == int(solo.steps)
+        np.testing.assert_allclose(np.asarray(enb.zopt)[b],
+                                   np.asarray(solo.zopt),
+                                   rtol=1e-10, atol=1e-12)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alphas"):
+        consensus_elasticnet_batch(D, S, lams, 1.5, cfg, mesh=mesh)
