@@ -134,6 +134,8 @@ def _run(prox_f, prox_g, obj, config, mapped, data, x0, z0, u0, c0, A, B,
         steps=out["steps"], objopt=out.get("objopt"),
         runtime=time.perf_counter() - t0,
         hist={k: v for k, v in out["hist"].items() if not isinstance(v, tuple)},
+        # (B,) per-lane plateau flags when ADMMConfig.stallwindow is on.
+        extra={"stalled": out["stalled"]} if "stalled" in out else {},
     )
 
 

@@ -119,6 +119,11 @@ def _make_consensus_run(local_prox, global_prox, config: ADMMConfig,
     h_stop = config.stopcond in ("hnorm", "both")
     # Engine parity: adaptive requires convtest (admm.m:724 gate).
     use_adaptive = config.adaptive and config.convtest and needs_h
+    # Plateau detector (ADMMConfig.stallwindow) — note the consensus
+    # pnorm is SQUARED (lassonorms parity), so stalltol acts on squares:
+    # a relative threshold t on squares ~ t/2 on linear norms, fine for
+    # a plateau gate.
+    use_stall = config.use_stall
 
     def run(data, xi0, ui0, z0):
         rdtype = xi0.dtype
@@ -164,6 +169,9 @@ def _make_consensus_run(local_prox, global_prox, config: ADMMConfig,
             "wu_prev": rho0 * ubar0 if needs_h else (),  # H w-part (rho*ubar)
             "rho": rho_init,
             "done": jnp.asarray(False), "diverged": jnp.asarray(False),
+            "stalled": jnp.asarray(False),
+            "best_p": sc(jnp.inf) if use_stall else (),
+            "since": jnp.asarray(0, jnp.int32) if use_stall else (),
             "Hprev": sc(jnp.inf),
             "hist": hist0,
         }
@@ -273,6 +281,17 @@ def _make_consensus_run(local_prox, global_prox, config: ADMMConfig,
             else:
                 wu_new = ()
 
+            # Plateau detector (engine parity; ADMMConfig.stallwindow).
+            stall_i = jnp.asarray(False)
+            if use_stall:
+                improved = pnorm < c["best_p"] * (1.0 - config.stalltol)
+                best_new = jnp.minimum(c["best_p"], pnorm)
+                since_new = jnp.where(improved, 0,
+                                      c["since"] + 1).astype(jnp.int32)
+                stall_i = since_new >= config.stallwindow
+            else:
+                best_new, since_new = (), ()
+
             stop = jnp.asarray(False)
             if alg == 2:
                 # Accelerated d-value stop (admm.m:706-707), not gated on
@@ -285,7 +304,7 @@ def _make_consensus_run(local_prox, global_prox, config: ADMMConfig,
                 stop = (pnorm < perr) & dual_ok
             if h_stop and not config.domaxiters and needs_h:
                 stop = stop | ((i > 2) & (Hsq <= config.hnormtol))
-            done = stop | diverged_i
+            done = stop | diverged_i | stall_i
 
             rho_new = rho
             if use_adaptive:
@@ -350,6 +369,9 @@ def _make_consensus_run(local_prox, global_prox, config: ADMMConfig,
                 "rho": sel(c["rho"], rho_new),
                 "done": sel(c["done"], done),
                 "diverged": sel(c["diverged"], c["diverged"] | diverged_i),
+                "stalled": sel(c["stalled"], c["stalled"] | stall_i),
+                "best_p": sel(c["best_p"], best_new) if use_stall else (),
+                "since": sel(c["since"], since_new) if use_stall else (),
                 "Hprev": sel(c["Hprev"], Hsq) if needs_h else c["Hprev"],
                 "hist": h,
             }
@@ -368,6 +390,7 @@ def _make_consensus_run(local_prox, global_prox, config: ADMMConfig,
             "ui": final["ui"],
             "rho_final": final["rho"],
             "diverged": final["diverged"],
+            "stalled": final["stalled"],
             "hist": final["hist"],
         }
 
@@ -748,7 +771,8 @@ def _consensus_ls_batch(
         steps=out["steps"], runtime=time.perf_counter() - t0,
         hist={k: v for k, v in out["hist"].items()
               if not isinstance(v, tuple)},
-        extra={"xi": out["xi"], "ui": out["ui"], "nshards": W, "mesh": mesh},
+        extra={"xi": out["xi"], "ui": out["ui"], "nshards": W, "mesh": mesh,
+               "stalled": out["stalled"]},  # (B,) per-lane plateau flags
     )
 
 

@@ -188,6 +188,7 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
     std_stop = config.stopcond in ("standard", "both")
     h_stop = config.stopcond in ("hnorm", "both")
     need_dual = not config.nodualerror
+    use_stall = config.use_stall  # plateau detector (engine parity)
 
     def run(Di, Winv, x0, z0, u0, mask, aux_i):
         rdtype = x0.dtype
@@ -227,6 +228,9 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
             "wu": rho_init * u0 if needs_h else (),
             "Hprev": sc(jnp.inf) if needs_h else (),
             "done": jnp.asarray(False), "diverged": jnp.asarray(False),
+            "stalled": jnp.asarray(False),
+            "best_p": sc(jnp.inf) if use_stall else (),
+            "since": jnp.asarray(0, jnp.int32) if use_stall else (),
             "hist": hist0,
         }
 
@@ -325,6 +329,17 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
                         & ((Hsq - H1) > H1 * config.convtol)
                     )
 
+            # ---- plateau detector (ADMMConfig.stallwindow) ----------------
+            stall_i = jnp.asarray(False)
+            if use_stall:
+                improved = pnorm < c["best_p"] * (1.0 - config.stalltol)
+                best_new = jnp.minimum(c["best_p"], pnorm)
+                since_new = jnp.where(improved, 0,
+                                      c["since"] + 1).astype(jnp.int32)
+                stall_i = since_new >= config.stallwindow
+            else:
+                best_new, since_new = (), ()
+
             # ---- stopping (admm.m:705-722) -------------------------------
             stop = jnp.asarray(False)
             if alg == 2:
@@ -336,7 +351,7 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
                 stop = (pnorm < perr) & dual_ok
             if h_stop and not config.domaxiters and needs_h:
                 stop = stop | ((i > 2) & (Hsq <= config.hnormtol))
-            done = stop | diverged_i
+            done = stop | diverged_i | stall_i
 
             # ---- adaptive rho (admm.m:724-741 / ADMMConfig.rbadaptive) ---
             rho_new = rho
@@ -381,6 +396,9 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
                 "Hprev": sel(c["Hprev"], Hsq) if needs_h else (),
                 "done": sel(c["done"], done),
                 "diverged": sel(c["diverged"], c["diverged"] | diverged_i),
+                "stalled": sel(c["stalled"], c["stalled"] | stall_i),
+                "best_p": sel(c["best_p"], best_new) if use_stall else (),
+                "since": sel(c["since"], since_new) if use_stall else (),
                 "hist": h,
             }
 
@@ -404,6 +422,7 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
             "steps": k, "xopt": x, "zopt": zi, "uopt": ui,
             "rho_final": final["rho"],
             "diverged": diverged,
+            "stalled": final["stalled"],
             "objopt": objopt,
             "hist": hist,
         }

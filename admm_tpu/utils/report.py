@@ -45,6 +45,10 @@ def showresults(
         push(f"solver runtime:    {results.solverruntime:.4f} s")
     push(f"final rho:         {results.rho_final:.6g}")
     push(f"diverged:          {results.diverged}")
+    if results.stalled:
+        # Plateau stop (ADMMConfig.stallwindow): the run ended at its
+        # residual floor, not via a convergence test.
+        push("stalled:           True (stopped at the residual plateau)")
     pn = results.pnorm
     if pn is not None and len(pn):
         push(f"final primal norm: {pn[-1]:.6g}  (bound {results.perr[-1]:.6g})")

@@ -668,3 +668,25 @@ def test_batch_warm_start_composes_with_fast_mode():
             np.asarray(out.xopt[i]), np.asarray(solo.xopt), atol=1e-8
         )
         assert int(out.steps[i]) == solo.steps
+
+
+def test_batch_stall_flags_per_lane():
+    """ADMMConfig.stallwindow under the vmapped batch runner: per-lane
+    plateau flags surface in BatchResults.extra['stalled']."""
+    import numpy as np
+
+    from admm_tpu import ADMMConfig
+    from admm_tpu.models.batch import basispursuit_batch
+
+    rng = np.random.default_rng(2)
+    m, n, B = 24, 96, 3
+    D = rng.standard_normal((m, n)).astype(np.float32)
+    X = (rng.standard_normal((B, n)) * (rng.random((B, n)) < 0.1))
+    S = (X @ D.T).astype(np.float32)
+    res = basispursuit_batch(
+        D, S, ADMMConfig(maxiters=3000, abstol=1e-12, reltol=1e-11,
+                         stallwindow=60))
+    st = np.asarray(res.extra["stalled"])
+    steps = np.asarray(res.steps)
+    assert st.shape == (B,) and st.all()
+    assert (steps < 3000).all()

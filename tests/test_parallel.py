@@ -988,3 +988,37 @@ def test_consensus_elasticnet_batch_2d_mesh():
 
     with _pytest.raises(ValueError, match="alphas"):
         consensus_elasticnet_batch(D, S, lams, 1.5, cfg, mesh=mesh)
+
+
+def test_sharded_runners_stall_detector():
+    """The plateau detector (ADMMConfig.stallwindow) reaches both sharded
+    programs: an f32 solve with f64-grade tolerances floors above the
+    Boyd gate and must stall-stop instead of burning the budget."""
+    import numpy as np
+
+    from admm_tpu import ADMMConfig
+    from admm_tpu.parallel import consensus_lasso, linearsvm_sharded
+
+    rng = np.random.default_rng(12)
+    D = rng.standard_normal((128, 16)).astype(np.float32)
+    s = rng.standard_normal(128).astype(np.float32)
+    kw = dict(maxiters=3000, abstol=1e-13, reltol=1e-13)
+
+    res = consensus_lasso(D, s, 0.1, ADMMConfig(stallwindow=50, **kw),
+                          nshards=4)
+    assert res.stalled and res.steps < 3000
+
+    from admm_tpu.testers.problems import make_svm_instance
+
+    Ds, ell = make_svm_instance(0, 64, 64, 0.5)
+    # nodualerror is forced by the SVM driver; the dual-less standard
+    # stop at these tolerances is unreachable at f32.
+    rs = linearsvm_sharded(Ds.astype(np.float32), ell.astype(np.float32),
+                           1.0, ADMMConfig(stallwindow=50, stopcond="both",
+                                           hnormtol=1e-30, **kw), nshards=4)
+    assert rs.stalled and rs.steps < 3000
+    # And inert on a healthy f64 solve.
+    ok = consensus_lasso(np.asarray(D, np.float64), np.asarray(s, np.float64),
+                         0.1, ADMMConfig(maxiters=3000, stallwindow=200),
+                         nshards=4)
+    assert not ok.stalled and ok.steps < 3000
