@@ -349,6 +349,18 @@ def timing_matrix(smoke=False):
                      extra={"inst_iters_per_sec":
                             round(10 * iters / res.runtime, 1)}))
 
+    # The same 10 classifiers through the 2-D composed transpose-
+    # reduction program (lanes x 8 row shards stacked on this chip).
+    from admm_tpu.parallel import svm_batch_sharded
+    from admm_tpu.parallel.mesh import make_mesh2d
+
+    res = _run_twice(
+        lambda: svm_batch_sharded(Dsvm, ells, 1.0, cfg(iters),
+                                  mesh=make_mesh2d(1, 1), nshards=8))
+    rows.append(_row("svm_batch_sharded_B10x8shard", f"{m}x{n}", iters, res,
+                     extra={"inst_iters_per_sec":
+                            round(10 * iters / res.runtime, 1)}))
+
     # --- consensus lasso: shard-count series on this chip ----------------
     # Fixed total rows, W in {1, 2, 4, 8}: separates the consensus math /
     # collective cost from the stacked-solve bytes (VERDICT r3 weak #5).

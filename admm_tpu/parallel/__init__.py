@@ -22,7 +22,8 @@ from .mesh import make_mesh, make_mesh2d, pad_rows, shard_rows
 from .consensus import (consensus_admm, consensus_elasticnet,
                         consensus_elasticnet_batch, consensus_lasso,
                         consensus_lasso_batch)
-from .transpose_reduction import unwrapped_admm_sharded, linearsvm_sharded
+from .transpose_reduction import (unwrapped_admm_sharded,
+                                  linearsvm_sharded, svm_batch_sharded)
 from .sliced import make_parallel_proxes, make_sliced_prox
 from .multihost import global_mesh, initialize_cluster
 
@@ -40,6 +41,7 @@ __all__ = [
     "consensus_elasticnet_batch",
     "unwrapped_admm_sharded",
     "linearsvm_sharded",
+    "svm_batch_sharded",
     "make_parallel_proxes",
     "make_sliced_prox",
 ]

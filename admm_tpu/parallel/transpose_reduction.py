@@ -168,11 +168,10 @@ def unwrapped_admm_sharded(
     return res
 
 
-@functools.lru_cache(maxsize=64)
-def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
-                             config: ADMMConfig, m: int):
-    """Cross-call compile cache keyed on (prox/objective functions, config,
-    true row count) - the same caching contract as the core engine.
+def _make_unwrapped_run(prox_g_shard, obj_shard, obj_global,
+                        config: ADMMConfig, m: int):
+    """Build the (unjitted) unwrapped-ADMM iteration program
+    ``run(Di, Winv, x0, z0, u0, mask, aux_i) -> raw dict``.
 
     Implements the core engine's full variant set over the sharded state
     (see module docstring): update order and momentum algebra mirror
@@ -427,7 +426,31 @@ def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
             "hist": hist,
         }
 
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_unwrapped_runner(prox_g_shard, obj_shard, obj_global,
+                             config: ADMMConfig, m: int):
+    """Cross-call compile cache keyed on (prox/objective functions, config,
+    true row count) - the same caching contract as the core engine."""
+    run = _make_unwrapped_run(prox_g_shard, obj_shard, obj_global, config, m)
     return jax.jit(_with_matmul_precision(run, config.matmul_precision))
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_unwrapped_batch_runner(prox_g_shard, obj_shard, obj_global,
+                                   config: ADMMConfig, m: int,
+                                   aux_axes):
+    """Lane-batched unwrapped runner: vmap the iteration over a leading
+    instance axis (per-lane x/z/u state and lane-mapped aux leaves, e.g.
+    one-vs-all label rows), shared D/Winv/mask.  Converged lanes freeze
+    via the while_loop batching rule (engine.py note).  ``aux_axes`` is
+    the hashable in_axes spec for the aux pytree (0 = lane-mapped leaf,
+    None = shared)."""
+    run = _make_unwrapped_run(prox_g_shard, obj_shard, obj_global, config, m)
+    vrun = jax.vmap(run, in_axes=(None, None, 0, 0, 0, None, aux_axes))
+    return jax.jit(_with_matmul_precision(vrun, config.matmul_precision))
 
 
 # Module-level SVM shard functions (caching contract: per-row C rides in
@@ -483,4 +506,125 @@ def linearsvm_sharded(
         obj_shard=_svm_obj_01 if use_01 else _svm_obj_hinge,
         obj_global=_svm_obj_global,
         mesh=mesh, nshards=nshards, seed=seed, x0=x0, z0=z0, u0=u0,
+    )
+
+
+def svm_batch_sharded(
+    D, ells, C, config: ADMMConfig = ADMMConfig(), *, loss: str = "hinge",
+    mesh=None, nshards: Optional[int] = None, seed: int = 0,
+    x0=None, z0=None, u0=None,
+):
+    """One-vs-all SVM over a 2-D (lanes x shards) mesh: B classifiers
+    (label rows ``ells`` of shape (B, m), shared data matrix ``D``) each
+    trained by row-sharded transpose-reduction ADMM, in ONE GSPMD
+    program — the other composition of the library's two data-parallel
+    axes (mnistsvm's per-digit loop, examples/mnistsvm.m:89-102, at pod
+    layout; see parallel.consensus.consensus_lasso_batch for the
+    consensus counterpart).
+
+    Lanes differ only in labels and state: the per-shard data blocks
+    D_i, the gram pseudo-inverse W^+, and the pad mask are shared
+    (replicated over the lane axis); each lane's psum of D_i^T v_i rides
+    the shard axis.  Per-lane random starts derive from
+    fold_in(seed, lane); explicit ``x0`` (B, n) / ``z0``/``u0`` (B, m)
+    override.  Returns models.batch.BatchResults with per-lane
+    steps/stalled and the replicated xopt stack (B, n).
+    """
+    from jax.sharding import PartitionSpec
+    import dataclasses
+
+    from .mesh import make_mesh2d
+
+    if mesh is None:
+        mesh = make_mesh2d(1, jax.device_count())
+    if len(mesh.axis_names) != 2:
+        raise ValueError(
+            f"svm_batch_sharded needs a 2-D (lanes, shards) mesh; got "
+            f"axes {mesh.axis_names}")
+    lane_ax, shard_ax = mesh.axis_names
+    L, Wdev = mesh.devices.shape
+    W = nshards if nshards is not None else Wdev
+    if W % Wdev:
+        raise ValueError(
+            f"nshards={W} must be a multiple of the mesh shard-axis size "
+            f"{Wdev}")
+
+    D = np.asarray(D)
+    m, n = D.shape
+    ells = np.asarray(ells, dtype=D.dtype)
+    if ells.ndim != 2 or ells.shape[1] != m:
+        raise ValueError(f"ells must be (B, {m}) label lanes, got {ells.shape}")
+    Bn = ells.shape[0]
+    if Bn % L:
+        raise ValueError(
+            f"batch size {Bn} must divide over the {L}-device lane axis")
+
+    use_01 = str(loss).replace("-", "") in ("01", "zeroone")
+    cfg = dataclasses.replace(config, stopcond="both", nodualerror=True)
+    cfg = resolve_unroll(cfg, "gemv")
+
+    Dp, _ = pad_rows(D, W)
+    mp = Dp.shape[0]
+    mw = mp // W
+    Di = shard_rows(Dp, W)
+    shard_spec = NamedSharding(mesh, P(shard_ax))
+    lane_spec = NamedSharding(mesh, P(lane_ax, shard_ax))
+    Di_dev = jax.device_put(jnp.asarray(Di), shard_spec)
+    Winv = _gram_pinv(Di_dev)
+
+    mrow = np.zeros((mp,), dtype=D.dtype)
+    mrow[:m] = 1.0
+    mask = jax.device_put(jnp.asarray(shard_rows(mrow, W)), shard_spec)
+    Crow = jax.device_put(
+        jnp.asarray(shard_rows(np.full((mp,), float(C), D.dtype), W)),
+        shard_spec)
+    ellp = np.pad(ells, ((0, 0), (0, mp - m)))
+    ell_dev = jax.device_put(jnp.asarray(ellp.reshape(Bn, W, mw)), lane_spec)
+
+    dtype = D.dtype
+    keys = jax.vmap(lambda b: jax.random.split(
+        jax.random.fold_in(jax.random.PRNGKey(seed), b), 3))(jnp.arange(Bn))
+    if x0 is None:
+        x0 = jax.vmap(lambda k: jax.random.uniform(k, (n,), dtype=dtype))(
+            keys[:, 0])
+    else:
+        if np.shape(x0) != (Bn, n):
+            raise ValueError(f"x0 must have shape {(Bn, n)}; got {np.shape(x0)}")
+        x0 = jnp.asarray(x0, dtype)
+
+    def _row_state(v0, kcol, name):
+        if v0 is None:
+            return jax.vmap(lambda k: jax.random.uniform(
+                k, (mp,), dtype=dtype).reshape(W, mw))(kcol)
+        if np.shape(v0) != (Bn, m):
+            raise ValueError(f"{name} must have shape {(Bn, m)}; got "
+                             f"{np.shape(v0)}")
+        vp = np.pad(np.asarray(v0, dtype), ((0, 0), (0, mp - m)))
+        return jnp.asarray(vp.reshape(Bn, W, mw))
+
+    z0 = _row_state(z0, keys[:, 1], "z0")
+    u0 = _row_state(u0, keys[:, 2], "u0")
+    x0 = jax.device_put(x0, NamedSharding(mesh, PartitionSpec(lane_ax)))
+    z0 = jax.device_put(z0, lane_spec)
+    u0 = jax.device_put(u0, lane_spec)
+
+    runner = _cached_unwrapped_batch_runner(
+        _svm_prox_01 if use_01 else _svm_prox_hinge,
+        _svm_obj_01 if use_01 else _svm_obj_hinge,
+        _svm_obj_global, cfg, m, (0, None, None))
+    aux_dev = (ell_dev, mask, Crow)
+    jax.block_until_ready((Di_dev, Winv, x0, z0, u0, mask, aux_dev))
+    t0 = time.perf_counter()  # loop-only wall clock
+    out = jax.block_until_ready(
+        runner(Di_dev, Winv, x0, z0, u0, mask, aux_dev))
+    runtime = time.perf_counter() - t0
+
+    from ..models.batch import BatchResults
+
+    return BatchResults(
+        xopt=out["xopt"], zopt=out["zopt"], uopt=out["uopt"],
+        steps=out["steps"], objopt=out.get("objopt"), runtime=runtime,
+        hist={k: v for k, v in out["hist"].items()
+              if not isinstance(v, tuple)},
+        extra={"stalled": out["stalled"], "nshards": W, "mesh": mesh},
     )

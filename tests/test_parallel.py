@@ -1022,3 +1022,47 @@ def test_sharded_runners_stall_detector():
                          0.1, ADMMConfig(maxiters=3000, stallwindow=200),
                          nshards=4)
     assert not ok.stalled and ok.steps < 3000
+
+
+def test_svm_batch_sharded_lane_exact_2d_mesh():
+    """One-vs-all lanes x row shards (svm_batch_sharded): from identical
+    warm starts each lane must reproduce linearsvm_sharded exactly; the
+    random per-lane starts must give distinct lanes that still solve."""
+    import numpy as np
+
+    from admm_tpu import ADMMConfig
+    from admm_tpu.parallel import (linearsvm_sharded, make_mesh,
+                                   make_mesh2d, svm_batch_sharded)
+    from admm_tpu.testers.problems import make_svm_instance
+
+    D, _ = make_svm_instance(0, 96, 96, 0.5)
+    rng = np.random.default_rng(3)
+    y = rng.integers(0, 4, size=D.shape[0])
+    ells = np.stack([np.where(y == k, 1.0, -1.0) for k in range(4)])
+    cfg = ADMMConfig(maxiters=300)
+    mesh = make_mesh2d(2, 4)
+    x0 = rng.random((4, 2))
+    z0 = rng.random((4, D.shape[0]))
+    u0 = rng.random((4, D.shape[0]))
+    batch = svm_batch_sharded(D, ells, 1.0, cfg, mesh=mesh, nshards=4,
+                              x0=x0, z0=z0, u0=u0)
+    sub = make_mesh(4)
+    for b in range(4):
+        solo = linearsvm_sharded(D, ells[b], 1.0, cfg, mesh=sub, nshards=4,
+                                 x0=x0[b], z0=z0[b], u0=u0[b])
+        assert int(np.asarray(batch.steps)[b]) == int(solo.steps)
+        np.testing.assert_allclose(np.asarray(batch.xopt)[b],
+                                   np.asarray(solo.xopt),
+                                   rtol=1e-9, atol=1e-11)
+    # Default per-lane seeded starts: distinct lanes, finite solves.
+    b2 = svm_batch_sharded(D, ells, 1.0, cfg, mesh=mesh, nshards=4)
+    x = np.asarray(b2.xopt)
+    assert np.isfinite(x).all() and x.shape == (4, 2)
+    assert not np.allclose(x[0], x[1])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="2-D"):
+        svm_batch_sharded(D, ells, 1.0, cfg, mesh=make_mesh(4))
+    with _pytest.raises(ValueError, match="label lanes"):
+        svm_batch_sharded(D, ells[:, :10], 1.0, cfg, mesh=mesh)
