@@ -163,17 +163,26 @@ def error_pct(D, labels, digit, x):
 
 
 def train_all_digits(D, labels, digits, C=0.5, rho=1.0, maxiters=500,
-                     loss="hinge"):
+                     loss="hinge", mesh=None, nshards=None):
     """All one-vs-all classifiers in ONE vmapped program (svm_batch):
     the per-digit loop of mnistsvm.m:121-156 becomes a single compiled
-    solve whose lanes differ only in the +/-1 label vector."""
+    solve whose lanes differ only in the +/-1 label vector.
+
+    Pass a 2-D ``mesh`` (parallel.make_mesh2d) to train over the
+    composed lanes-x-row-shards layout instead (svm_batch_sharded):
+    each classifier's rows sharded ``nshards`` ways, classifiers spread
+    over the lane axis — the pod configuration of this example."""
     from admm_tpu import ADMMConfig, svm_batch
 
     ells = np.stack([np.where(labels == d, 1.0, -1.0) for d in digits])
-    res = svm_batch(
-        D, ells, C, ADMMConfig(rho=rho, maxiters=maxiters, fast=False),
-        loss=loss,
-    )
+    cfg = ADMMConfig(rho=rho, maxiters=maxiters, fast=False)
+    if mesh is not None:
+        from admm_tpu.parallel import svm_batch_sharded
+
+        res = svm_batch_sharded(D, ells, C, cfg, loss=loss, mesh=mesh,
+                                nshards=nshards)
+    else:
+        res = svm_batch(D, ells, C, cfg, loss=loss)
     return np.asarray(res.xopt)
 
 

@@ -71,6 +71,23 @@ def test_mnist_batched_matches_serial_loop():
         np.testing.assert_allclose(rb, rs, atol=1e-9)
 
 
+def test_mnist_train_all_digits_on_2d_mesh():
+    """train_all_digits over the composed lanes-x-shards layout
+    (svm_batch_sharded) produces working one-vs-all separators."""
+    from examples.mnistsvm import load_mnist, train_all_digits
+    from admm_tpu.parallel import make_mesh2d
+
+    (tr_x, tr_y), _, _ = load_mnist(None, 200, 50)
+    D = tr_x.reshape(len(tr_x), -1)
+    X = train_all_digits(D, tr_y, [0, 1], maxiters=80,
+                         mesh=make_mesh2d(2, 4), nshards=4)
+    assert X.shape == (2, D.shape[1]) and np.isfinite(X).all()
+    for i, d in enumerate([0, 1]):
+        ell = np.where(tr_y == d, 1.0, -1.0)
+        err = 100.0 * np.mean(np.sign(D @ X[i]) != ell)
+        assert err < 35.0, (d, err)
+
+
 def test_idx_label_parser_against_reference_file():
     """The idx1 parser must read the reference's real MNIST label file
     (examples/MNIST/ — labels ARE present in the mount)."""
