@@ -17,15 +17,23 @@ def register(name):
     return deco
 
 
-def get_prox_ops(problem: str, **args):
+def get_prox_ops(problem: str, args=None, **kwargs):
     """String-keyed prox-op factory mirroring getproxops(problem, args)
-    (reference getProxOps.m:13-31).  Prefer the typed per-module
-    ``make_prox_ops`` in new code.  (The solver imports at the bottom of
-    this module register every entry at package-import time.)"""
+    (reference getProxOps.m:13-31).  ``args`` may be a struct (dict) of
+    problem arguments, exactly like the reference's second positional
+    argument — validated by errorcheck('isstruct'), errorcheck.m:117 —
+    or the arguments may be passed as keywords.  Prefer the typed
+    per-module ``make_prox_ops`` in new code.  (The solver imports at
+    the bottom of this module register every entry at
+    package-import time.)"""
     key = problem.lower()
     if key not in _REGISTRY:
         raise ValueError(f"unknown problem {problem!r}; known: {sorted(_REGISTRY)}")
-    return _REGISTRY[key](**args)
+    if args is not None:
+        from ..utils.validate import errorcheck
+
+        kwargs = {**errorcheck(args, "isstruct", "args"), **kwargs}
+    return _REGISTRY[key](**kwargs)
 
 
 from .basispursuit import basispursuit  # noqa: E402

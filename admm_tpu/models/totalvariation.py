@@ -68,8 +68,10 @@ def make_prox_ops(s, lam, config: ADMMConfig = ADMMConfig(), solver: str = "auto
     iteration); 'cr' precomputes a HYBRID cyclic-reduction elimination
     of the fixed tridiagonal system — masked full-length levels down to
     a <= 1023-size reduced system finished by one dense-inverse GEMV
-    (ops/tridiag.CyclicReductionSolver dense_cutoff; measured 1.7-2.5x
-    the all-levels masked form at n = 8192-65536 on v5e); 'cr_masked'
+    (ops/tridiag.CyclicReductionSolver dense_cutoff; measured +22% over
+    the all-levels masked form at n = 65536 on v5e, within noise at
+    n = 8192, so the tail is gated on n > 16384 — below that 'cr' IS
+    the masked form); 'cr_masked'
     runs every level masked; 'cr_packed' is the per-level packed layout
     (asymptotically fewer bytes, measured 4.8-16x SLOWER on TPU —
     retained as the documented negative result); 'auto' picks 'cr' for

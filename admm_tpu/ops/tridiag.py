@@ -48,7 +48,7 @@ class CyclicReductionSolver:
     dense inverse apply (a single small GEMV).  The deep masked levels
     each stream full-length arrays to update a vanishing stratum, so at
     n = 65536 they are pure waste; cutting to a 1023-size dense tail
-    removed 22 of 34 level sweeps for a measured 1.7-2.5x
+    removes 20 of 34 level sweeps for a measured +22%
     (experiments/tv_cr_packed_probe.py round 4).  A fully PACKED
     per-level layout (PackedCyclicReductionSolver below) is the
     asymptotically-optimal-bytes answer and measured 4.8-16x SLOWER on

@@ -756,7 +756,10 @@ def _consensus_ls_batch(
     ui0 = jax.device_put(ui0, state_spec)
     z0 = jax.device_put(z0, z_spec)
 
-    config = resolve_unroll(config, "default")
+    # Same GEMV-class body as consensus_admm (which measured unroll 16
+    # AT the hand-loop floor, round-4 gap bisect); lanes amortize some
+    # turnaround but the deep unroll costs nothing.
+    config = resolve_unroll(config, "gemv")
     runner = _cached_consensus_batch_runner(
         local_prox, global_prox, config, W, n,
         frozenset(mapped), frozenset(data))

@@ -202,6 +202,10 @@ def solvertester(
                     seed=trial_seed, mpos=rows, mneg=cols, errtol=errtol,
                     quiet=True, config=config, **tester_kwargs)
                 runtimes01[i, t] = res01.solverruntime or res01.runtime
+                # Either solve plateauing counts as a stalled trial (the
+                # hinge flag alone would misattribute a stall-stopped
+                # 0-1 solve's short runtime to convergence).
+                stalled[i, t] = bool(res01.stalled)
             else:
                 res, test = tester(
                     seed=trial_seed, rows=rows, cols=cols, errtol=errtol,
@@ -209,7 +213,7 @@ def solvertester(
             runtimes[i, t] = res.solverruntime or res.runtime
             steps[i, t] = res.steps
             failed[i, t] = bool(test["failed"])
-            stalled[i, t] = bool(res.stalled)
+            stalled[i, t] = stalled[i, t] or bool(res.stalled)
 
     report = SolverTestReport(solver, scales, runtimes, steps, failed,
                               stalled=stalled, runtimes01=runtimes01)

@@ -39,3 +39,22 @@ def test_registry_all_problems_resolve():
 def test_registry_unknown_problem():
     with pytest.raises(ValueError, match="unknown problem"):
         get_prox_ops("nosuchproblem")
+
+
+def test_registry_accepts_args_struct():
+    """get_prox_ops(problem, args) with a struct (dict) second argument —
+    the reference's calling convention (getProxOps.m:13) — validated by
+    errorcheck('isstruct')."""
+    import numpy as np
+    import pytest
+
+    from admm_tpu.models import get_prox_ops
+
+    rng = np.random.default_rng(0)
+    D = rng.standard_normal((32, 16))
+    s = rng.standard_normal(32)
+    pf, pg, obj = get_prox_ops("lasso", {"D": D, "s": s, "lam": 0.3})
+    x = pf(np.zeros(16), np.zeros(16), np.zeros(16), 1.0)
+    assert np.isfinite(np.asarray(x)).all()
+    with pytest.raises(ValueError, match="struct"):
+        get_prox_ops("lasso", [("D", D)])

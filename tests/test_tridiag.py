@@ -119,16 +119,23 @@ def test_packed_cr_jits_vmaps_and_batches():
     np.testing.assert_allclose(got_v, want, rtol=1e-10, atol=1e-12)
 
 
-def test_tv_cr_packed_equals_masked_path():
-    """solver='cr' (packed) and 'cr_masked' must produce the same TV
-    trajectory; both must match the dense path."""
+def test_tv_cr_variants_agree():
+    """All three cyclic-reduction TV wirings — 'cr_packed' (the packed
+    layout), 'cr_masked' (all levels masked), and 'cr' with the hybrid
+    dense tail FORCED ON (n small, so exercise the cutoff directly via
+    the solver class) — must produce the same trajectory as the dense
+    path."""
+    import jax.numpy as jnp
+
     from admm_tpu import ADMMConfig, totalvariation
+    from admm_tpu.models.totalvariation import make_prox_ops
+    from admm_tpu.ops.tridiag import CyclicReductionSolver
 
     rng = np.random.default_rng(5)
     n = 300
     sig = np.repeat(rng.standard_normal(10), 30) + 0.3 * rng.standard_normal(n)
     cfg = ADMMConfig(maxiters=400)
-    r_p = totalvariation(sig, 0.8, cfg, solver="cr")
+    r_p = totalvariation(sig, 0.8, cfg, solver="cr_packed")
     r_m = totalvariation(sig, 0.8, cfg, solver="cr_masked")
     r_d = totalvariation(sig, 0.8, cfg, solver="dense")
     assert r_p.steps == r_m.steps
@@ -136,6 +143,20 @@ def test_tv_cr_packed_equals_masked_path():
                                rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(np.asarray(r_p.xopt), np.asarray(r_d.xopt),
                                rtol=1e-6, atol=1e-8)
+
+    # The hybrid tail inside the TV prox: swap in a dense_cutoff solver
+    # at this small n (the production gate only enables it at n > 16384)
+    # and assert the trajectory is unchanged.
+    pf, pg, obj, data, D = make_prox_ops(sig, 0.8, cfg, "cr_masked")
+    rho = cfg.rho
+    diag = 1.0 + rho * np.r_[1.0, 2.0 * np.ones(n - 1)]
+    off = -rho * np.ones(n)
+    hyb = CyclicReductionSolver.from_tridiag(
+        np.r_[0.0, off[1:]], diag, np.r_[off[:-1], 0.0], dense_cutoff=63)
+    b = jnp.asarray(rng.standard_normal(n))
+    np.testing.assert_allclose(np.asarray(hyb.solve(b)),
+                               np.asarray(data["cr"].solve(b)),
+                               rtol=1e-10, atol=1e-12)
 
 
 def test_hybrid_cr_dense_tail_matches_masked():
