@@ -321,7 +321,8 @@ def tv_batch(S, lams, config: ADMMConfig = ADMMConfig(), *,
     if S.ndim != 2:
         raise ValueError(f"S must be a (B, n) batch of signals, got {S.shape}")
     Bn, n = S.shape
-    prox_f, prox_g, obj, data, D = _tv_make_prox_ops(S[0], 1.0, config, solver)
+    prox_f, prox_g, obj, data, D = _tv_make_prox_ops(S[0], 1.0, config,
+                                                     solver, batched=True)
     data = dict(data)
     data["s"] = S
     data["lam"] = jnp.broadcast_to(jnp.asarray(lams, S.dtype), (Bn,))

@@ -61,7 +61,8 @@ def _obj(x, z, d):
     return 0.5 * jnp.sum((x - d["s"]) ** 2) + d["lam"] * jnp.sum(jnp.abs(z))
 
 
-def make_prox_ops(s, lam, config: ADMMConfig = ADMMConfig(), solver: str = "auto"):
+def make_prox_ops(s, lam, config: ADMMConfig = ADMMConfig(), solver: str = "auto",
+                  batched: bool = False):
     """Build (prox_f, prox_g, obj, data, D) for TV (getProxOps.m:145-199).
 
     ``solver``: 'dense' diagonalizes D^T D once (O(n^2) apply per
@@ -105,10 +106,14 @@ def make_prox_ops(s, lam, config: ADMMConfig = ADMMConfig(), solver: str = "auto
             data["cr"] = CyclicReductionSolver.from_tridiag(*args)
         else:
             # Hybrid dense tail only where the saved deep sweeps beat
-            # its fixed gather/scatter+GEMV cost: +22% at n=65536,
-            # within noise / slightly negative at n=8192 (round-4
-            # probe), so gate on depth.
-            cutoff = 1023 if n > 16384 else None
+            # its fixed gather/scatter+GEMV cost.  Single signal: +22%
+            # at n=65536, within noise / slightly negative at n=8192
+            # (round-4 probe), so gate on depth.  BATCHED lanes amortize
+            # the tail (the gather feeds one (B, m) x (m, m) GEMM) and
+            # multiply the per-level stream cost by B, so the hybrid
+            # wins much earlier: +52% at B=128, n=8192, exact to 7e-8
+            # (tv_batch probe) — always on for the batched path.
+            cutoff = 1023 if (batched or n > 16384) else None
             data["cr"] = CyclicReductionSolver.from_tridiag(
                 *args, dense_cutoff=cutoff)
         prox_f = _prox_f_cr
