@@ -530,6 +530,11 @@ def accuracy_matrix(smoke=False):
         ("covarianceselection", p.covarianceselectiontest, {}),
         ("covarianceselection_ns", p.covarianceselectiontest,
          {"prox_method": "ns"}),
+        # ns_fast = bf16-pass NS + full-precision residual corrections;
+        # this row is the on-device accuracy evidence for the fast mode
+        # (the bf16 passes only exist on TPU — CPU tests can't see them).
+        ("covarianceselection_nsfast", p.covarianceselectiontest,
+         {"prox_method": "ns_fast"}),
         ("linearsvm", p.linearsvmtest, {}),
     ):
         errtol = _F32_ERRTOL.get(name.split("_")[0], 1e-3)

@@ -65,6 +65,7 @@ class BatchResults:
     uopt: Any
     steps: Any       # (B,) iterations per instance
     objopt: Any = None  # (B,) per-instance objective at the solution
+    rho_final: Any = None  # (B,) final rho per lane (rbadaptive/adaptive)
     runtime: float = 0.0
     hist: dict = dataclasses.field(default_factory=dict)
     # Solver-specific extras (e.g. consensus_lasso_batch's per-lane
@@ -132,6 +133,7 @@ def _run(prox_f, prox_g, obj, config, mapped, data, x0, z0, u0, c0, A, B,
     return BatchResults(
         xopt=out["xopt"], zopt=out["zopt"], uopt=out["uopt"],
         steps=out["steps"], objopt=out.get("objopt"),
+        rho_final=out.get("rho_final"),
         runtime=time.perf_counter() - t0,
         hist={k: v for k, v in out["hist"].items() if not isinstance(v, tuple)},
         # (B,) per-lane plateau flags when ADMMConfig.stallwindow is on.

@@ -771,7 +771,8 @@ def _consensus_ls_batch(
     out = jax.block_until_ready(runner(data, xi0, ui0, z0))
     return BatchResults(
         xopt=out["xopt"], zopt=out["zopt"], uopt=out["uopt"],
-        steps=out["steps"], runtime=time.perf_counter() - t0,
+        steps=out["steps"], rho_final=out.get("rho_final"),
+        runtime=time.perf_counter() - t0,
         hist={k: v for k, v in out["hist"].items()
               if not isinstance(v, tuple)},
         extra={"xi": out["xi"], "ui": out["ui"], "nshards": W, "mesh": mesh,

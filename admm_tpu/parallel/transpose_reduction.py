@@ -623,7 +623,8 @@ def svm_batch_sharded(
 
     return BatchResults(
         xopt=out["xopt"], zopt=out["zopt"], uopt=out["uopt"],
-        steps=out["steps"], objopt=out.get("objopt"), runtime=runtime,
+        steps=out["steps"], objopt=out.get("objopt"),
+        rho_final=out.get("rho_final"), runtime=runtime,
         hist={k: v for k, v in out["hist"].items()
               if not isinstance(v, tuple)},
         extra={"stalled": out["stalled"], "nshards": W, "mesh": mesh},

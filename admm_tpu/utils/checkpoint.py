@@ -59,11 +59,15 @@ def save_state_orbax(results: ADMMResults, path: Union[str, Path]) -> None:
     state found in ``results.extra``."""
     import orbax.checkpoint as ocp
 
+    # Works for ADMMResults and for stacked per-lane BatchResults (the
+    # 2-D lanes x shards programs): rho_final may be None (static-rho
+    # batch runs) and steps may be a (B,) vector.
+    rho = results.rho_final
     state = {
         "x": results.xopt,
         "z": results.zopt,
         "u": results.uopt,
-        "rho": np.asarray(results.rho_final),
+        "rho": np.asarray(1.0 if rho is None else rho),
         "steps": np.asarray(results.steps),
     }
     for key in ("xi", "ui"):
@@ -82,12 +86,15 @@ def load_state_orbax(path: Union[str, Path]) -> dict:
 
     ckptr = ocp.StandardCheckpointer()
     state = ckptr.restore(Path(path).absolute())
+    steps = np.asarray(state["steps"])
+    rho = np.asarray(state["rho"])
     out = {
         "x0": state["x"],
         "z0": state["z"],
         "u0": state["u"],
-        "rho": float(np.asarray(state["rho"])),
-        "steps": int(np.asarray(state["steps"])),
+        # Scalars for single solves; per-lane vectors for batched state.
+        "rho": float(rho) if rho.ndim == 0 else rho,
+        "steps": int(steps) if steps.ndim == 0 else steps,
     }
     for key in ("xi", "ui"):
         if key in state:

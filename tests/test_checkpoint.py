@@ -84,3 +84,34 @@ def test_orbax_checkpoint_resumes_consensus_solve(tmp_path):
     assert resumed.steps < cold.steps
     f_cold, f_res = obj(np.asarray(cold.zopt)), obj(np.asarray(resumed.zopt))
     assert abs(f_res - f_cold) <= 1e-3 * abs(f_cold)
+
+
+def test_orbax_roundtrip_2d_batch_state(tmp_path):
+    """Checkpoint/resume of the 2-D (lanes x shards) batched consensus
+    state: the orbax round trip must preserve the per-lane sharded
+    xi/ui, and resuming from them converges in a few polish steps."""
+    import numpy as np
+
+    from admm_tpu import ADMMConfig
+    from admm_tpu.parallel import consensus_lasso_batch, make_mesh2d
+    from admm_tpu.utils.checkpoint import load_state_orbax, save_state_orbax
+
+    rng = np.random.default_rng(20)
+    D = rng.standard_normal((48, 8))
+    S = rng.standard_normal((4, 48))
+    mesh = make_mesh2d(2, 2)
+    cfg = ADMMConfig(maxiters=400)
+    full = consensus_lasso_batch(D, S, 0.2, cfg, mesh=mesh)
+
+    save_state_orbax(full, tmp_path / "ckpt2d")
+    state = load_state_orbax(tmp_path / "ckpt2d")
+    np.testing.assert_array_equal(np.asarray(state["steps"]),
+                                  np.asarray(full.steps))
+    np.testing.assert_allclose(np.asarray(state["xi"]),
+                               np.asarray(full.extra["xi"]), rtol=1e-12)
+
+    resumed = consensus_lasso_batch(
+        D, S, 0.2, cfg, mesh=mesh,
+        xi0=np.asarray(state["xi"]), ui0=np.asarray(state["ui"]),
+        z0=np.asarray(state["z0"]))
+    assert int(np.asarray(resumed.steps).max()) <= 3
