@@ -338,6 +338,7 @@ def tv_batch(S, lams, config: ADMMConfig = ADMMConfig(), *,
 @_highest_precision_setup
 def covsel_batch(Ss, lams, config: ADMMConfig = ADMMConfig(), *,
                  prox_method: str = "ns", ns_iters: int = 20,
+                 ns_coarse: int = 0, ns_correct: int = 0,
                  x0=None, z0=None, u0=None, mesh=None, **overrides) -> BatchResults:
     """Graphical lasso for every covariance matrix in ``Ss`` (shape
     (B, n, n)) in one vmapped program — e.g. per-subject sparse
@@ -348,7 +349,10 @@ def covsel_batch(Ss, lams, config: ADMMConfig = ADMMConfig(), *,
     The default x-prox is the Newton-Schulz evaluation
     (``prox_method='ns'``, ops/matfun.py): under vmap it is pure
     batched n^3 GEMM work for the MXU, whereas a batched eigh
-    serializes badly on TPU.  ``lams`` is a scalar or (B,) vector.
+    serializes badly on TPU.  ``prox_method='ns_fast'`` (or explicit
+    ``ns_coarse``/``ns_correct``) runs the square-root steps in
+    bf16-pass mode with full-precision residual corrections — see
+    covarianceselection.  ``lams`` is a scalar or (B,) vector.
     """
     config = merge_config(config, overrides, body="batched")
     from .covarianceselection import make_prox_ops as _covsel_make_prox_ops
@@ -361,7 +365,8 @@ def covsel_batch(Ss, lams, config: ADMMConfig = ADMMConfig(), *,
         )
     Bn, n = Ss.shape[0], Ss.shape[1]
     prox_f, prox_g, obj, data = _covsel_make_prox_ops(
-        Ss[0], 1.0, config, prox_method=prox_method, ns_iters=ns_iters)
+        Ss[0], 1.0, config, prox_method=prox_method, ns_iters=ns_iters,
+        ns_coarse=ns_coarse, ns_correct=ns_correct)
     data = dict(data)
     data["S"] = Ss
     data["lam"] = jnp.broadcast_to(jnp.asarray(lams, Ss.dtype), (Bn,))
