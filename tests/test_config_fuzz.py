@@ -101,3 +101,23 @@ def test_random_config_new_families_never_crash(trial):
     assert 1 <= int(res.steps) <= cfg.maxiters
     x = np.asarray(res.xopt)
     assert bool(res.diverged) or np.all(np.isfinite(x))
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_random_config_consensus_never_crashes_or_lies(trial):
+    """The consensus runner traces the same variant cross-product as the
+    engine; random valid configs through a sharded solve must converge
+    cleanly or flag divergence/stall — never crash or return silent
+    NaNs."""
+    from admm_tpu.parallel import consensus_lasso
+
+    rng = np.random.default_rng(2000 + trial)
+    cfg = _random_config(rng)
+    D = rng.standard_normal((64, 12))
+    s = rng.standard_normal(64)
+    res = consensus_lasso(D, s, 0.1, cfg, nshards=4)
+    assert 1 <= int(res.steps) <= cfg.maxiters
+    z = np.asarray(res.zopt)
+    assert bool(res.diverged) or np.all(np.isfinite(z))
+    if cfg.domaxiters and not res.diverged and cfg.alg != 2:
+        assert int(res.steps) == cfg.maxiters
