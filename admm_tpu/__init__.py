@@ -30,6 +30,7 @@ from .models import (
     huberfit,
     lad,
     lasso,
+    logreg,
     linearprogram,
     linearsvm,
     model,
@@ -90,6 +91,7 @@ __all__ = [
     "fusedlasso",
     "quantile",
     "rpca",
+    "logreg",
     "grouplasso",
     "nnls",
     "basispursuit",

@@ -45,6 +45,7 @@ from .lad import lad  # noqa: E402
 from .quantile import quantile  # noqa: E402
 from .fusedlasso import fusedlasso  # noqa: E402
 from .rpca import rpca  # noqa: E402
+from .logreg import logreg  # noqa: E402
 from .lasso import lasso  # noqa: E402
 from .nnls import nnls  # noqa: E402
 from .linearprogram import linearprogram  # noqa: E402
@@ -70,6 +71,7 @@ __all__ = [
     "fusedlasso",
     "quantile",
     "rpca",
+    "logreg",
     "huberfit",
     "linearprogram",
     "quadraticprogram",

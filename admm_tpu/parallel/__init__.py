@@ -21,7 +21,7 @@ Three distributed forms, matching SURVEY.md section 2.7:
 from .mesh import make_mesh, make_mesh2d, pad_rows, shard_rows
 from .consensus import (consensus_admm, consensus_elasticnet,
                         consensus_elasticnet_batch, consensus_lasso,
-                        consensus_lasso_batch)
+                        consensus_lasso_batch, consensus_logreg)
 from .transpose_reduction import (unwrapped_admm_sharded,
                                   linearsvm_sharded, svm_batch_sharded)
 from .sliced import make_parallel_proxes, make_sliced_prox
@@ -39,6 +39,7 @@ __all__ = [
     "consensus_lasso",
     "consensus_lasso_batch",
     "consensus_elasticnet_batch",
+    "consensus_logreg",
     "unwrapped_admm_sharded",
     "linearsvm_sharded",
     "svm_batch_sharded",

@@ -640,6 +640,103 @@ def consensus_lasso(
     )
 
 
+# ---- logistic regression instantiation (Boyd et al. 2011, sec. 8.2) -------
+
+
+@functools.lru_cache(maxsize=8)
+def _logreg_local_prox_fn(newton_steps: int):
+    """Per-shard damped-Newton x-prox for sparse logistic regression,
+    batched over the shard axis: argmin_x sum softplus(-(Y_i x)) +
+    (rho/2)||x - (z - u_i)||^2.  The consensus iteration hands no
+    previous xi, so Newton restarts from the target v = z - u_i every
+    iteration — the prox must therefore be solved ACCURATELY (a fixed
+    coarse prox error stalls ADMM: 5 steps left the consensus residual
+    floored at ~1, 20 steps with 3-level damping converge in ~100
+    iterations — round-4 diagnostic).  Zero pad rows are exact no-ops
+    for gradient/Hessian (their Y rows are 0); they only add a constant
+    to the line-search objective, which cancels in the comparisons.
+    lru-cached on the step count so the compiled consensus runner is
+    shared across calls (engine caching contract)."""
+
+    def prox(z, ui, rho, d):
+        Yi = d["Yi"]                           # (W, mw, n)
+        n = Yi.shape[-1]
+        I = jnp.eye(n, dtype=Yi.dtype)
+        v = z[None, :] - ui                    # (W, n)
+
+        def fobj(x):
+            t = jnp.einsum("wmn,wn->wm", Yi, x)
+            return (jnp.sum(jnp.logaddexp(0.0, -t), axis=-1)
+                    + 0.5 * rho * jnp.sum((x - v) ** 2, axis=-1))
+
+        x = v
+        for _ in range(newton_steps):
+            t = jnp.einsum("wmn,wn->wm", Yi, x)
+            sig = jax.nn.sigmoid(-t)
+            grad = -jnp.einsum("wmn,wm->wn", Yi, sig) + rho * (x - v)
+            w = sig * (1.0 - sig)
+            H = jnp.einsum("wmi,wmj->wij", Yi * w[..., None], Yi) + rho * I
+            step = jnp.linalg.solve(H, grad[..., None])[..., 0]
+            f0 = fobj(x)
+            x1 = x - step
+            x2 = x - 0.5 * step
+            f1, f2 = fobj(x1), fobj(x2)
+            x = jnp.where((f1 <= f0)[:, None], x1,
+                          jnp.where((f2 <= f0)[:, None], x2,
+                                    x - 0.25 * step))
+        return x
+
+    return prox
+
+
+def consensus_logreg(
+    D,
+    ell,
+    lam,
+    config: ADMMConfig = ADMMConfig(),
+    *,
+    mesh: Optional[Mesh] = None,
+    nshards: Optional[int] = None,
+    newton_steps: int = 20,
+    xi0=None,
+    ui0=None,
+    z0=None,
+) -> ADMMResults:
+    """Distributed sparse logistic regression by consensus ADMM — the
+    canonical consensus application (Boyd et al. 2011, sec. 8.2): data
+    rows sharded over the mesh, per-shard damped-Newton local solves,
+    global soft-threshold z at lam/(rho W).  Beyond the reference
+    (which has no logistic family); the third instantiation of the
+    generic consensus engine, and the first with a non-closed-form
+    local prox."""
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    W = nshards if nshards is not None else mesh.devices.size
+    if W < mesh.devices.size:
+        mesh = make_mesh(W, axis)
+    elif W % mesh.devices.size:
+        raise ValueError(
+            f"nshards={W} must be a multiple of the mesh size "
+            f"{mesh.devices.size}")
+
+    D = np.asarray(D)
+    ell = np.asarray(ell, D.dtype)
+    m, n = D.shape
+    if ell.shape != (m,):
+        raise ValueError(f"ell must be ({m},) labels, got {ell.shape}")
+    Y = D * ell[:, None]
+    Yp, _ = pad_rows(Y, W)                 # zero rows: exact no-ops
+    Yi = shard_rows(Yp, W)                 # (W, m/W, n)
+    spec = NamedSharding(mesh, P(axis))
+    Yi_dev = jax.device_put(jnp.asarray(Yi), spec)
+    data = {"Yi": Yi_dev, "lam": jnp.asarray(lam, Yi_dev.dtype)}
+    return consensus_admm(
+        _logreg_local_prox_fn(int(newton_steps)), _lasso_global_prox,
+        data, n, config, mesh=mesh, nshards=W, xi0=xi0, ui0=ui0, z0=z0,
+    )
+
+
 # ---- 2-D mesh: instance lanes x consensus shards --------------------------
 
 

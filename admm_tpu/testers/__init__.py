@@ -14,6 +14,7 @@ from .problems import (
     ladtest,
     lassotest,
     linearprogramtest,
+    logregtest,
     linearsvmtest,
     modeltest,
     quadraticprogramtest,
@@ -30,6 +31,7 @@ __all__ = [
     "ladtest",
     "huberfittest",
     "linearprogramtest",
+    "logregtest",
     "quadraticprogramtest",
     "covarianceselectiontest",
     "linearsvmtest",

@@ -412,3 +412,47 @@ def linearsvmtest(seed=0, mpos=128, mneg=128, sep=0.5, errtol=0.05, quiet=True,
 
         showresults(res_h, test)
     return res_h, res_01, test
+
+
+def logregtest(seed=0, rows=256, cols=24, errtol=1e-3, quiet=True,
+               config=ADMMConfig(), lam=None, **overrides):
+    """Sparse logistic regression oracle (beyond reference — no MATLAB
+    counterpart; construction mirrors the library's randomized style):
+    labels drawn from a planted logistic model, solved at l1 weight
+    ``lam`` (default 0.1 * ||grad at 0||_inf), checked by the exact KKT
+    subgradient conditions of the nonsmooth optimum —
+    |g_j + lam sign(z_j)| <= errtol on the active set and
+    |g_j| <= lam + errtol on the zeros, g the smooth logistic gradient.
+    """
+    from ..models.logreg import logreg
+
+    cfg = merge_config(config, dict(
+        objevals=overrides.pop("objevals", True),
+        maxiters=overrides.pop("maxiters", 2000),
+        abstol=overrides.pop("abstol", 1e-8),
+        reltol=overrides.pop("reltol", 1e-7), **overrides))
+    rng = np.random.default_rng(seed)
+    D = rng.standard_normal((rows, cols))
+    wtrue = rng.standard_normal(cols) * (rng.random(cols) < 0.5)
+    p = 1.0 / (1.0 + np.exp(-(D @ wtrue)))
+    ell = np.where(rng.random(rows) < p, 1.0, -1.0)
+    Y = D * ell[:, None]
+    if lam is None:
+        g0 = -Y.T @ np.full(rows, 0.5)  # smooth gradient at x = 0
+        lam = 0.1 * float(np.max(np.abs(g0)))
+
+    results = logreg(D, ell, lam, cfg)
+    z = np.asarray(results.zopt, np.float64)
+    sig = 1.0 / (1.0 + np.exp(Y @ z))   # sigmoid(-Yz)
+    g = -Y.T @ sig
+    act = np.abs(z) > 1e-8
+    kkt_act = (float(np.max(np.abs(g[act] + lam * np.sign(z[act]))))
+               if act.any() else 0.0)
+    kkt_zero = (float(max(np.max(np.abs(g[~act])) - lam, 0.0))
+                if (~act).any() else 0.0)
+    kkt = max(kkt_act, kkt_zero)
+    failed = not (kkt <= errtol)
+    test = dict(solver="logreg", seed=seed, lam=lam, kkt=kkt,
+                truexopt=wtrue, objopt=results.objopt, failed=failed,
+                failreason="" if not failed else f"KKT residual {kkt:.3g}")
+    return _report(quiet, test, results)
