@@ -55,6 +55,7 @@ from .models.batch import (
     quantile_batch,
     rpca_batch,
     lasso_batch,
+    logreg_batch,
     lp_batch,
     model_batch,
     nnls_batch,
@@ -109,6 +110,7 @@ __all__ = [
     "tv_path",
     "linearsvm_c_path",
     "lasso_batch",
+    "logreg_batch",
     "elasticnet_batch",
     "grouplasso_batch",
     "nnls_batch",

@@ -323,6 +323,27 @@ def timing_matrix(smoke=False):
                                   prox_method="rsvd", rank=16))
     rows.append(_row("rpca_rsvd16_f32", f"{nr}x{nr}", iters, res))
 
+    # --- sparse logistic regression: damped-Newton prox in the loop -----
+    from admm_tpu.models.logreg import logreg
+    from admm_tpu.models.batch import logreg_batch
+
+    m, n = 4096 // sc, 256 // sc
+    Dlr = rng.standard_normal((m, n)).astype(f32)
+    wlr = rng.standard_normal(n)
+    plr = 1.0 / (1.0 + np.exp(-(Dlr @ wlr)))
+    ylr = np.where(rng.random(m) < plr, 1.0, -1.0).astype(f32)
+    iters = it(200)
+    res = _run_twice(lambda: logreg(Dlr, ylr, 0.1, cfg(iters)))
+    rows.append(_row("logreg_f32", f"{m}x{n}", iters, res))
+    # One-vs-all multiclass lanes sharing D (the logistic svm_batch).
+    y8 = rng.integers(0, 8, size=m)
+    ell8 = np.stack([np.where(y8 == k, 1.0, -1.0)
+                     for k in range(8)]).astype(f32)
+    res = _run_twice(lambda: logreg_batch(Dlr, ell8, 0.1, cfg(iters)))
+    rows.append(_row("logreg_batch_B8", f"{m}x{n}", iters, res,
+                     extra={"inst_iters_per_sec":
+                            round(8 * iters / res.runtime, 1)}))
+
     # --- linear SVM: serial + 8-shard transpose reduction on-chip -------
     m, n = 4096 // sc, 512 // sc
     Dsvm = rng.standard_normal((m, n)).astype(f32)
@@ -507,6 +528,8 @@ _F32_ERRTOL = {
     # errtol01 = 2.5x this inside linearsvmtest).  The earlier 0.08 was a
     # conservative placeholder, not a measured f32 floor.
     "linearsvm": 0.05,
+    # KKT subgradient residual of the nonsmooth optimum at f32.
+    "logreg": 5e-3,
 }
 
 
@@ -536,6 +559,7 @@ def accuracy_matrix(smoke=False):
         ("covarianceselection_nsfast", p.covarianceselectiontest,
          {"prox_method": "ns_fast"}),
         ("linearsvm", p.linearsvmtest, {}),
+        ("logreg", p.logregtest, {}),
     ):
         errtol = _F32_ERRTOL.get(name.split("_")[0], 1e-3)
         t0 = time.perf_counter()

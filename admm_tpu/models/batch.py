@@ -618,6 +618,37 @@ def _prox_f_affine_kkt_batch(x, z, u, rho, d):
 
 
 @_highest_precision_setup
+def logreg_batch(D, ells, lams, config: ADMMConfig = ADMMConfig(), *,
+                 x0=None, z0=None, u0=None, mesh=None,
+                 **overrides) -> BatchResults:
+    """B sparse logistic regressions against one shared data matrix —
+    one-vs-all MULTICLASS logistic training in a single vmapped program
+    (the logistic counterpart of svm_batch): ``ells`` is (B, m) lanes of
+    +/-1 labels, ``lams`` a scalar or (B,) l1 weights.  Only the labels
+    and penalties are lane-mapped; D is shared, and the damped-Newton
+    x-prox batches into (B, n, n) solves + (B, m) x (m, n) GEMMs.
+    """
+    from .logreg import make_prox_ops as _logreg_make_prox_ops
+
+    config = merge_config(config, overrides, body="batched")
+    D = jnp.asarray(D)
+    m, n = D.shape
+    ells = _check_batch(ells, m, "ells").astype(D.dtype)
+    if not bool(jnp.all(jnp.abs(ells) == 1.0)):
+        raise ValueError("ells must be +/-1 label lanes")
+    Bn = ells.shape[0]
+    prox_f, prox_g, obj, data = _logreg_make_prox_ops(D, ells[0], 1.0, config)
+    data = dict(data)
+    data["ell"] = ells
+    data["lam"] = jnp.broadcast_to(jnp.asarray(lams, D.dtype), (Bn,))
+
+    zeros = jnp.zeros((Bn, n), D.dtype)
+    return _run(prox_f, prox_g, obj, config, {"ell", "lam"}, data,
+                zeros, zeros, zeros, zeros, as_linop(1.0), as_linop(-1.0),
+                mesh=mesh, warm=(x0, z0, u0))
+
+
+@_highest_precision_setup
 def lp_batch(bs, D, Ss, config: ADMMConfig = ADMMConfig(), *,
              x0=None, z0=None, u0=None, mesh=None, **overrides) -> BatchResults:
     """Solve B standard-form LPs  min b_i^T x  s.t. D x = s_i, x >= 0

@@ -41,7 +41,7 @@ _NEWTON_STEPS = 5
 
 
 def _prox_objective(x, v, rho, d):
-    t = d["Y"] @ x  # (m,) margins  y_i d_i^T x
+    t = d["ell"] * (d["D"] @ x)  # (m,) margins  y_i d_i^T x
     # log(1 + exp(-t)) computed stably as softplus(-t).
     return (jnp.sum(jnp.logaddexp(0.0, -t))
             + 0.5 * rho * jnp.sum((x - v) ** 2))
@@ -50,18 +50,20 @@ def _prox_objective(x, v, rho, d):
 def _newton_xprox(x, v, rho, d):
     """Damped Newton for argmin_x sum softplus(-(Yx)_i) + rho/2 ||x-v||^2.
 
-    ``d['Y']`` is the label-signed data matrix (rows ell_i * d_i).  One
+    The margins are ell_i * (D x) with ``D`` shared and ``ell`` a
+    per-instance leaf — so logreg_batch maps only the (m,) labels and
+    the whole one-vs-all batch shares one D (models/batch.py).  One
     objective-gated halving per step (select, not branch) keeps each
     update monotone without data-dependent control flow.
     """
-    Y = d["Y"]
-    I = jnp.eye(Y.shape[1], dtype=Y.dtype)
+    D, ell = d["D"], d["ell"]
+    I = jnp.eye(D.shape[1], dtype=D.dtype)
     for _ in range(_NEWTON_STEPS):
-        t = Y @ x
+        t = ell * (D @ x)
         sig = jax.nn.sigmoid(-t)           # = 1 - sigmoid(t)
-        grad = -(Y.T @ sig) + rho * (x - v)
+        grad = -(D.T @ (ell * sig)) + rho * (x - v)
         w = sig * (1.0 - sig)              # logistic curvature weights
-        H = (Y * w[:, None]).T @ Y + rho * I
+        H = (D * w[:, None]).T @ D + rho * I
         step = jnp.linalg.solve(H, grad)
         f0 = _prox_objective(x, v, rho, d)
         x1 = x - step
@@ -83,17 +85,17 @@ def _prox_g(x, z, u, rho, d):
 
 
 def _obj(x, z, d):
-    t = d["Y"] @ x
+    t = d["ell"] * (d["D"] @ x)
     return jnp.sum(jnp.logaddexp(0.0, -t)) + d["lam"] * jnp.sum(jnp.abs(z))
 
 
 def make_prox_ops(D, ell, lam, config: ADMMConfig = ADMMConfig()):
-    """Build (prox_f, prox_g, obj, data): data carries the label-signed
-    matrix Y = diag(ell) D and the l1 weight."""
+    """Build (prox_f, prox_g, obj, data): data carries D, the +/-1
+    labels, and the l1 weight (labels separate so batched one-vs-all
+    lanes share one D)."""
     D = jnp.asarray(D)
     ell = jnp.asarray(ell, D.dtype)
-    Y = D * ell[:, None]
-    data = {"Y": Y, "lam": jnp.asarray(lam, D.dtype)}
+    data = {"D": D, "ell": ell, "lam": jnp.asarray(lam, D.dtype)}
     return _prox_f, _prox_g, _obj, data
 
 
@@ -128,10 +130,10 @@ def logreg(D=None, ell=None, lam=0.1, config: ADMMConfig = ADMMConfig(), *,
         raise ValueError(f"lam must be nonnegative, got {lam}")
 
     prox_f, prox_g, obj, data = make_prox_ops(D, ell, lam, config)
-    n = data["Y"].shape[1]
+    n = data["D"].shape[1]
     return admm(
         prox_f, prox_g, config,
         A=1.0, B=-1.0, c=0.0, m=n, nA=n, nB=n,
         x0=x0, z0=z0, u0=u0,
-        hooks=Hooks(obj=obj), dtype=data["Y"].dtype, data=data,
+        hooks=Hooks(obj=obj), dtype=data["D"].dtype, data=data,
     )

@@ -87,3 +87,30 @@ def test_consensus_logreg_matches_serial():
     assert not par.diverged and par.steps < 4000
     f_ser, f_par = obj(np.asarray(ser.zopt)), obj(np.asarray(par.zopt))
     assert abs(f_par - f_ser) <= 1e-4 * (1.0 + abs(f_ser)), (f_par, f_ser)
+
+
+def test_logreg_batch_matches_solo_lanes():
+    """One-vs-all multiclass logistic via logreg_batch: each lane must
+    match the solo logreg solve on its label vector bit-for-bit (same
+    engine, same prox, mapped labels)."""
+    from admm_tpu import logreg_batch
+
+    rng = np.random.default_rng(7)
+    m, n, K = 160, 8, 3
+    D = rng.standard_normal((m, n))
+    y = rng.integers(0, K, size=m)
+    ells = np.stack([np.where(y == k, 1.0, -1.0) for k in range(K)])
+    lam = 0.1
+    cfg = ADMMConfig(maxiters=800)
+    batch = logreg_batch(D, ells, lam, cfg)
+    for k in range(K):
+        solo = logreg(D, ells[k], lam, cfg)
+        assert int(np.asarray(batch.steps)[k]) == int(solo.steps)
+        np.testing.assert_allclose(np.asarray(batch.zopt)[k],
+                                   np.asarray(solo.zopt),
+                                   rtol=1e-10, atol=1e-12)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="label lanes"):
+        logreg_batch(D, ells * 0.5, lam, cfg)
