@@ -506,6 +506,12 @@ def timing_matrix(smoke=False):
     rows.append(_row(f"covsel_batch_B{Bc}_ns", f"n={nc}", itc, res,
                      extra={"inst_iters_per_sec":
                             round(Bc * itc / res.runtime, 1)}))
+    res = _run_twice(lambda: covsel_batch(Sc, 0.05, cfg(itc),
+                                          prox_method="ns_fast",
+                                          ns_iters=14))
+    rows.append(_row(f"covsel_batch_B{Bc}_nsfast", f"n={nc}", itc, res,
+                     extra={"inst_iters_per_sec":
+                            round(Bc * itc / res.runtime, 1)}))
 
     return rows
 
