@@ -25,6 +25,7 @@ from .models import (
     fusedlasso,
     quantile,
     rpca,
+    matrixcompletion,
     get_prox_ops,
     grouplasso,
     huberfit,
@@ -54,6 +55,7 @@ from .models.batch import (
     lad_batch,
     quantile_batch,
     rpca_batch,
+    matrixcompletion_batch,
     lasso_batch,
     logreg_batch,
     lp_batch,
@@ -92,6 +94,7 @@ __all__ = [
     "fusedlasso",
     "quantile",
     "rpca",
+    "matrixcompletion",
     "logreg",
     "grouplasso",
     "nnls",
@@ -119,6 +122,7 @@ __all__ = [
     "lad_batch",
     "quantile_batch",
     "rpca_batch",
+    "matrixcompletion_batch",
     "huberfit_batch",
     "basispursuit_batch",
     "covsel_batch",
