@@ -25,6 +25,7 @@ from .models import (
     fusedlasso,
     quantile,
     rpca,
+    sdp,
     matrixcompletion,
     get_prox_ops,
     grouplasso,
@@ -55,6 +56,7 @@ from .models.batch import (
     lad_batch,
     quantile_batch,
     rpca_batch,
+    sdp_batch,
     matrixcompletion_batch,
     lasso_batch,
     logreg_batch,
@@ -94,6 +96,7 @@ __all__ = [
     "fusedlasso",
     "quantile",
     "rpca",
+    "sdp",
     "matrixcompletion",
     "logreg",
     "grouplasso",
@@ -122,6 +125,7 @@ __all__ = [
     "lad_batch",
     "quantile_batch",
     "rpca_batch",
+    "sdp_batch",
     "matrixcompletion_batch",
     "huberfit_batch",
     "basispursuit_batch",

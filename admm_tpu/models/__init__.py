@@ -45,6 +45,7 @@ from .lad import lad  # noqa: E402
 from .quantile import quantile  # noqa: E402
 from .fusedlasso import fusedlasso  # noqa: E402
 from .rpca import rpca  # noqa: E402
+from .sdp import sdp  # noqa: E402
 from .matrixcompletion import matrixcompletion  # noqa: E402
 from .logreg import logreg  # noqa: E402
 from .lasso import lasso  # noqa: E402
@@ -72,6 +73,7 @@ __all__ = [
     "fusedlasso",
     "quantile",
     "rpca",
+    "sdp",
     "matrixcompletion",
     "logreg",
     "huberfit",

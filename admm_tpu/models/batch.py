@@ -378,6 +378,47 @@ def covsel_batch(Ss, lams, config: ADMMConfig = ADMMConfig(), *,
 
 
 @_highest_precision_setup
+def sdp_batch(Cs, A, bs, config: ADMMConfig = ADMMConfig(), *,
+              prox_method: str = "eigh", ns_iters: int = 24,
+              ns_coarse: int = 0, ns_correct: int = 0, ns_delta: float = 0.0,
+              x0=None, z0=None, u0=None, mesh=None,
+              **overrides) -> BatchResults:
+    """Standard-form SDP for every cost matrix in ``Cs`` (shape
+    (B, n, n)) against a SHARED constraint operator ``A`` — an
+    (m, n, n) stack or ``'diag'`` (models/sdp.py) — in one vmapped
+    program, e.g. max-cut relaxations over a batch of graphs
+    (``A='diag'``, per-lane Laplacian costs).
+
+    ``bs`` is an (m,) vector (shared) or a (B, m) stack.  The Gram
+    factorization of A is built once and broadcast; only (C, b) are
+    mapped.  ``prox_method='ns'`` swaps the eigh PSD projection for
+    the Newton-Schulz matmul-only one — batched n^3 GEMMs for the MXU
+    (see ops/matfun.psd_project_ns conditioning caveat).
+    """
+    config = merge_config(config, overrides, body="batched")
+    from .sdp import make_prox_ops as _sdp_make_prox_ops
+
+    Cs = jnp.asarray(Cs)
+    if Cs.ndim != 3 or Cs.shape[1] != Cs.shape[2]:
+        raise ValueError(f"Cs must be a (B, n, n) stack, got {Cs.shape}")
+    Bn, n = Cs.shape[0], Cs.shape[1]
+    bs = jnp.asarray(bs, Cs.dtype)
+    m = bs.shape[-1]
+    prox_f, prox_g, obj, data = _sdp_make_prox_ops(
+        Cs[0], A, bs if bs.ndim == 1 else bs[0], config,
+        prox_method=prox_method, ns_iters=ns_iters, ns_coarse=ns_coarse,
+        ns_correct=ns_correct, ns_delta=ns_delta)
+    data = dict(data)
+    data["C"] = 0.5 * (Cs + jnp.swapaxes(Cs, -1, -2))
+    data["b"] = jnp.broadcast_to(bs, (Bn, m))
+
+    zeros = jnp.zeros((Bn, n, n), Cs.dtype)
+    return _run(prox_f, prox_g, obj, config, {"C", "b"}, data,
+                zeros, zeros, zeros, zeros, as_linop(1.0), as_linop(-1.0),
+                mesh=mesh, warm=(x0, z0, u0))
+
+
+@_highest_precision_setup
 def fusedlasso_batch(S, lam1s, lam2s, config: ADMMConfig = ADMMConfig(), *,
                      x0=None, z0=None, u0=None, mesh=None,
                      **overrides) -> BatchResults:

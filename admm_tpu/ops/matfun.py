@@ -128,3 +128,33 @@ def covsel_ns_prox(W, rho, iters: int = 20, coarse: int = 0,
     I = jnp.eye(n, dtype=W.dtype)
     A = W @ W + (4.0 * rho) * I
     return (W + ns_sqrtm(A, iters, coarse, correct)) / (2.0 * rho)
+
+
+def psd_project_ns(W, iters: int = 24, coarse: int = 0, correct: int = 0,
+                   delta: float = 0.0):
+    """PSD-cone projection via Newton-Schulz — matmuls only, no eigh.
+
+    Evaluates max(W, 0) spectrally as (W + |W|) / 2 with
+    |W| = sqrt(W^2 + delta^2 I) (ns_sqrtm).  TPU performance mode for
+    the SDP z-prox (models/sdp.py), the same swap covsel makes with
+    covsel_ns_prox.
+
+    CONDITIONING CAVEAT (unlike covsel): covsel's square-root argument
+    is bounded below by 4 rho, but a projection argument can have
+    eigenvalues arbitrarily close to zero, where the NS square root
+    converges slowly.  The absolute spectral error on a mode of
+    magnitude |lambda| is bounded by ~|lambda| (NS underestimates small
+    roots toward 0, and max(W,0) built from an underestimated |W|
+    interpolates between the exact projection and W/2 on that mode), so
+    near-null modes contribute small ABSOLUTE error; set ``delta`` > 0
+    to regularize the root at an O(delta) accuracy floor, or raise
+    ``iters`` (cost: 2 GEMMs + 1 batched GEMM each).  Use the exact
+    eigh path (ops/prox.py:psd_project) when the active spectrum
+    crosses zero slowly.
+    """
+    Ws = 0.5 * (W + jnp.swapaxes(W, -1, -2))
+    n = Ws.shape[-1]
+    A = Ws @ Ws
+    if delta:
+        A = A + (delta * delta) * jnp.eye(n, dtype=Ws.dtype)
+    return 0.5 * (Ws + ns_sqrtm(A, iters, coarse, correct))

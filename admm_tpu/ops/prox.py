@@ -105,6 +105,18 @@ def project_box(v, lb, ub):
     return jnp.minimum(ub, jnp.maximum(lb, v))
 
 
+def psd_project(W):
+    """Projection onto the positive-semidefinite cone: symmetrize, then
+    clamp the spectrum at zero (Higham 1988).  SDP z-prox; batched-
+    friendly and differentiable (eigh).  Beyond-reference family — the
+    reference's closest analog is the covariance-selection spectral
+    prox (getProxOps.m:1487-1496), which uses the same eigh+reconstruct
+    shape."""
+    W = 0.5 * (W + jnp.swapaxes(W, -1, -2))
+    e, Q = jnp.linalg.eigh(W)
+    return (Q * jnp.maximum(e, 0.0)[..., None, :]) @ jnp.swapaxes(Q, -1, -2)
+
+
 def covsel_eig_prox(ZU_minus_S_scaled, rho):
     """Covariance-selection x-prox.
 
