@@ -13,6 +13,8 @@ Three distributed forms, matching SURVEY.md section 2.7:
 
 - consensus ADMM (global-variable LASSO): `consensus.consensus_lasso`
 - transpose-reduction unwrapped ADMM (SVM): `transpose_reduction`
+- exchange ADMM (sum-coupled agents, Boyd sec. 7.3.2 — beyond
+  reference): `exchange.exchange_admm`
 - engine-generic sliced proximal updates (even or uneven slices,
   'xminf'/'zming'/'both'): `sliced.make_sliced_prox`,
   `sliced.make_parallel_proxes`
@@ -24,6 +26,7 @@ from .consensus import (consensus_admm, consensus_elasticnet,
                         consensus_lasso_batch, consensus_logreg)
 from .transpose_reduction import (unwrapped_admm_sharded,
                                   linearsvm_sharded, svm_batch_sharded)
+from .exchange import exchange_admm, exchange_quadratic
 from .sliced import make_parallel_proxes, make_sliced_prox
 from .multihost import global_mesh, initialize_cluster
 
@@ -35,6 +38,8 @@ __all__ = [
     "pad_rows",
     "shard_rows",
     "consensus_admm",
+    "exchange_admm",
+    "exchange_quadratic",
     "consensus_elasticnet",
     "consensus_lasso",
     "consensus_lasso_batch",

@@ -1,0 +1,311 @@
+"""Exchange ADMM: N agents trading a shared resource vector.
+
+    min   sum_i f_i(x_i)    s.t.    sum_i x_i = 0
+
+(Boyd et al. 2011, section 7.3.2 — the dual of consensus sharing.)
+Beyond-reference distributed form: the reference ships consensus and
+transpose-reduction (SURVEY.md section 2.7); exchange is the third
+classical distributed-ADMM paradigm, with a DIFFERENT coupling (a sum
+constraint instead of equality to a global variable), so it exercises
+the collectives in a new direction: the only cross-agent quantity is
+the mean allocation x̄.
+
+Derivation (general-form consensus with g = indicator{sum z_i = 0}):
+the z-update is the projection z_i = x_i + u_i - mean(x + u), under
+equal dual initialization all u_i collapse to ONE shared dual price
+vector u, and the iteration reduces to
+
+    x_i <- prox_{f_i/rho}( x_i - x̄ - u )      (all agents, local)
+    x̄  <- mean_i x_i                           (the one collective)
+    u   <- u + x̄                               (replicated, O(n))
+
+Residuals on the underlying splitting (A = I, B = -I, z_i = x_i - x̄):
+r_i = x̄ for every agent (pnorm = sqrt(W)||x̄||) and
+s_i = -rho * ((x_i - x̄) - (x_i^prev - x̄^prev)).
+
+At a fixed point the dual price satisfies grad f_i(x_i*) = -rho u* for
+every i, i.e. rho*u is (minus) the market-clearing price nu* of the
+exchange economy — the oracle tests assert this against the KKT system
+(tests/test_exchange.py).
+
+TPU design: per-agent proxes are stacked (W, n) arrays sharded over the
+mesh axis (GSPMD, like parallel/consensus.py); the per-iteration
+collective payload is the n floats of x̄ — independent of each agent's
+data size.  The whole solve is one jitted lax.while_loop with the
+engine's done-masked deep unroll (ADMMConfig.unroll) and plateau
+detector (ADMMConfig.stallwindow).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ADMMConfig, resolve_unroll
+from ..engine import (_with_matmul_precision, freeze_helpers,
+                      residual_balance_factor, unrolled_body)
+from ..results import ADMMResults
+from .mesh import make_mesh
+
+
+def _make_exchange_run(local_prox, config: ADMMConfig, W: int, n: int):
+    """Build the (unjitted) exchange iteration
+    ``run(data, xi0, u0) -> raw dict`` (jitted by the cached runner)."""
+    N = int(config.maxiters)
+    std_stop = config.stopcond in ("standard", "both")
+    use_stall = config.use_stall
+
+    def run(data, xi0, u0):
+        rdtype = xi0.dtype
+        rho_init = jnp.asarray(config.rho, rdtype)
+        nan_hist = lambda: jnp.full((N,), jnp.nan, rdtype)
+        sc = lambda v=jnp.nan: jnp.asarray(v, rdtype)
+
+        hist0 = {
+            "pnorm": nan_hist(), "dnorm": nan_hist(),
+            "perr": nan_hist(), "derr": nan_hist(),
+            # Aggregate traces (x̄ and the price u); per-agent xi stays
+            # out of the trace (W x the HBM), as in consensus.
+            "xvals": jnp.zeros((N, n), rdtype) if config.record_iterates else (),
+            "uvals": jnp.zeros((N, n), rdtype) if config.record_iterates else (),
+        }
+        carry0 = {
+            "k": jnp.asarray(0, jnp.int32),
+            "xi": xi0, "u": u0,
+            "xbar": jnp.mean(xi0, axis=0),
+            "rho": rho_init,
+            "done": jnp.asarray(False), "diverged": jnp.asarray(False),
+            "stalled": jnp.asarray(False),
+            "best_p": sc(jnp.inf) if use_stall else (),
+            "since": jnp.asarray(0, jnp.int32) if use_stall else (),
+            "hist": hist0,
+        }
+
+        def cond(c):
+            return jnp.logical_and(c["k"] < N, jnp.logical_not(c["done"]))
+
+        def step(c, frozen):
+            sel, sel_slot = freeze_helpers(frozen)
+            k = c["k"]
+            rho = c["rho"]
+            xi, u, xbar = c["xi"], c["u"], c["xbar"]
+
+            # Local proxes on the stacked (W, n) state — sharded work.
+            vi = xi - xbar[None, :] - u[None, :]
+            xi_new = local_prox(vi, rho, data)
+            # The one collective: mean over the agent axis.
+            xbar_new = jnp.mean(xi_new, axis=0)
+            u_new = u + xbar_new
+
+            sqW = jnp.sqrt(jnp.asarray(float(W), rdtype))
+            sqWn = jnp.sqrt(jnp.asarray(float(W * n), rdtype))
+            pnorm = sqW * jnp.linalg.norm(xbar_new)
+            z_new = xi_new - xbar_new[None, :]
+            z_old = xi - xbar[None, :]
+            dnorm = rho * jnp.linalg.norm(z_new - z_old)
+            perr = sqWn * config.abstol + config.reltol * jnp.maximum(
+                jnp.linalg.norm(xi_new), jnp.linalg.norm(z_new))
+            derr = (sqWn * config.abstol
+                    + config.reltol * rho * sqW * jnp.linalg.norm(u_new))
+
+            diverged_i = jnp.asarray(False)
+            if config.nanguard:
+                diverged_i = jnp.logical_not(jnp.isfinite(pnorm))
+
+            stall_i = jnp.asarray(False)
+            if use_stall:
+                improved = pnorm < c["best_p"] * (1.0 - config.stalltol)
+                best_new = jnp.minimum(c["best_p"], pnorm)
+                since_new = jnp.where(improved, 0,
+                                      c["since"] + 1).astype(jnp.int32)
+                stall_i = since_new >= config.stallwindow
+            else:
+                best_new, since_new = (), ()
+
+            stop = jnp.asarray(False)
+            if std_stop and not config.domaxiters:
+                dual_ok = (jnp.asarray(True) if config.nodualerror
+                           else (dnorm < derr))
+                stop = (pnorm < perr) & dual_ok
+            done = stop | diverged_i | stall_i
+
+            rho_new = rho
+            if config.rbadaptive:
+                # Residual balancing with the scaled-dual rescale
+                # (ADMMConfig.rbadaptive; consensus-parity treatment).
+                factor = residual_balance_factor(
+                    config, pnorm=pnorm, dnorm=dnorm, done=done,
+                    dtype=rho.dtype)
+                rho_new = rho * factor
+                u_new = u_new / factor
+
+            h = dict(c["hist"])
+            h["pnorm"] = sel_slot(h["pnorm"], k, pnorm)
+            h["dnorm"] = sel_slot(h["dnorm"], k, dnorm)
+            h["perr"] = sel_slot(h["perr"], k, perr)
+            h["derr"] = sel_slot(h["derr"], k, derr)
+            if config.record_iterates:
+                h["xvals"] = sel_slot(h["xvals"], k, xbar_new)
+                h["uvals"] = sel_slot(h["uvals"], k, u_new)
+
+            return {
+                "k": sel(k, k + 1),
+                "xi": sel(c["xi"], xi_new), "u": sel(c["u"], u_new),
+                "xbar": sel(c["xbar"], xbar_new),
+                "rho": sel(c["rho"], rho_new),
+                "done": sel(c["done"], done),
+                "diverged": sel(c["diverged"], c["diverged"] | diverged_i),
+                "stalled": sel(c["stalled"], c["stalled"] | stall_i),
+                "best_p": sel(c["best_p"], best_new) if use_stall else (),
+                "since": sel(c["since"], since_new) if use_stall else (),
+                "hist": h,
+            }
+
+        body = unrolled_body(step, int(config.unroll), N,
+                             lambda c: (c["k"], c["done"]))
+        final = lax.while_loop(cond, body, carry0)
+        return {
+            "steps": final["k"],
+            "xopt": final["xi"],                       # per-agent allocations
+            "zopt": final["xi"] - final["xbar"][None, :],
+            "uopt": final["u"],                        # the price vector
+            "xbar": final["xbar"],
+            "rho_final": final["rho"],
+            "diverged": final["diverged"],
+            "stalled": final["stalled"],
+            "hist": final["hist"],
+        }
+
+    return run
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_exchange_runner(local_prox, config: ADMMConfig, W: int, n: int):
+    run = _make_exchange_run(local_prox, config, W, n)
+    return jax.jit(_with_matmul_precision(run, config.matmul_precision))
+
+
+def exchange_admm(
+    local_prox: Callable,
+    data,
+    n: int,
+    config: ADMMConfig = ADMMConfig(),
+    *,
+    mesh: Optional[Mesh] = None,
+    nagents: Optional[int] = None,
+    xi0=None,
+    u0=None,
+) -> ADMMResults:
+    """Generic exchange ADMM over ``nagents`` agents.
+
+    ``local_prox(vi, rho, data) -> xi`` evaluates ALL agents' proxes
+    prox_{f_i/rho}(v_i) at once on a stacked (W, n) array whose leading
+    axis is sharded over the mesh; it must be a module-level function
+    (caching contract, CLAUDE.md) with per-agent operands carried in
+    ``data`` as (W, ...) leaves already placed with the shard sharding.
+
+    ``xi0`` (W, n) and ``u0`` (n,) warm-start the allocations and the
+    price vector.  Results: ``xopt`` holds the stacked per-agent
+    allocations, ``uopt`` the shared price (rho * uopt estimates the
+    market-clearing dual nu*), ``extra['xbar']`` the residual mean.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    W = nagents if nagents is not None else mesh.devices.size
+
+    leaves = jax.tree_util.tree_leaves(data)
+    rdtype = leaves[0].dtype if leaves else jnp.float32
+    xi0 = jnp.zeros((W, n), rdtype) if xi0 is None else jnp.asarray(xi0, rdtype)
+    u0 = jnp.zeros((n,), rdtype) if u0 is None else jnp.asarray(u0, rdtype)
+    if xi0.shape != (W, n):
+        raise ValueError(f"xi0 must have shape {(W, n)}; got {xi0.shape}")
+    if u0.shape != (n,):
+        raise ValueError(f"u0 must have shape {(n,)}; got {u0.shape}")
+
+    config = resolve_unroll(config, "gemv")
+    runner = _cached_exchange_runner(local_prox, config, W, n)
+    data, xi0, u0 = jax.block_until_ready((data, xi0, u0))
+    t0 = time.perf_counter()  # loop-only wall clock
+    out = jax.block_until_ready(runner(data, xi0, u0))
+    runtime = time.perf_counter() - t0  # before from_raw's host scalars
+
+    res = ADMMResults.from_raw(
+        {k: v for k, v in out.items() if k != "xbar"}, config)
+    res.runtime = runtime
+    res.extra["xbar"] = out["xbar"]
+    res.extra["nagents"] = W
+    res.extra["mesh"] = mesh
+    return res
+
+
+# ---- quadratic-agents instantiation ---------------------------------------
+
+
+def _quad_local_prox(vi, rho, d):
+    # prox of f_i = 0.5||A_i x - b_i||^2: (A_i^T A_i + rho I)^{-1}
+    # (A_i^T b_i + rho v_i), rho folded through the per-agent eigh
+    # (dynamic-rho safe; library invariant: no refactorization in-loop).
+    rhs = d["Atb"] + rho * vi
+    y = jnp.einsum("wji,wj->wi", d["V"], rhs) / (d["w"] + rho)
+    return jnp.einsum("wij,wj->wi", d["V"], y)
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_quad_setup(shard_spec):
+    """Per-agent Gram eigh + A^T b, jitted once per sharding."""
+
+    def body(As, bs):
+        with jax.default_matmul_precision("highest"):
+            G = jnp.einsum("wmi,wmj->wij", As, As)
+            w, V = jnp.linalg.eigh(G)
+            Atb = jnp.einsum("wmi,wm->wi", As, bs)
+            return w, V, Atb
+
+    return jax.jit(body, out_shardings=(shard_spec, shard_spec, shard_spec))
+
+
+def exchange_quadratic(
+    As,
+    bs,
+    config: ADMMConfig = ADMMConfig(),
+    *,
+    mesh: Optional[Mesh] = None,
+    xi0=None,
+    u0=None,
+) -> ADMMResults:
+    """Exchange ADMM with quadratic agents f_i(x) = 0.5||A_i x - b_i||^2.
+
+    ``As`` is a (W, m, n) stack (agent i's operator) and ``bs`` (W, m);
+    the agent axis is sharded over the mesh.  The market equilibrium has
+    the closed form x_i* = (A_i^T A_i)^{-1}(A_i^T b_i - nu*) with the
+    clearing price nu* = (sum_i (A_i^T A_i)^{-1})^{-1} sum_i
+    (A_i^T A_i)^{-1} A_i^T b_i — the oracle in tests/test_exchange.py.
+    """
+    As = np.asarray(As)
+    bs = np.asarray(bs)
+    if As.ndim != 3:
+        raise ValueError(f"As must be (W, m, n), got {As.shape}")
+    if bs.shape != As.shape[:2]:
+        raise ValueError(f"bs must be {As.shape[:2]}, got {bs.shape}")
+    W, _, n = As.shape
+    if mesh is None:
+        mesh = make_mesh()
+    if W < mesh.devices.size:
+        mesh = make_mesh(W, mesh.axis_names[0])
+    elif W % mesh.devices.size:
+        raise ValueError(f"nagents={W} must be a multiple of the mesh size "
+                         f"{mesh.devices.size}")
+    shard_spec = NamedSharding(mesh, P(mesh.axis_names[0]))
+    As_dev = jax.device_put(jnp.asarray(As), shard_spec)
+    bs_dev = jax.device_put(jnp.asarray(bs), shard_spec)
+    w, V, Atb = _cached_quad_setup(shard_spec)(As_dev, bs_dev)
+    data = {"w": w, "V": V, "Atb": Atb}
+    return exchange_admm(_quad_local_prox, data, n, config, mesh=mesh,
+                         nagents=W, xi0=xi0, u0=u0)
