@@ -7,7 +7,8 @@ scaled-dual ADMM engine (vanilla / relaxed / fast / accelerated-with-restart
 registry of proximal-operator problem definitions (model, lasso, basis
 pursuit, total variation, LAD, Huber fitting, LP, QP, covariance selection,
 linear SVM with hinge and 0-1 loss via unwrapped ADMM), and distributed
-execution (consensus ADMM, sliced proximal updates, transpose reduction)
+execution (consensus ADMM, sliced proximal updates, transpose reduction,
+exchange ADMM)
 over a jax.sharding Mesh with psum/pmean collectives.  Beyond the
 reference: instance-batched (vmap) solvers, warm-startable path solvers,
 and differentiable solves via implicit differentiation of the ADMM fixed

@@ -687,6 +687,38 @@ def _beyond_reference_accuracy():
            / max(np.linalg.norm(truth), 1e-30))
     emit("fusedlasso_softthresh", 1e-3, err, res)
 
+    # sdp: objective gap vs the constructed primal-dual optimum
+    # (models.sdp.random_sdp_instance KKT triple), eigh and NS z-prox.
+    from admm_tpu import sdp as _sdp
+    from admm_tpu.models.sdp import random_sdp_instance
+
+    C, Asd, bsd, Xstar, _, _ = random_sdp_instance(16, 24, 6, rng,
+                                                   dtype=f32)
+    pstar = float(np.sum(C.astype(np.float64) * Xstar.astype(np.float64)))
+    for pm, bar in (("eigh", 1e-3), ("ns", 1e-2)):
+        res = _sdp(C, Asd, bsd, config=cfg, prox_method=pm, ns_iters=30)
+        obj = float(np.sum(C.astype(np.float64)
+                           * np.asarray(res.zopt, np.float64)))
+        err = abs(obj - pstar) / max(1.0, abs(pstar))
+        emit(f"sdp_gap_{pm}", bar, err, res)
+
+    # exchange ADMM: quadratic market equilibrium (host f64 oracle).
+    from admm_tpu.parallel import exchange_quadratic
+
+    Wx, mx, nx = 8, 24, 12
+    Ax = rng.standard_normal((Wx, mx, nx)).astype(f32)
+    bx = rng.standard_normal((Wx, mx)).astype(f32)
+    Ginv = np.stack([np.linalg.inv(A.astype(np.float64).T
+                                   @ A.astype(np.float64)) for A in Ax])
+    Atb = np.einsum("wmi,wm->wi", Ax.astype(np.float64),
+                    bx.astype(np.float64))
+    nu = np.linalg.solve(Ginv.sum(0), np.einsum("wij,wj->i", Ginv, Atb))
+    xeq = np.einsum("wij,wj->wi", Ginv, Atb - nu[None, :])
+    res = exchange_quadratic(Ax, bx, config=cfg)
+    err = (np.linalg.norm(np.asarray(res.xopt, np.float64) - xeq)
+           / np.linalg.norm(xeq))
+    emit("exchange_equilibrium", 1e-3, err, res)
+
     # rpca: planted low-rank + sparse recovery at f32.
     nr = 96
     L0 = (rng.standard_normal((nr, 4)) @ rng.standard_normal((4, nr)))

@@ -255,3 +255,16 @@ def test_portfolio_frontier():
                                       reltol=1e-9))
     w = np.asarray(res.zopt)
     assert abs(w.sum() - 1) < 1e-6 and w.min() >= -1e-8
+
+
+def test_maxcut_sdp_relaxation_and_rounding():
+    # SDP bound must dominate every rounded cut; GW rounding on a
+    # converged relaxation lands far above the 0.878 guarantee on small
+    # random graphs.
+    from examples.maxcut import maxcut_demo
+
+    rows = maxcut_demo(n_nodes=16, n_graphs=3, quiet=True)
+    for _, sdp_val, cut, ratio, steps in rows:
+        assert cut <= sdp_val + 1e-6
+        assert ratio >= 0.878
+        assert steps > 0
