@@ -121,3 +121,29 @@ def test_random_config_consensus_never_crashes_or_lies(trial):
     assert bool(res.diverged) or np.all(np.isfinite(z))
     if cfg.domaxiters and not res.diverged and cfg.alg != 2:
         assert int(res.steps) == cfg.maxiters
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_random_config_round4_families_never_crash(trial):
+    """Round-4 families (sdp / exchange) through the random-config
+    sweep.  The exchange runner only consumes the plain-branch knobs
+    (unroll/stall/rb/domaxiters); sdp goes through the full engine."""
+    from admm_tpu import sdp
+    from admm_tpu.models.sdp import random_sdp_instance
+    from admm_tpu.parallel import exchange_quadratic
+
+    rng = np.random.default_rng(4000 + trial)
+    cfg = _random_config(rng)
+    if trial % 2 == 0:
+        C, A, b, *_ = random_sdp_instance(8, 5, 3,
+                                          np.random.default_rng(trial))
+        res = sdp(C, A, b, config=cfg,
+                  prox_method=("eigh", "ns")[trial % 4 == 2])
+        x = np.asarray(res.xopt)
+    else:
+        As = rng.standard_normal((4, 10, 5))
+        bs = rng.standard_normal((4, 10))
+        res = exchange_quadratic(As, bs, config=cfg)
+        x = np.asarray(res.xopt)
+    assert 1 <= int(res.steps) <= cfg.maxiters
+    assert bool(res.diverged) or np.all(np.isfinite(x))
