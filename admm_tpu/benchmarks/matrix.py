@@ -513,6 +513,44 @@ def timing_matrix(smoke=False):
                      extra={"inst_iters_per_sec":
                             round(Bc * itc / res.runtime, 1)}))
 
+    # Batched max-cut-style SDP relaxations (diag constraint): the eigh
+    # z-prox (batched eigh serializes on TPU) vs the Newton-Schulz
+    # matmul-only projection — the covsel story on the PSD cone.
+    from admm_tpu.models.batch import sdp_batch
+
+    Bs, nsd = 16, max(2, 128 // sc)
+    Wadj = (rng.random((Bs, nsd, nsd)) < 0.1).astype(f32)
+    Wadj = np.triu(Wadj, 1)
+    Wadj = Wadj + np.swapaxes(Wadj, 1, 2)
+    Lap = (np.stack([np.diag(Wadj[i].sum(-1)) for i in range(Bs)])
+           - Wadj).astype(f32)
+    its = it(100)  # in-loop batched eigh is expensive on TPU
+    res = _run_twice(lambda: sdp_batch(-0.25 * Lap, "diag",
+                                       np.ones(nsd, f32), cfg(its)))
+    rows.append(_row(f"sdp_batch_B{Bs}_eigh", f"n={nsd}", its, res,
+                     extra={"inst_iters_per_sec":
+                            round(Bs * its / res.runtime, 1)}))
+    res = _run_twice(lambda: sdp_batch(-0.25 * Lap, "diag",
+                                       np.ones(nsd, f32), cfg(its),
+                                       prox_method="ns", ns_iters=16,
+                                       ns_coarse=16, ns_correct=2))
+    rows.append(_row(f"sdp_batch_B{Bs}_nsfast", f"n={nsd}", its, res,
+                     extra={"inst_iters_per_sec":
+                            round(Bs * its / res.runtime, 1)}))
+
+    # Exchange ADMM on-chip: W=8 quadratic agents stacked on one device
+    # (the collective degenerates to a batched mean — the same honest
+    # single-chip treatment as the consensus shard series).
+    from admm_tpu.parallel import exchange_quadratic
+
+    Wx, mx, nx = 8, 512 // sc, 256 // sc
+    Ax = rng.standard_normal((Wx, mx, nx)).astype(f32)
+    bx = rng.standard_normal((Wx, mx)).astype(f32)
+    itx = it(2000)
+    res = _run_twice(lambda: exchange_quadratic(
+        Ax, bx, cfg(itx)))
+    rows.append(_row(f"exchange_W{Wx}", f"{mx}x{nx}", itx, res))
+
     return rows
 
 
