@@ -530,11 +530,15 @@ def timing_matrix(smoke=False):
     rows.append(_row(f"sdp_batch_B{Bs}_eigh", f"n={nsd}", its, res,
                      extra={"inst_iters_per_sec":
                             round(Bs * its / res.runtime, 1)}))
+    # Full-precision NS only: the bf16-coarse + residual-correction
+    # recipe that wins for covsel DIVERGES here — the correction needs
+    # the coupled inverse root Z ~ S^{-1}, and the projection argument
+    # W^2 is near-singular at the spectrum crossing (psd_project_ns
+    # conditioning caveat; measured: nanguard fires at step 3).
     res = _run_twice(lambda: sdp_batch(-0.25 * Lap, "diag",
                                        np.ones(nsd, f32), cfg(its),
-                                       prox_method="ns", ns_iters=16,
-                                       ns_coarse=16, ns_correct=2))
-    rows.append(_row(f"sdp_batch_B{Bs}_nsfast", f"n={nsd}", its, res,
+                                       prox_method="ns", ns_iters=16))
+    rows.append(_row(f"sdp_batch_B{Bs}_ns", f"n={nsd}", its, res,
                      extra={"inst_iters_per_sec":
                             round(Bs * its / res.runtime, 1)}))
 

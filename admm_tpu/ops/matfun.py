@@ -151,6 +151,14 @@ def psd_project_ns(W, iters: int = 24, coarse: int = 0, correct: int = 0,
     ``iters`` (cost: 2 GEMMs + 1 batched GEMM each).  Use the exact
     eigh path (ops/prox.py:psd_project) when the active spectrum
     crosses zero slowly.
+
+    MEASURED (v5e, batched diag-constrained SDP): ``correct`` > 0 with
+    ``delta`` = 0 DIVERGES — the residual correction applies the
+    coupled inverse root Z ~ S^{-1}, which blows up on the
+    near-singular W^2 (covsel never sees this: its argument is bounded
+    below by 4 rho).  With corrections the root must be regularized
+    (``delta`` > 0); the plain full-precision NS needs neither and is
+    the default SDP performance mode.
     """
     Ws = 0.5 * (W + jnp.swapaxes(W, -1, -2))
     n = Ws.shape[-1]
