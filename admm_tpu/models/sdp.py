@@ -79,7 +79,10 @@ def _prox_g(X, Z, U, rho, d):
     return psd_project(U + X)
 
 
-@functools.lru_cache(maxsize=16)
+# maxsize=None: the key space is a handful of user knob tuples, and an
+# eviction would silently mint a new function object, defeating the
+# engine's function-identity compiled-runner cache (recompile).
+@functools.lru_cache(maxsize=None)
 def _ns_prox_g(ns_iters: int, ns_coarse: int, ns_correct: int,
                ns_delta: float):
     """Module-level-cached NS z-prox (caching contract: the engine's
@@ -109,6 +112,15 @@ def make_prox_ops(C, A, b, config: ADMMConfig = ADMMConfig(), *,
     conditioning caveat; 'eigh' is the accuracy reference)."""
     if prox_method not in ("eigh", "ns"):
         raise ValueError(f"prox_method must be 'eigh' or 'ns', got {prox_method!r}")
+    if prox_method == "ns" and int(ns_correct) > 0 and float(ns_delta) == 0.0:
+        # Measured hard rule (docs/RESULTS.md round 4): the residual
+        # correction applies the coupled inverse root, which blows up on
+        # the near-singular W^2 of a PSD projection — corrections need a
+        # regularized root.  Fail at setup instead of NaNs at runtime.
+        raise ValueError(
+            "prox_method='ns' with ns_correct > 0 requires ns_delta > 0: "
+            "the residual correction's inverse root diverges on the "
+            "near-singular projection argument (ops/matfun.psd_project_ns)")
     C = _sym(jnp.asarray(C))
     n = C.shape[-1]
     if C.shape != (n, n):
@@ -130,6 +142,19 @@ def make_prox_ops(C, A, b, config: ADMMConfig = ADMMConfig(), *,
             raise ValueError(f"b must have shape {(m,)}, got {b.shape}")
         G = jnp.einsum("mij,kij->mk", A, A)
         L, _ = cho_factor(G, lower=True)
+        # Linearly dependent A_i make G singular; JAX's cho_factor fails
+        # SILENTLY (NaNs, or a rounding-noise pivot for exactly dependent
+        # rows) and the solve would degrade to a garbage/diverged run.
+        # G is concrete at setup — estimate cond(G) from the Cholesky
+        # pivots ((dmax/dmin)^2 bounds it below) and fail clearly.
+        piv = jnp.abs(jnp.diagonal(L))
+        eps = float(jnp.finfo(L.dtype).eps)
+        cond_est = float(jnp.max(piv) / jnp.maximum(jnp.min(piv), 0.0)) ** 2
+        if not np.isfinite(cond_est) or cond_est > 0.01 / eps:
+            raise ValueError(
+                "constraint matrices A_i are (near-)linearly dependent: the "
+                f"Gram G = A A^T has condition estimate {cond_est:.2e}; "
+                "remove redundant constraints")
         data.update({"A": A, "L": L})
         pf = _prox_f_dense
     pg = (_prox_g if prox_method == "eigh"
@@ -165,7 +190,7 @@ def sdp(C=None, A=None, b=None, config: ADMMConfig = ADMMConfig(), *,
     ``A='diag'`` selects the diag(X) = b constraint (max-cut
     relaxation) with an O(n)-per-iteration affine projection.
     """
-    if C is None:
+    if C is None or A is None or b is None:
         raise ValueError("sdp requires C, A, b (no demo dataset is defined)")
     config = merge_config(config, overrides, body="heavy")
     prox_f, prox_g, obj, data = make_prox_ops(

@@ -151,6 +151,20 @@ class TestSDP:
             make_prox_ops(C, "diag", np.ones(4), prox_method="qr")
         with pytest.raises(ValueError):
             sdp(None)
+        with pytest.raises(ValueError):
+            sdp(C, None, np.ones(4))
+        with pytest.raises(ValueError):
+            sdp(C, "diag", None)
+        # ns_correct > 0 with ns_delta = 0 diverges (measured); setup error.
+        with pytest.raises(ValueError, match="ns_delta"):
+            make_prox_ops(C, "diag", np.ones(4), prox_method="ns",
+                          ns_correct=2)
+        # Linearly dependent constraints -> singular Gram, clear error.
+        A1 = rng.standard_normal((4, 4))
+        A1 = 0.5 * (A1 + A1.T)
+        Adep = np.stack([A1, 2.0 * A1])
+        with pytest.raises(ValueError, match="dependent"):
+            make_prox_ops(C, Adep, np.ones(2))
 
 
 class TestSDPBatch:
