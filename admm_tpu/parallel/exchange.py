@@ -28,6 +28,26 @@ every i, i.e. rho*u is (minus) the market-clearing price nu* of the
 exchange economy — the oracle tests assert this against the KKT system
 (tests/test_exchange.py).
 
+Variants (engine parity; the other two paradigms already carry them):
+
+  * relaxation (config.relax != 1): x̂_i = relax*x_i + (1-relax)*z_i
+    on the stacked splitting (Boyd sec. 3.4.3 / admm.m:515-532 with
+    A = I, B = -I).  The dual collapse SURVIVES relaxation: the
+    projection z = Pi(x̂ + u) still equalizes all duals, so the price
+    update becomes u <- u + mean(x̂) and only the mean-free z stack is
+    extra carried state.
+  * fast/accelerated momentum (config.fast, both fasttypes): the
+    engine's predictor algebra (engine.fast_update) on the stack — v
+    lives in the mean-free z-space (W, n), and because shared dual
+    predictors stay shared (uhat_i = u + mom*(u - u_prev) is
+    agent-independent), uhat is ONE price vector.  The accelerated
+    d-value tiles the price W ways:
+    d = (W/rho)||u - uhat||^2 + rho||z - v||_F^2.
+  * exactness oracle: the core engine on the stacked formulation
+    (shape_x = (W, n), prox_g = mean-removal projection) reproduces
+    every variant trajectory bit-for-bit up to reduction order
+    (tests/test_exchange.py::TestExchangeVariants).
+
 TPU design: per-agent proxes are stacked (W, n) arrays sharded over the
 mesh axis (GSPMD, like parallel/consensus.py); the per-iteration
 collective payload is the n floats of x̄ — independent of each agent's
@@ -49,7 +69,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ADMMConfig, resolve_unroll
-from ..engine import (_with_matmul_precision, freeze_helpers,
+from ..engine import (_with_matmul_precision, fast_update, freeze_helpers,
                       residual_balance_factor, unrolled_body)
 from ..results import ADMMResults
 from .mesh import make_mesh
@@ -57,8 +77,23 @@ from .mesh import make_mesh
 
 def _make_exchange_run(local_prox, config: ADMMConfig, W: int, n: int):
     """Build the (unjitted) exchange iteration
-    ``run(data, xi0, u0) -> raw dict`` (jitted by the cached runner)."""
+    ``run(data, xi0, u0) -> raw dict`` (jitted by the cached runner).
+
+    Variant parity with the core engine / consensus runner: relaxation
+    (config.relax != 1) and fast/accelerated momentum (config.fast, both
+    fasttypes) apply to the stacked splitting x_i - z_i = 0 with
+    g = indicator{sum z_i = 0} (see module docstring "Variants") — the
+    exactness oracle is the core engine run on that stacked formulation
+    (tests/test_exchange.py).  The lean alg-0/relax-1 path keeps its
+    measured-floor body: z = x_i - x̄ stays implicit (never carried) and
+    the residual norms collapse to the x̄-only forms."""
     N = int(config.maxiters)
+    relax = float(config.relax)
+    use_relax = relax != 1.0
+    alg = config.alg
+    # Variants carry the mean-free z stack explicitly; the lean path
+    # derives it (z_i = x_i - xbar) and skips the extra state/selects.
+    needs_z = use_relax or bool(alg)
     std_stop = config.stopcond in ("standard", "both")
     use_stall = config.use_stall
 
@@ -68,9 +103,14 @@ def _make_exchange_run(local_prox, config: ADMMConfig, W: int, n: int):
         nan_hist = lambda: jnp.full((N,), jnp.nan, rdtype)
         sc = lambda v=jnp.nan: jnp.asarray(v, rdtype)
 
+        xbar0 = jnp.mean(xi0, axis=0)
+        z0 = xi0 - xbar0[None, :]
         hist0 = {
             "pnorm": nan_hist(), "dnorm": nan_hist(),
             "perr": nan_hist(), "derr": nan_hist(),
+            "dvals": nan_hist() if alg == 2 else (),
+            "avals": nan_hist() if alg else (),
+            "restarted": jnp.zeros((N,), jnp.int32) if alg == 2 else (),
             # Aggregate traces (x̄ and the price u); per-agent xi stays
             # out of the trace (W x the HBM), as in consensus.
             "xvals": jnp.zeros((N, n), rdtype) if config.record_iterates else (),
@@ -79,7 +119,13 @@ def _make_exchange_run(local_prox, config: ADMMConfig, W: int, n: int):
         carry0 = {
             "k": jnp.asarray(0, jnp.int32),
             "xi": xi0, "u": u0,
-            "xbar": jnp.mean(xi0, axis=0),
+            "xbar": xbar0,
+            "z": z0 if needs_z else (),
+            # fast/accelerated predictors: v in the stacked mean-free
+            # z-space, uhat the shared price (the dual collapse survives
+            # momentum — shared uhat_i stay shared; module docstring).
+            "v": z0 if alg else (), "uhat": u0 if alg else (),
+            "a": sc(1.0) if alg else (), "d": sc(jnp.inf) if alg == 2 else (),
             "rho": rho_init,
             "done": jnp.asarray(False), "diverged": jnp.asarray(False),
             "stalled": jnp.asarray(False),
@@ -94,22 +140,75 @@ def _make_exchange_run(local_prox, config: ADMMConfig, W: int, n: int):
         def step(c, frozen):
             sel, sel_slot = freeze_helpers(frozen)
             k = c["k"]
+            i = k + 1  # reference's 1-based counter (engine parity)
             rho = c["rho"]
             xi, u, xbar = c["xi"], c["u"], c["xbar"]
+            zprev = c["z"] if needs_z else xi - xbar[None, :]
 
             # Local proxes on the stacked (W, n) state — sharded work.
-            vi = xi - xbar[None, :] - u[None, :]
-            xi_new = local_prox(vi, rho, data)
+            # Fast modes pull back the predictors v/uhat (engine
+            # x = pf(x, v, uhat, rho) convention).
+            if alg == 0:
+                vi = zprev - u[None, :]
+                xi_new = local_prox(vi, rho, data)
+                u_base = u
+                dprev = ()
+            else:
+                aprev, u_prev, uhat = c["a"], u, c["uhat"]
+                vi = c["v"] - uhat[None, :]
+                xi_new = local_prox(vi, rho, data)
+                u_base = uhat
+                dprev = c["d"] if alg == 2 else ()
+
             # The one collective: mean over the agent axis.
             xbar_new = jnp.mean(xi_new, axis=0)
-            u_new = u + xbar_new
 
             sqW = jnp.sqrt(jnp.asarray(float(W), rdtype))
             sqWn = jnp.sqrt(jnp.asarray(float(W * n), rdtype))
-            pnorm = sqW * jnp.linalg.norm(xbar_new)
-            z_new = xi_new - xbar_new[None, :]
-            z_old = xi - xbar[None, :]
-            dnorm = rho * jnp.linalg.norm(z_new - z_old)
+            if use_relax:
+                # Over-relaxation on x_i - z_i = 0 (admm.m:515-532 with
+                # A = I, B = -I): xhat feeds the z-projection and the
+                # dual update.  mean(zprev) = 0, so the projection's
+                # mean removal sees mean(xhat) = relax * xbar analytically
+                # — computed directly for engine-trajectory exactness.
+                xhat = relax * xi_new + (1.0 - relax) * zprev
+                xhat_bar = jnp.mean(xhat, axis=0)
+                z_new = xhat - xhat_bar[None, :]
+                u_new = u_base + xhat_bar
+                # Engine pnorm = ||x - z|| with the UNRELAXED x
+                # (admm.m:618): no tiled-x̄ collapse under relaxation.
+                pnorm = jnp.linalg.norm(xi_new - z_new)
+            else:
+                z_new = xi_new - xbar_new[None, :]
+                u_new = u_base + xbar_new
+                pnorm = sqW * jnp.linalg.norm(xbar_new)
+
+            # ---- fast / accelerated updates (engine.fast_update over
+            # the stacked splitting: z-space predictor v is the (W, n)
+            # mean-free stack, the dual predictor the shared price).
+            # Ordered BEFORE the norms, engine parity: the alg-1 dual
+            # norm is evaluated against the NEW predictor.
+            v_new, uhat_new, a_new = c["v"], c["uhat"], c["a"]
+            d_new = c["d"]
+            restarted_i = ()
+            if alg:
+                # d = (1/rho)||u - uhat||^2 + rho||B(z - v)||^2 on the
+                # stack: the shared price tiles W ways.
+                dval = ((float(W) / rho) * jnp.sum((u_new - uhat) ** 2)
+                        + rho * jnp.sum((z_new - c["v"]) ** 2)
+                        ) if alg == 2 else None
+                v_new, uhat_new, a_new, d2, r2 = fast_update(
+                    alg, config, aprev=aprev, dprev=dprev, z=z_new,
+                    zprev=zprev, u=u_new, uprev=u_prev, v=c["v"], dval=dval)
+                if alg == 2:
+                    d_new, restarted_i = d2, r2
+
+            if alg == 1:
+                # Strong-convexity fast mode measures the dual residual
+                # against the new z-predictor (engine.py norms block).
+                dnorm = rho * jnp.linalg.norm(z_new - v_new)
+            else:
+                dnorm = rho * jnp.linalg.norm(z_new - zprev)
             perr = sqWn * config.abstol + config.reltol * jnp.maximum(
                 jnp.linalg.norm(xi_new), jnp.linalg.norm(z_new))
             derr = (sqWn * config.abstol
@@ -130,16 +229,22 @@ def _make_exchange_run(local_prox, config: ADMMConfig, W: int, n: int):
                 best_new, since_new = (), ()
 
             stop = jnp.asarray(False)
-            if std_stop and not config.domaxiters:
+            if alg == 2:
+                # Accelerated d-value stop (admm.m:706-707) — engine and
+                # consensus parity: not gated on domaxiters.
+                stop = (i >= 2) & (jnp.abs(d_new - dprev)
+                                   <= config.dvaltol * dprev)
+            elif std_stop and not config.domaxiters:
                 dual_ok = (jnp.asarray(True) if config.nodualerror
                            else (dnorm < derr))
                 stop = (pnorm < perr) & dual_ok
             done = stop | diverged_i | stall_i
 
             rho_new = rho
-            if config.rbadaptive:
+            if config.rbadaptive and alg == 0:
                 # Residual balancing with the scaled-dual rescale
-                # (ADMMConfig.rbadaptive; consensus-parity treatment).
+                # (ADMMConfig.rbadaptive; consensus-parity treatment —
+                # gated to the plain iteration, as in consensus).
                 factor = residual_balance_factor(
                     config, pnorm=pnorm, dnorm=dnorm, done=done,
                     dtype=rho.dtype)
@@ -151,6 +256,11 @@ def _make_exchange_run(local_prox, config: ADMMConfig, W: int, n: int):
             h["dnorm"] = sel_slot(h["dnorm"], k, dnorm)
             h["perr"] = sel_slot(h["perr"], k, perr)
             h["derr"] = sel_slot(h["derr"], k, derr)
+            if alg == 2:
+                h["dvals"] = sel_slot(h["dvals"], k, d_new)
+                h["restarted"] = sel_slot(h["restarted"], k, restarted_i)
+            if alg:
+                h["avals"] = sel_slot(h["avals"], k, a_new)
             if config.record_iterates:
                 h["xvals"] = sel_slot(h["xvals"], k, xbar_new)
                 h["uvals"] = sel_slot(h["uvals"], k, u_new)
@@ -159,6 +269,11 @@ def _make_exchange_run(local_prox, config: ADMMConfig, W: int, n: int):
                 "k": sel(k, k + 1),
                 "xi": sel(c["xi"], xi_new), "u": sel(c["u"], u_new),
                 "xbar": sel(c["xbar"], xbar_new),
+                "z": sel(c["z"], z_new) if needs_z else (),
+                "v": sel(c["v"], v_new) if alg else (),
+                "uhat": sel(c["uhat"], uhat_new) if alg else (),
+                "a": sel(c["a"], a_new) if alg else (),
+                "d": sel(c["d"], d_new) if alg == 2 else (),
                 "rho": sel(c["rho"], rho_new),
                 "done": sel(c["done"], done),
                 "diverged": sel(c["diverged"], c["diverged"] | diverged_i),
@@ -174,7 +289,8 @@ def _make_exchange_run(local_prox, config: ADMMConfig, W: int, n: int):
         return {
             "steps": final["k"],
             "xopt": final["xi"],                       # per-agent allocations
-            "zopt": final["xi"] - final["xbar"][None, :],
+            "zopt": (final["z"] if needs_z
+                     else final["xi"] - final["xbar"][None, :]),
             "uopt": final["u"],                        # the price vector
             "xbar": final["xbar"],
             "rho_final": final["rho"],

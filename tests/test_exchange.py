@@ -125,6 +125,100 @@ class TestExchangeQuadratic:
                                rng.standard_normal((12, 8)))
 
 
+def _stacked_quad_prox_f(x, z, u, rho, d):
+    # Per-agent quadratic prox on the stacked (W, n) iterate: the core
+    # engine's x-update for the exchange splitting x_i - z_i = 0.
+    rhs = d["Atb"] + rho * (z - u)
+    y = jnp.einsum("wji,wj->wi", d["V"], rhs) / (d["w"] + rho)
+    return jnp.einsum("wij,wj->wi", d["V"], y)
+
+
+def _stacked_exchange_prox_g(x, z, u, rho, d):
+    # Projection onto {sum_i z_i = 0}: remove the per-coordinate mean.
+    y = x + u
+    return y - jnp.mean(y, axis=0, keepdims=True)
+
+
+class TestExchangeVariants:
+    """Relaxation and fast/accelerated momentum on the exchange runner
+    must reproduce the core engine run on the stacked formulation
+    (shape_x = (W, n), A = I, B = -I, g = indicator{sum z_i = 0}) —
+    the consensus runners' exactness-oracle pattern
+    (test_parallel.py::test_consensus_fast_matches_stacked_engine)."""
+
+    @pytest.mark.parametrize("variant,exact", [
+        # Deterministic stop rules: exact trajectory parity incl. steps.
+        (dict(relax=1.5), True),
+        (dict(fast=True, fasttype="strong", domaxiters=True, maxiters=60),
+         True),
+        # Weak (restart) mode: the restart rule d >= restart*dprev is
+        # ULP-sensitive, and the sharded mesh's reduction order differs
+        # from the engine's single-array order, so restart flags (hence
+        # steps) can flip late in the run — compare the d-value PREFIX
+        # (before accumulated restarts diverge) plus the fixed point.
+        (dict(fast=True, fasttype="weak"), False),
+        (dict(fast=True, fasttype="weak", relax=1.3), False),
+    ])
+    def test_matches_stacked_engine(self, rng, variant, exact):
+        from admm_tpu.engine import admm
+
+        As, bs = _instance(rng, W=4, m=10, n=5)
+        W, _, n = As.shape
+        G = np.einsum("wmi,wmj->wij", As, As)
+        w, V = np.linalg.eigh(G)
+        Atb = np.einsum("wmi,wm->wi", As, bs)
+        data = {"w": jnp.asarray(w), "V": jnp.asarray(V),
+                "Atb": jnp.asarray(Atb)}
+
+        cfg = ADMMConfig(**{"maxiters": 400, "abstol": 1e-9,
+                            "reltol": 1e-9, **variant})
+        eng = admm(_stacked_quad_prox_f, _stacked_exchange_prox_g, cfg,
+                   A=1.0, B=-1.0, c=0.0, shape_x=(W, n), shape_z=(W, n),
+                   dtype=np.float64, data=data)
+        exc = exchange_quadratic(As, bs, config=cfg)
+        if exact:
+            assert int(exc.steps) == int(eng.steps)
+            np.testing.assert_allclose(np.asarray(exc.xopt),
+                                       np.asarray(eng.xopt),
+                                       rtol=1e-8, atol=1e-10)
+            # The engine's stacked duals all equal the collapsed price.
+            eng_u = np.asarray(eng.uopt)
+            np.testing.assert_allclose(eng_u, np.broadcast_to(
+                np.asarray(exc.uopt)[None, :], eng_u.shape),
+                rtol=1e-8, atol=1e-10)
+        else:
+            k = min(int(exc.steps), int(eng.steps), 50)
+            np.testing.assert_allclose(exc.dvals[:k], eng.dvals[:k],
+                                       rtol=1e-9, atol=1e-12)
+            # Both land on the same market equilibrium.
+            xs, nu = _equilibrium(As, bs)
+            np.testing.assert_allclose(np.asarray(exc.xopt), xs, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(eng.xopt), xs, atol=1e-5)
+
+    @pytest.mark.parametrize("variant", [
+        dict(relax=1.5),
+        dict(fast=True, fasttype="strong"),
+        dict(fast=True, fasttype="weak"),
+    ])
+    def test_variants_reach_equilibrium(self, rng, variant):
+        As, bs = _instance(rng)
+        xs, nu = _equilibrium(As, bs)
+        res = exchange_quadratic(
+            As, bs, config=ADMMConfig(**{"maxiters": 20000, "abstol": 1e-11,
+                                         "reltol": 1e-11, **variant}))
+        np.testing.assert_allclose(np.asarray(res.xopt), xs, atol=1e-5)
+        assert not res.diverged
+
+
+def _l1_quad_prox(vi, rho, d):
+    # f_i(x) = 0.5||x - c_i||^2 + gamma ||x||_1 (non-quadratic, nonsmooth):
+    # prox = soft_threshold((c_i + rho v)/(1 + rho), gamma/(1 + rho)).
+    from admm_tpu.ops.prox import soft_threshold
+
+    return soft_threshold((d["c"] + rho * vi) / (1.0 + rho),
+                          d["gamma"] / (1.0 + rho))
+
+
 def _nonneg_quad_prox(vi, rho, d):
     # f_i(x) = 0.5||x - c_i||^2 + indicator{x >= 0}:
     # prox = max((c_i + rho v) / (1 + rho), 0).
@@ -149,3 +243,44 @@ class TestExchangeGeneric:
         # KKT of each agent: x_i = max(c_i - nu, 0).
         np.testing.assert_allclose(x, np.maximum(c - nu[None, :], 0.0),
                                    atol=1e-6)
+
+    def test_soft_threshold_agents_kkt(self, rng):
+        # min sum_i 0.5||x_i - c_i||^2 + gamma||x_i||_1 s.t. sum x_i = 0:
+        # KKT gives x_i = S(c_i - nu, gamma) per agent with the shared
+        # clearing price nu = rho * u — a NONSMOOTH agent family
+        # exercising the soft-threshold prox through exchange.
+        from admm_tpu.ops.prox import soft_threshold
+
+        W, n = 8, 6
+        c = rng.standard_normal((W, n))
+        gamma = 0.3
+        res = exchange_admm(
+            _l1_quad_prox,
+            {"c": jnp.asarray(c), "gamma": jnp.asarray(gamma)},
+            n, config=_CFG, nagents=W)
+        x = np.asarray(res.xopt)
+        nu = res.rho_final * np.asarray(res.uopt)
+        assert np.linalg.norm(x.sum(0)) <= 1e-7
+        ref = np.asarray(soft_threshold(jnp.asarray(c - nu[None, :]), gamma))
+        np.testing.assert_allclose(x, ref, atol=1e-6)
+
+    def test_soft_threshold_agents_fast_agrees(self, rng):
+        # The accelerated mode on the nonsmooth agents lands on the same
+        # KKT point (weak-convexity restart mode is built for exactly
+        # this composite class).
+        from admm_tpu.ops.prox import soft_threshold
+
+        W, n = 8, 6
+        c = rng.standard_normal((W, n))
+        gamma = 0.3
+        res = exchange_admm(
+            _l1_quad_prox,
+            {"c": jnp.asarray(c), "gamma": jnp.asarray(gamma)},
+            n, config=ADMMConfig(maxiters=20000, abstol=1e-11, reltol=1e-11,
+                                 fast=True, fasttype="weak"),
+            nagents=W)
+        x = np.asarray(res.xopt)
+        nu = res.rho_final * np.asarray(res.uopt)
+        ref = np.asarray(soft_threshold(jnp.asarray(c - nu[None, :]), gamma))
+        np.testing.assert_allclose(x, ref, atol=1e-5)
+        assert np.linalg.norm(x.sum(0)) <= 1e-5
