@@ -702,14 +702,22 @@ def _prox_f_affine_kkt_batch(x, z, u, rho, d):
 
 @_highest_precision_setup
 def logreg_batch(D, ells, lams, config: ADMMConfig = ADMMConfig(), *,
+                 inner: str = "newton_cg", newton_steps: int = 5,
+                 cg_steps: int = 20,
                  x0=None, z0=None, u0=None, mesh=None,
                  **overrides) -> BatchResults:
     """B sparse logistic regressions against one shared data matrix —
     one-vs-all MULTICLASS logistic training in a single vmapped program
     (the logistic counterpart of svm_batch): ``ells`` is (B, m) lanes of
     +/-1 labels, ``lams`` a scalar or (B,) l1 weights.  Only the labels
-    and penalties are lane-mapped; D is shared, and the damped-Newton
-    x-prox batches into (B, n, n) solves + (B, m) x (m, n) GEMMs.
+    and penalties are lane-mapped; D is shared.
+
+    The default x-prox is the matrix-free Newton-CG
+    (``inner='newton_cg'``, models/logreg.py): every CG matvec batches
+    into (B, m) x (m, n) GEMMs on the MXU with no (B, n, n) Hessian
+    stack — the dense path (``inner='newton'``, the accuracy
+    reference) batches (B, n, n) LU factorizations that serialize on
+    TPU (round-4 matrix: only 1.22x serial at B=8).
     """
     from .logreg import make_prox_ops as _logreg_make_prox_ops
 
@@ -720,7 +728,9 @@ def logreg_batch(D, ells, lams, config: ADMMConfig = ADMMConfig(), *,
     if not bool(jnp.all(jnp.abs(ells) == 1.0)):
         raise ValueError("ells must be +/-1 label lanes")
     Bn = ells.shape[0]
-    prox_f, prox_g, obj, data = _logreg_make_prox_ops(D, ells[0], 1.0, config)
+    prox_f, prox_g, obj, data = _logreg_make_prox_ops(
+        D, ells[0], 1.0, config, inner=inner, newton_steps=newton_steps,
+        cg_steps=cg_steps)
     data = dict(data)
     data["ell"] = ells
     data["lam"] = jnp.broadcast_to(jnp.asarray(lams, D.dtype), (Bn,))

@@ -110,12 +110,12 @@ def ns_sqrtm(A, iters: int = 20, coarse: int = 0, correct: int = 0):
 
 
 def covsel_ns_prox(W, rho, iters: int = 20, coarse: int = 0,
-                   correct: int = 0):
+                   correct: int = 0, weight=1.0):
     """Covariance-selection x-prox via Newton-Schulz square root.
 
     Exact same spectral function as ops/prox.py:covsel_eig_prox
     (reference getProxOps.m:1487-1496) but evaluated as
-    (W + sqrt(W^2 + 4 rho I)) / (2 rho) with ns_sqrtm — pure matmul
+    (W + sqrt(W^2 + 4 rho w I)) / (2 rho) with ns_sqrtm — pure matmul
     work, no eigendecomposition inside the ADMM loop.  ``coarse`` (see
     ns_sqrtm) runs that many leading square-root steps in bf16-pass
     mode; the W^2 forming A stays at the ambient full precision — a
@@ -123,10 +123,16 @@ def covsel_ns_prox(W, rho, iters: int = 20, coarse: int = 0,
     the iteration refines.  ``correct`` residual-correction steps at
     full precision recover the accuracy the coarse phase loses (see
     ns_sqrtm; the measured fast recipe is coarse=iters, correct=2).
+
+    ``weight`` (w above, default 1) is the logdet coefficient — the
+    consensus covsel split's per-shard prox of tr(S_i X) - w logdet X
+    (ops/prox.covsel_eig_prox docstring).  The square-root argument
+    stays bounded below by 4 rho w > 0, so the NS iteration keeps its
+    conditioning guarantee (kappa <= 1 + lambda_max(W)^2/(4 rho w)).
     """
     n = W.shape[-1]
     I = jnp.eye(n, dtype=W.dtype)
-    A = W @ W + (4.0 * rho) * I
+    A = W @ W + ((4.0 * weight) * rho) * I
     return (W + ns_sqrtm(A, iters, coarse, correct)) / (2.0 * rho)
 
 

@@ -117,14 +117,19 @@ def psd_project(W):
     return (Q * jnp.maximum(e, 0.0)[..., None, :]) @ jnp.swapaxes(Q, -1, -2)
 
 
-def covsel_eig_prox(ZU_minus_S_scaled, rho):
+def covsel_eig_prox(ZU_minus_S_scaled, rho, weight=1.0):
     """Covariance-selection x-prox.
 
     Given W = rho*(Z - U) - S, eigendecompose W = Q diag(e) Q^T and return
-    X = Q diag((e + sqrt(e^2 + 4 rho)) / (2 rho)) Q^T
-    (reference xminCovarianceSelection, getProxOps.m:1487-1496).
+    X = Q diag((e + sqrt(e^2 + 4 rho w)) / (2 rho)) Q^T
+    (reference xminCovarianceSelection, getProxOps.m:1487-1496; w = 1).
     Uses symmetric eigh — batched-friendly and differentiable.
+
+    ``weight`` scales the logdet term: the prox of
+    tr(S X) - w logdet X solves rho X - w X^{-1} = W, whose spectral
+    root swaps 4 rho for 4 rho w.  Used by the consensus covsel split
+    (parallel/consensus.py), where each of N shards carries logdet/N.
     """
     e, Q = jnp.linalg.eigh(ZU_minus_S_scaled)
-    diag = (e + jnp.sqrt(e * e + 4.0 * rho)) / (2.0 * rho)
+    diag = (e + jnp.sqrt(e * e + (4.0 * weight) * rho)) / (2.0 * rho)
     return (Q * diag[..., None, :]) @ jnp.swapaxes(Q, -1, -2)

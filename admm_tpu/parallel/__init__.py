@@ -21,12 +21,14 @@ Three distributed forms, matching SURVEY.md section 2.7:
 """
 
 from .mesh import make_mesh, make_mesh2d, pad_rows, shard_rows
-from .consensus import (consensus_admm, consensus_elasticnet,
-                        consensus_elasticnet_batch, consensus_lasso,
-                        consensus_lasso_batch, consensus_logreg)
+from .consensus import (consensus_admm, consensus_covsel,
+                        consensus_elasticnet, consensus_elasticnet_batch,
+                        consensus_lasso, consensus_lasso_batch,
+                        consensus_logreg)
 from .transpose_reduction import (unwrapped_admm_sharded,
                                   linearsvm_sharded, svm_batch_sharded)
 from .exchange import exchange_admm, exchange_quadratic
+from .sdp import sdp_sharded
 from .sliced import make_parallel_proxes, make_sliced_prox
 from .multihost import global_mesh, initialize_cluster
 
@@ -38,6 +40,8 @@ __all__ = [
     "pad_rows",
     "shard_rows",
     "consensus_admm",
+    "consensus_covsel",
+    "sdp_sharded",
     "exchange_admm",
     "exchange_quadratic",
     "consensus_elasticnet",

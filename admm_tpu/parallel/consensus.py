@@ -99,7 +99,8 @@ from ..config import ADMMConfig, resolve_unroll
 from ..engine import (_with_matmul_precision, adaptive_rho_update,
                       fast_update, freeze_helpers, residual_balance_factor,
                       unrolled_body)
-from ..ops.prox import soft_threshold
+from ..ops.matfun import covsel_ns_prox
+from ..ops.prox import covsel_eig_prox, soft_threshold
 from ..results import ADMMResults
 from .mesh import make_mesh, make_mesh2d, pad_rows, shard_rows
 
@@ -436,6 +437,7 @@ def consensus_admm(
     xi0=None,
     ui0=None,
     z0=None,
+    body: str = "gemv",
 ) -> ADMMResults:
     """Generic consensus ADMM.
 
@@ -468,12 +470,15 @@ def consensus_admm(
     if z0.shape != (n,):
         raise ValueError(f"z0 must have shape {(n,)}; got {z0.shape}")
 
-    # consensus bodies are GEMV-class: with honest loop-only timing the
-    # deep unroll matches the hand-loop floor (unroll 16: 51.4k vs 43.9k
-    # iter/s at 4, = the bare-loop 52.4k; round-3's "balanced default"
-    # reading was an artifact of the runtime clock stopping after
-    # from_raw's host transfers — experiments/consensus_gap_bisect.py).
-    config = resolve_unroll(config, "gemv")
+    # Default consensus bodies are GEMV-class: with honest loop-only
+    # timing the deep unroll matches the hand-loop floor (unroll 16:
+    # 51.4k vs 43.9k iter/s at 4, = the bare-loop 52.4k; round-3's
+    # "balanced default" reading was an artifact of the runtime clock
+    # stopping after from_raw's host transfers —
+    # experiments/consensus_gap_bisect.py).  Matrix-iterate
+    # instantiations (consensus_covsel) pass body='heavy' so the unroll
+    # resolver keeps their eigh/NS bodies shallow (compile time).
+    config = resolve_unroll(config, body)
     runner = _cached_consensus_runner(local_prox, global_prox, config, W, n)
     data, xi0, ui0, z0 = jax.block_until_ready((data, xi0, ui0, z0))
     t0 = time.perf_counter()  # loop-only wall clock
@@ -735,6 +740,157 @@ def consensus_logreg(
         _logreg_local_prox_fn(int(newton_steps)), _lasso_global_prox,
         data, n, config, mesh=mesh, nshards=W, xi0=xi0, ui0=ui0, z0=z0,
     )
+
+
+# ---- covariance selection (matrix-iterate consensus) ----------------------
+#
+# Boyd et al. 2011 ch. 7 general-form consensus applied to the graphical
+# lasso (the reference's covarianceselection family, getProxOps.m:669-750,
+# distributed over SAMPLES):
+#
+#     min sum_i [ tr(S_i X_i) - (1/N) logdet X_i ] + lam ||Z||_1
+#     s.t. X_i = Z
+#
+# where S_i is shard i's contribution to the pooled empirical covariance
+# (S = sum_i S_i with the GLOBAL mean and normalization, so the optimum
+# equals the serial solve's).  The local prox solves
+# rho X - (1/N) X^{-1} = rho V - S_i — the covsel spectral function with
+# 4 rho -> 4 rho / N (ops/prox.covsel_eig_prox weight; NS twin keeps its
+# conditioning floor at 4 rho/N > 0).  The global prox is the shared
+# soft threshold at lam/(rho N).
+#
+# The consensus engine carries VECTOR state, so the (p, p) iterates ride
+# flattened (p*p,) — a free layout-preserving reshape under XLA — which
+# buys every engine variant (fast/relax/rbadaptive/stall/warm-start) for
+# the matrix tier without touching the runner.
+
+
+def _covsel_local_prox(z, ui, rho, d):
+    Wn = ui.shape[0]
+    p = d["Si"].shape[-1]
+    V = (z[None, :] - ui).reshape(Wn, p, p)
+    X = covsel_eig_prox(rho * V - d["Si"], rho, weight=d["wgt"])
+    return X.reshape(Wn, p * p)
+
+
+@functools.lru_cache(maxsize=None)
+def _covsel_local_prox_ns_fn(ns_iters: int, ns_coarse: int, ns_correct: int):
+    """Module-level-cached NS local prox (engine caching contract)."""
+
+    def prox(z, ui, rho, d):
+        Wn = ui.shape[0]
+        p = d["Si"].shape[-1]
+        V = (z[None, :] - ui).reshape(Wn, p, p)
+        X = covsel_ns_prox(rho * V - d["Si"], rho, ns_iters, ns_coarse,
+                           ns_correct, weight=d["wgt"])
+        return X.reshape(Wn, p * p)
+
+    return prox
+
+
+def _flat_mat(v, shape, dtype, what):
+    if v is None:
+        return None
+    v = jnp.asarray(v, dtype)
+    if v.shape != shape:
+        raise ValueError(f"{what} must have shape {shape}, got {v.shape}")
+    return v.reshape(shape[:-2] + (shape[-1] * shape[-2],))
+
+
+def consensus_covsel(
+    D,
+    lam,
+    config: ADMMConfig = ADMMConfig(),
+    *,
+    mesh: Optional[Mesh] = None,
+    nshards: Optional[int] = None,
+    prox_method: str = "eigh",
+    ns_iters: int = 20,
+    ns_coarse: int = 0,
+    ns_correct: int = 0,
+    xi0=None,
+    ui0=None,
+    z0=None,
+) -> ADMMResults:
+    """Distributed covariance selection by consensus ADMM: sample rows
+    of ``D`` (m, p) sharded over the mesh, per-shard SPECTRAL local
+    proxes on (p, p) matrix iterates, global soft-threshold Z — the
+    first matrix-iterate instantiation of the consensus engine (the
+    families that strain a chip: covsel at large p).
+
+    The optimum equals the serial ``covarianceselection(D, lam)`` (the
+    shards' S_i sum to the pooled covariance about the global mean;
+    exactness oracle in tests/test_parallel.py).  ``prox_method`` as in
+    the serial wrapper: ``'eigh'`` exact, ``'ns'``/``'ns_fast'`` the
+    matmul-only Newton-Schulz tier — under sharding the NS body is pure
+    batched (W, p, p) GEMM work per device.  Warm starts ``xi0``/``ui0``
+    take (W, p, p) stacks, ``z0`` a (p, p) matrix; results are reshaped
+    back to matrices (``extra['xi']``/``['ui']`` as (W, p, p)).
+    """
+    if prox_method not in ("eigh", "ns", "ns_fast"):
+        raise ValueError(
+            f"prox_method must be 'eigh', 'ns' or 'ns_fast', got {prox_method!r}")
+    if prox_method == "ns_fast":
+        # The measured covsel recipe (models/covarianceselection.py):
+        # all-bf16 square-root steps + 2 full-precision corrections.
+        ns_coarse, ns_correct = ns_iters, max(int(ns_correct), 2)
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    W = nshards if nshards is not None else mesh.devices.size
+    if W < mesh.devices.size:
+        mesh = make_mesh(W, axis)
+    elif W % mesh.devices.size:
+        raise ValueError(f"nshards={W} must be a multiple of the mesh size "
+                         f"{mesh.devices.size}")
+
+    D = np.asarray(D)
+    m, p = D.shape
+    # Global centering + normalization BEFORE sharding, so
+    # sum_i S_i = empirical_covariance(D) exactly (zero pad rows are
+    # exact no-ops for the per-shard Gram).
+    Dc = D - D.mean(axis=0, keepdims=True)
+    Dc = Dc / np.sqrt(m - 1)
+    Dp, _ = pad_rows(Dc, W)
+    Di = shard_rows(Dp, W)                      # (W, m/W, p)
+    spec = NamedSharding(mesh, P(axis))
+    Di_dev = jax.device_put(jnp.asarray(Di), spec)
+    Si = _cached_covsel_setup(spec)(Di_dev)     # (W, p, p) local Grams
+    dt = Si.dtype
+    data = {"Si": Si, "lam": jnp.asarray(lam, dt),
+            "wgt": jnp.asarray(1.0 / W, dt)}
+
+    local = (_covsel_local_prox if prox_method == "eigh"
+             else _covsel_local_prox_ns_fn(int(ns_iters), int(ns_coarse),
+                                           int(ns_correct)))
+    res = consensus_admm(
+        local, _lasso_global_prox, data, p * p, config,
+        mesh=mesh, nshards=W,
+        xi0=_flat_mat(xi0, (W, p, p), dt, "xi0"),
+        ui0=_flat_mat(ui0, (W, p, p), dt, "ui0"),
+        z0=_flat_mat(z0, (p, p), dt, "z0"),
+        body="heavy",
+    )
+    # Back to matrix-land for the caller.
+    res.xopt = res.xopt.reshape(p, p)
+    res.zopt = res.zopt.reshape(p, p)
+    res.uopt = res.uopt.reshape(p, p)
+    res.extra["xi"] = res.extra["xi"].reshape(W, p, p)
+    res.extra["ui"] = res.extra["ui"].reshape(W, p, p)
+    return res
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_covsel_setup(shard_spec):
+    """Per-shard covariance contributions S_i = D_i^T D_i (rows already
+    globally centered and 1/sqrt(m-1)-scaled), jitted once per sharding."""
+
+    def body(Di):
+        with jax.default_matmul_precision("highest"):
+            G = jnp.einsum("wmi,wmj->wij", Di, Di)
+            return 0.5 * (G + jnp.swapaxes(G, -1, -2))
+
+    return jax.jit(body, out_shardings=shard_spec)
 
 
 # ---- 2-D mesh: instance lanes x consensus shards --------------------------

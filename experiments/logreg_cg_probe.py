@@ -1,0 +1,80 @@
+"""Round-5 probe: does matrix-free Newton-CG make logreg lane batching pay?
+
+Round-4 matrix fact: logreg_batch B=8 read 147.4 iter/s (1,179
+inst-iters/s) vs 962.9 iter/s serial — only 1.22x — because the dense
+damped-Newton x-prox batches (B, n, n) factorizations
+(VERDICT round 4, weak #1).  The fix (models/logreg._newton_cg_xprox)
+replaces them with Jacobi-PCG whose matvecs are (B, m) x (m, n) GEMMs.
+
+Interleaved A/B in one process (the lp_tail_probe3 pattern): serial
+dense, serial cg, batch dense B=8, batch cg B=8, several alternating
+reps each, on the round-4 matrix row shape 4096x256.  Success bar
+(VERDICT next-round #2): batch-cg >= 4x serial inst-iters/s at B=8.
+"""
+
+import time
+
+import jax
+import numpy as np
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from admm_tpu import ADMMConfig  # noqa: E402
+from admm_tpu.models.batch import logreg_batch  # noqa: E402
+from admm_tpu.models.logreg import logreg  # noqa: E402
+
+f32 = np.float32
+rng = np.random.default_rng(0)
+m, n, B = 4096, 256, 8
+ITERS = 200
+
+D = rng.standard_normal((m, n)).astype(f32)
+w = rng.standard_normal(n)
+p = 1.0 / (1.0 + np.exp(-(D @ w)))
+y8 = rng.integers(0, B, size=m)
+ells = np.stack([np.where(y8 == k, 1.0, -1.0) for k in range(B)]).astype(f32)
+
+cfg = ADMMConfig(maxiters=ITERS, domaxiters=True)
+
+VARIANTS = {
+    "serial_dense": lambda: logreg(D, ells[0], 0.1, cfg),
+    "serial_cg": lambda: logreg(D, ells[0], 0.1, cfg, inner="newton_cg"),
+    "batch_dense_B8": lambda: logreg_batch(D, ells, 0.1, cfg, inner="newton"),
+    "batch_cg_B8": lambda: logreg_batch(D, ells, 0.1, cfg),
+}
+
+
+def run():
+    # Warm-up compiles + host materialization (CLAUDE.md timing rules).
+    for name, fn in VARIANTS.items():
+        t0 = time.perf_counter()
+        res = fn()
+        np.asarray(res.zopt)  # force host materialization post-compile
+        print(f"warmup {name}: {time.perf_counter() - t0:.1f}s")
+
+    times = {k: [] for k in VARIANTS}
+    for rep in range(4):
+        for name, fn in VARIANTS.items():
+            res = fn()
+            np.asarray(res.zopt)
+            times[name].append(res.runtime)
+
+    lanes = {"serial_dense": 1, "serial_cg": 1,
+             "batch_dense_B8": B, "batch_cg_B8": B}
+    print(f"\nshape {m}x{n}, {ITERS} iters (domaxiters), 4 interleaved reps")
+    base = None
+    for name in VARIANTS:
+        best = min(times[name])
+        iters_s = ITERS / best
+        inst = lanes[name] * iters_s
+        if name == "serial_dense":
+            base = inst
+        print(f"{name:16s} best {best*1e3:8.1f} ms  {iters_s:8.1f} iter/s  "
+              f"{inst:9.1f} inst-iters/s  ({inst/base:5.2f}x serial-dense)  "
+              f"all: {[round(ITERS/t,1) for t in times[name]]}")
+
+
+if __name__ == "__main__":
+    run()

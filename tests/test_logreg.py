@@ -92,7 +92,7 @@ def test_consensus_logreg_matches_serial():
 def test_logreg_batch_matches_solo_lanes():
     """One-vs-all multiclass logistic via logreg_batch: each lane must
     match the solo logreg solve on its label vector bit-for-bit (same
-    engine, same prox, mapped labels)."""
+    engine, same prox, mapped labels) — for BOTH inner solvers."""
     from admm_tpu import logreg_batch
 
     rng = np.random.default_rng(7)
@@ -102,15 +102,49 @@ def test_logreg_batch_matches_solo_lanes():
     ells = np.stack([np.where(y == k, 1.0, -1.0) for k in range(K)])
     lam = 0.1
     cfg = ADMMConfig(maxiters=800)
-    batch = logreg_batch(D, ells, lam, cfg)
-    for k in range(K):
-        solo = logreg(D, ells[k], lam, cfg)
-        assert int(np.asarray(batch.steps)[k]) == int(solo.steps)
-        np.testing.assert_allclose(np.asarray(batch.zopt)[k],
-                                   np.asarray(solo.zopt),
-                                   rtol=1e-10, atol=1e-12)
+    for inner in ("newton_cg", "newton"):
+        batch = logreg_batch(D, ells, lam, cfg, inner=inner)
+        for k in range(K):
+            solo = logreg(D, ells[k], lam, cfg, inner=inner)
+            if inner == "newton":
+                # Dense path: bit-for-bit (same prox, mapped labels).
+                assert int(np.asarray(batch.steps)[k]) == int(solo.steps)
+                np.testing.assert_allclose(np.asarray(batch.zopt)[k],
+                                           np.asarray(solo.zopt),
+                                           rtol=1e-10, atol=1e-12)
+            else:
+                # CG path: vmap's GEMM reduction order differs from the
+                # serial GEMV's, and the iterated CG recurrence amplifies
+                # the ulp difference — same fixed point, not same bits.
+                assert abs(int(np.asarray(batch.steps)[k])
+                           - int(solo.steps)) <= 2
+                np.testing.assert_allclose(np.asarray(batch.zopt)[k],
+                                           np.asarray(solo.zopt),
+                                           atol=1e-7)
 
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="label lanes"):
         logreg_batch(D, ells * 0.5, lam, cfg)
+    with _pytest.raises(ValueError, match="inner"):
+        logreg(D, ells[0], lam, cfg, inner="lbfgs")
+
+
+def test_logreg_newton_cg_matches_dense_newton():
+    """The matrix-free Jacobi-PCG Newton x-prox (the batched TPU
+    performance mode) must land on the dense-Hessian path's optimum —
+    same ADMM trajectory to solver tolerance, including the step
+    count (the CG solve reaches Newton-direction accuracy at the
+    default 20 iterations on this conditioning)."""
+    rng = np.random.default_rng(3)
+    m, n = 300, 40
+    D = rng.standard_normal((m, n))
+    wtrue = rng.standard_normal(n)
+    p = 1.0 / (1.0 + np.exp(-(D @ wtrue)))
+    ell = np.where(rng.random(m) < p, 1.0, -1.0)
+    cfg = ADMMConfig(maxiters=3000, abstol=1e-9, reltol=1e-9)
+    dense = logreg(D, ell, 0.1, cfg)
+    cg = logreg(D, ell, 0.1, cfg, inner="newton_cg")
+    assert int(cg.steps) == int(dense.steps)
+    np.testing.assert_allclose(np.asarray(cg.zopt), np.asarray(dense.zopt),
+                               atol=1e-7)
