@@ -37,3 +37,34 @@ def test_weak_scaling_harness_runs():
     assert set(results) == {1, 2}
     assert all(v > 0 for v in results.values())
     assert effs[1] == 1.0
+
+
+def test_collective_microbench_and_cost_model():
+    """Round-5 pre-pod scaling evidence (VERDICT r4 next #7): the
+    collective microbench runs on the available mesh, and the
+    ring-all-reduce cost model behaves monotonically (more compute per
+    iteration -> higher predicted efficiency; DCN worse than ICI)."""
+    from admm_tpu.benchmarks.scaling import (breakeven_table,
+                                             collective_microbench,
+                                             predict_weak_scaling)
+
+    rows = collective_microbench(payload_cols=(64,), inner=8, quiet=True)
+    assert rows and rows[0]["us_per_collective"] > 0
+
+    lo = predict_weak_scaling(20.0, 512, quiet=True)
+    hi = predict_weak_scaling(2000.0, 512, quiet=True)
+    by = {(r["tier"], r["devices"]): r for r in lo}
+    by_hi = {(r["tier"], r["devices"]): r for r in hi}
+    for k in by:
+        assert by_hi[k]["efficiency"] > by[k]["efficiency"]
+    # Big-body consensus meets the target on the ICI slice.
+    assert by_hi[("ici_v5e", 8)]["meets_target"]
+    # DCN is strictly worse than ICI at the same compute.
+    assert (by[("dcn", 2)]["efficiency"] < by[("ici_v5e", 8)]["efficiency"])
+
+    be = breakeven_table(512, lanes=(1, 8), quiet=True)
+    per = {(r["tier"], r["lanes"]): r for r in be}
+    # Lanes amortize the latency: the per-lane compute needed for 80%
+    # falls as B grows.
+    assert (per[("ici_v5e", 8)]["min_per_lane_compute_us_for_80pct"]
+            < per[("ici_v5e", 1)]["min_per_lane_compute_us_for_80pct"])
