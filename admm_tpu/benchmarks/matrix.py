@@ -53,9 +53,44 @@ def _set_control(fn):
     _CONTROL["fn"] = fn
 
 
+# ---- per-solve dispatch floor (round-5 discovery) --------------------------
+# Solve wall time on the tunneled chip is t(N) = a*N + b with b ~ 22-25 ms
+# FIXED per dispatched program (measured: consensus W8 b=24.6 ms, a=7.6 us;
+# a bare fori_loop of the same body b=22.4 ms, a=4.6 us — the N-sweep in
+# docs/RESULTS.md round 5).  b is a TUNNEL property (program launch +
+# completion detection round trips), not engine overhead — so iter/s
+# readings at different maxiters are NOT comparable, and solve-level
+# rates understate the device's marginal throughput by b/t.  The matrix
+# measures b once (trivial-program dispatch, a slight underestimate of a
+# while_loop's completion cost — conservative) and stamps every row with
+# marginal_iter_s = steps / (t - b).
+_DISPATCH = {"floor_s": None}
+
+
+def _measure_dispatch_floor():
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    np.asarray(f(x))  # compile + sync
+    best = np.inf
+    for _ in range(7):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        best = min(best, time.perf_counter() - t0)
+    _DISPATCH["floor_s"] = best
+    print(json.dumps({"dispatch_floor_ms": round(best * 1e3, 3)}), flush=True)
+    return best
+
+
 def _run_twice(solve):
-    """Warm-up (compile) + timed run; returns the timed results object.
-    Solver runtimes are loop-only (engine flushes setup first).
+    """Warm-up (compile) + best-of-3 timed runs; returns the fastest
+    timed results object.  Solver runtimes are loop-only (engine
+    flushes setup first).  Best-of-3 (the headline bench's protocol):
+    per-solve wall jitter on the tunnel is +-2-4 ms, which is material
+    against the ~24 ms dispatch floor — a single pass made short rows'
+    marginal rates swing +-40%.
 
     The warm-up's steps are materialized TO HOST: on the remote-compile
     relay, block_until_ready can return while the first compile is
@@ -64,7 +99,7 @@ def _run_twice(solve):
     'warm' batched run reading 0.3 ms for a 90 ms program).  A host
     transfer is a hard sync."""
     np.asarray(solve().steps)
-    return solve()
+    return min((solve() for _ in range(3)), key=lambda r: r.runtime)
 
 
 # VMEM budget for the resident-reuse test (v5e: 128 MB; leave headroom
@@ -89,8 +124,13 @@ def _bare_loop_ips(chain, iters, unroll):
     ``chain``: tuple of (p, q) dense matvec stages (output dim p feeds
     the next stage; the last must produce the first's q) or (W, p, q)
     batched-einsum stages (the consensus/exchange stacked form — adds a
-    mean-over-W + broadcast to mimic the collective).  Returns iter/s
-    (best of 3 timed passes after a warm-up with host sync).
+    mean-over-W + broadcast to mimic the collective).  The tail carries
+    the engine's REAL per-iteration bookkeeping — four residual-norm
+    reductions (pnorm/dnorm/perr/derr), four history-slot writes, and
+    the step counter — so the floor is what a hand loop with the same
+    observability would cost, not a stripped loop the engine could
+    never match (the lp_engine_vs_handloop convention).  Returns
+    iter/s (best of 3 timed passes after a warm-up with host sync).
     """
     import jax
     import jax.numpy as jnp
@@ -105,8 +145,12 @@ def _bare_loop_ips(chain, iters, unroll):
     x0 = jnp.ones((first[0], first[-1]) if len(first) == 3 else (first[-1],),
                   jnp.float32)
     stacked = any(len(s) == 3 for s in chain)
+    K = max(int(unroll), 1)
+    n_steps = max(iters // K, 1)
+    N = n_steps * K
 
-    def sub(x):
+    def sub(c):
+        x, xprev, k, hist = c
         for M, s in zip(mats, chain):
             if len(s) == 3:
                 x = jnp.einsum("wij,wj->wi", M, x)
@@ -114,26 +158,55 @@ def _bare_loop_ips(chain, iters, unroll):
                 x = M @ x
         if stacked:
             x = x - jnp.mean(x, axis=0, keepdims=True) + 0.01
-        # Engine-honest tail: one reduction + elementwise normalize
-        # (the residual-norm cost every engine iteration pays).
-        return x * lax.rsqrt(jnp.mean(x * x) + 1.0)
+        # Boyd-residual-shaped reductions (engine norms block).
+        pnorm = jnp.sqrt(jnp.sum(x * x))
+        dnorm = jnp.sqrt(jnp.sum((x - xprev) ** 2))
+        perr = 1e-5 + 1e-3 * jnp.maximum(pnorm, jnp.max(jnp.abs(x)))
+        derr = 1e-5 + 1e-3 * jnp.sum(jnp.abs(x))
+        hist = {
+            "pnorm": lax.dynamic_update_index_in_dim(hist["pnorm"], pnorm,
+                                                     k, 0),
+            "dnorm": lax.dynamic_update_index_in_dim(hist["dnorm"], dnorm,
+                                                     k, 0),
+            "perr": lax.dynamic_update_index_in_dim(hist["perr"], perr,
+                                                    k, 0),
+            "derr": lax.dynamic_update_index_in_dim(hist["derr"], derr,
+                                                    k, 0),
+        }
+        xn = x * lax.rsqrt(jnp.mean(x * x) + 1.0)
+        return (xn, x, k + 1, hist)
 
-    K = max(int(unroll), 1)
-    n_steps = max(iters // K, 1)
-
-    def body(i, x):
+    def body(i, c):
         for _ in range(K):
-            x = sub(x)
-        return x
+            c = sub(c)
+        return c
 
-    run = jax.jit(lambda x: lax.fori_loop(0, n_steps, body, x))
-    np.asarray(run(x0))  # compile + hard host sync
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = jax.block_until_ready(run(x0))
-        best = min(best, time.perf_counter() - t0)
-    return (n_steps * K) / best
+    hist0 = {k: jnp.zeros((N,), jnp.float32)
+             for k in ("pnorm", "dnorm", "perr", "derr")}
+
+    def make(ns):
+        def go(x):
+            c = (x, x, jnp.asarray(0, jnp.int32), hist0)
+            return lax.fori_loop(0, ns, body, c)[0]
+
+        return jax.jit(go)
+
+    # Two-point measurement -> MARGINAL iter/s (the per-solve dispatch
+    # floor b cancels in the difference; see _measure_dispatch_floor).
+    times = {}
+    for ns in (n_steps, max(n_steps // 4, 1)):
+        run = make(ns)
+        np.asarray(run(x0))  # compile + hard host sync
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(run(x0))
+            best = min(best, time.perf_counter() - t0)
+        times[ns] = best
+    lo = max(n_steps // 4, 1)
+    if n_steps == lo:
+        return (n_steps * K) / times[n_steps]
+    return ((n_steps - lo) * K) / (times[n_steps] - times[lo])
 
 
 def _row(name, shape, iters, res, bytes_per_iter=None, extra=None,
@@ -152,11 +225,21 @@ def _row(name, shape, iters, res, bytes_per_iter=None, extra=None,
         "iters": iters,
         "iters_per_sec": round(ips, 1),
         "ms_per_iter": round(1e3 / ips, 4),
+        # Raw wall of the fastest pass: the reader's check on how much
+        # of the row is dispatch floor (marginal_iter_s denominator).
+        "wall_ms": round(res.runtime * 1e3, 2),
     }
     if steps != iters or not finite:
         out["valid"] = False
         out["steps_ran"] = steps
         out["finite"] = finite
+    if _DISPATCH["floor_s"] is not None:
+        # Marginal per-iteration rate with the measured per-solve
+        # dispatch floor subtracted (the cross-N-comparable number; raw
+        # iters_per_sec keeps round-to-round comparability).
+        t_marg = res.runtime - _DISPATCH["floor_s"]
+        if t_marg > 0.2 * res.runtime:
+            out["marginal_iter_s"] = round(max(steps, 1) / t_marg, 1)
     if bytes_per_iter:
         roof_ms = bytes_per_iter / (_HBM_GBPS * 1e9) * 1e3
         out["roofline_ms_per_iter"] = round(roof_ms, 4)
@@ -172,18 +255,25 @@ def _row(name, shape, iters, res, bytes_per_iter=None, extra=None,
             out["roofline_note"] = "vmem-resident under unroll; % n/a"
         else:
             out["pct_of_roofline"] = round(100.0 * roof_ms * ips / 1e3, 1)
-    if floor_chain is not None:
+    if floor_chain is not None and "marginal_iter_s" in out:
         # Bare-loop twin at the same unroll: the device floor for this
         # body class (sub-roofline rows get a floor_class instead of an
-        # unexplained % — VERDICT r4 weak #5).
+        # unexplained % — VERDICT r4 weak #5).  Both sides MARGINAL
+        # (dispatch floor cancelled), so the comparison is N-independent.
+        # Skipped when the row's wall is dispatch-dominated (no reliable
+        # marginal) — raise the row's iters instead of faking a %.
         bare = _bare_loop_ips(tuple(tuple(s) for s in floor_chain),
-                              min(iters, 2000), floor_unroll)
-        out["bare_floor_iter_s"] = round(bare, 1)
-        out["pct_of_bare_loop"] = round(100.0 * ips / bare, 1)
+                              4000, floor_unroll)
+        out["bare_floor_marginal_iter_s"] = round(bare, 1)
+        out["pct_of_bare_loop"] = round(
+            100.0 * out["marginal_iter_s"] / bare, 1)
         pct_roof = out.get("pct_of_roofline")
         if pct_roof is not None and pct_roof >= 50.0:
             out["floor_class"] = "hbm-bound"
-        elif out["pct_of_bare_loop"] >= 75.0:
+        elif out["pct_of_bare_loop"] >= 70.0:
+            # The twin's tail carries the engine's bookkeeping but its
+            # chain is leaner than a real prox body (no rhs build, no
+            # threshold algebra): >= 70% of it is the device floor.
             out["floor_class"] = "device-floor"  # turnaround/issue-bound
         else:
             out["floor_class"] = "gap"
@@ -229,6 +319,8 @@ def timing_matrix(smoke=False):
         return ADMMConfig(maxiters=iters, domaxiters=True, unroll=unroll,
                           **kw)
 
+    _measure_dispatch_floor()
+
     # ---- contention control: the lasso-fat headline config, compiled
     # once, run right after every row's timed pass (see _set_control).
     mc, nc = 1500 // sc, 5000 // sc
@@ -250,7 +342,7 @@ def timing_matrix(smoke=False):
     n = 2048 // sc
     P, Q = rng.standard_normal((n, n)).astype(f32), rng.standard_normal((n, n)).astype(f32)
     r, s = rng.standard_normal(n).astype(f32), rng.standard_normal(n).astype(f32)
-    iters = it(2000)
+    iters = it(8000)  # wall >> the ~25 ms dispatch floor (round 5)
     res = _run_twice(lambda: model(P, Q, r, s, cfg(iters)))
     rows.append(_row("model", f"{n}x{n}", iters, res,
                      bytes_per_iter=2 * n * n * 4,
@@ -287,7 +379,7 @@ def timing_matrix(smoke=False):
     m, n = 4096 // sc, 1024 // sc
     D2 = rng.standard_normal((m, n)).astype(f32)
     s2 = rng.standard_normal(m).astype(f32)
-    iters = it(2000)
+    iters = it(8000)  # dispatch-floor headroom
     res = _run_twice(lambda: lasso(D2, s2, 0.1, cfg(iters)))
     rows.append(_row("lasso_skinny_f32", f"{m}x{n}", iters, res,
                      bytes_per_iter=n * n * 4, floor_chain=[(n, n)]))
@@ -297,20 +389,20 @@ def timing_matrix(smoke=False):
     D3 = rng.standard_normal((m, n)).astype(f32)
     x3 = rng.standard_normal(n) * (rng.random(n) < 0.1)
     s3 = (D3 @ x3).astype(f32)
-    iters = it(2000)
+    iters = it(8000)  # dispatch-floor headroom
     res = _run_twice(lambda: basispursuit(D3, s3, cfg(iters)))
     rows.append(_row("basispursuit_f32", f"{m}x{n}", iters, res,
                      bytes_per_iter=n * n * 4, floor_chain=[(n, n)]))
 
     # --- total variation: dense vs cyclic-reduction crossover -----------
     for n, solver, iters in (
-        (2048 // sc, "dense", it(2000)),
+        (2048 // sc, "dense", it(8000)),
         # dense 16384 OOM-kills the remote compile helper (the 1 GB
         # inverse blows the compiler's constant budget); the dense/cr
         # crossover shows at 8192 already.
         (8192 // sc, "dense", it(500)),
-        (8192 // sc, "cr", it(500)),
-        ((65536, "cr", it(500)) if not smoke else (16384, "cr", it(500))),
+        (8192 // sc, "cr", it(2000)),
+        ((65536, "cr", it(1000)) if not smoke else (16384, "cr", it(1000))),
     ):
         stair = np.repeat(rng.standard_normal(max(n // 64, 1)), 64)[:n]
         sig = (stair + 0.5 * rng.standard_normal(n)).astype(f32)
@@ -325,7 +417,7 @@ def timing_matrix(smoke=False):
     m, n = 4096 // sc, 512 // sc
     D4 = rng.standard_normal((m, n)).astype(f32)
     s4 = rng.standard_normal(m).astype(f32)
-    iters = it(2000)
+    iters = it(8000)  # dispatch-floor headroom
     res = _run_twice(lambda: lad(D4, s4, cfg(iters)))
     rows.append(_row("lad_f32", f"{m}x{n}", iters, res,
                      bytes_per_iter=(n * n + 2 * m * n) * 4,
@@ -341,7 +433,7 @@ def timing_matrix(smoke=False):
     Dlp = np.abs(rng.standard_normal((n, n))).astype(f32)
     slp = (Dlp @ truex).astype(f32)
     blp = (rng.random(n) + 0.5).astype(f32)
-    iters = it(1000)
+    iters = it(16000)  # tiny affine body: dispatch-floor headroom
     # kkt_mode='affine' (the default) folds the whole KKT solve into one
     # n-by-n GEMV — no in-loop triangular pair, so LP/QP-standard now
     # unroll like every other GEMV body (they previously required
@@ -375,7 +467,7 @@ def timing_matrix(smoke=False):
     Pb = (Pb @ Pb.T + n2 * np.eye(n2)).astype(f32)
     qb = rng.standard_normal(n2).astype(f32)
     lb, ub = -np.ones(n2, f32), np.ones(n2, f32)
-    iters2 = it(2000)
+    iters2 = it(8000)
     res = _run_twice(
         lambda: quadraticprogram(Pb, qb, 0.0, lb, ub, cfg(iters2)))
     rows.append(_row("quadraticprogram_bounded_f32", f"n={n2}", iters2, res,
@@ -427,7 +519,7 @@ def timing_matrix(smoke=False):
     m, n = 4096 // sc, 512 // sc
     Dq5 = rng.standard_normal((m, n)).astype(f32)
     s5 = rng.standard_normal(m).astype(f32)
-    iters = it(2000)
+    iters = it(8000)
     res = _run_twice(lambda: quantile(Dq5, s5, 0.8, cfg(iters)))
     rows.append(_row("quantile_f32", f"{m}x{n}", iters, res,
                      bytes_per_iter=(n * n + 2 * m * n) * 4,
@@ -481,7 +573,7 @@ def timing_matrix(smoke=False):
     Dsvm = rng.standard_normal((m, n)).astype(f32)
     w0 = rng.standard_normal(n)
     ell = np.sign(Dsvm @ w0 + 0.1 * rng.standard_normal(m)).astype(f32)
-    iters = it(1000)
+    iters = it(8000)  # dispatch-floor headroom (consensus series shares)
     res = _run_twice(lambda: linearsvm(Dsvm, ell, 1.0, cfg(iters)))
     rows.append(_row("linearsvm_serial_f32", f"{m}x{n}", iters, res,
                      bytes_per_iter=2 * m * n * 4,
@@ -748,7 +840,7 @@ def timing_matrix(smoke=False):
     Wx, mx, nx = 8, 512 // sc, 256 // sc
     Ax = rng.standard_normal((Wx, mx, nx)).astype(f32)
     bx = rng.standard_normal((Wx, mx)).astype(f32)
-    itx = it(2000)
+    itx = it(16000)  # tiny stacked body: dispatch-floor headroom
     res = _run_twice(lambda: exchange_quadratic(
         Ax, bx, cfg(itx)))
     rows.append(_row(f"exchange_W{Wx}", f"{mx}x{nx}", itx, res,
@@ -1005,6 +1097,10 @@ def main(smoke=False, out_path="BENCH_MATRIX.json"):
         "platform": platform,
         "smoke": smoke,
         "wall_s": round(time.time() - t0, 1),
+        # Per-solve dispatch floor (t(N) = a*N + b): raw iters_per_sec
+        # includes b/N; marginal_iter_s is the cross-N-comparable rate.
+        "dispatch_floor_ms": (round(_DISPATCH["floor_s"] * 1e3, 3)
+                              if _DISPATCH["floor_s"] else None),
         "timing": timing,
         "f32_oracle_accuracy": acc,
     }
