@@ -65,7 +65,13 @@ def main(smoke: bool = False):
     s = (D @ testx + np.sqrt(0.001) * rng.standard_normal(m)).astype(np.float32)
     lam = float(0.1 * np.max(np.abs(D.T @ s)))
 
-    iters = 100 if smoke else 4096
+    # N = 16384 (was 4096 through round 4): round 5 measured a fixed
+    # ~24 ms per-dispatch cost on the tunnel relay (t(N) = a*N + b,
+    # docs/RESULTS.md), which ate ~21% of the N=4096 reading; a longer
+    # block per dispatch amortizes it to ~6% and reflects production
+    # use (long solves / batched dispatches).  The dispatch floor and
+    # the dispatch-free marginal rate are reported alongside.
+    iters = 100 if smoke else 16384
     # unroll=64: K exact iterations per device loop step — amortizes the
     # loop turnaround AND lets XLA keep the two stream matrices resident
     # in VMEM across sub-iterations (they fit: 60 MB < 128 MB VMEM),
@@ -88,6 +94,18 @@ def main(smoke: bool = False):
     results = [lasso(D, s, lam, cfg) for _ in range(3)]
     res = min(results, key=lambda r: r.runtime)
     iters_per_sec = iters / res.runtime
+
+    # Per-solve dispatch floor (round 5): a trivial program's round
+    # trip; marginal = dispatch-free per-iteration rate.
+    trivial = jax.jit(lambda x: x + 1.0)
+    xp = np.zeros((8,), np.float32)
+    np.asarray(trivial(xp))
+    floor_s = np.inf
+    for _ in range(7):
+        t0 = time.perf_counter()
+        jax.block_until_ready(trivial(xp))
+        floor_s = min(floor_s, time.perf_counter() - t0)
+    marginal = iters / max(res.runtime - floor_s, 1e-9)
 
     # bf16-stream perf mode (FatShiftSolver stream_dtype) — reported
     # separately, not the headline.
@@ -129,6 +147,9 @@ def main(smoke: bool = False):
                 "value": round(iters_per_sec, 2),
                 "unit": "iter/s",
                 "vs_baseline": round(iters_per_sec / baseline, 3),
+                "maxiters_per_dispatch": iters,
+                "dispatch_floor_ms": round(floor_s * 1e3, 3),
+                "marginal_iter_s": round(marginal, 2),
                 "numpy_baseline_iters_per_sec": round(baseline, 2),
                 "bf16_stream_iters_per_sec": round(bf16_iters_per_sec, 2),
                 "steps_to_rms_residual_1e-6": steps_1e6,

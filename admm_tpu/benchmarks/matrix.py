@@ -910,6 +910,9 @@ def accuracy_matrix(smoke=False):
          {"prox_method": "ns_fast"}),
         ("linearsvm", p.linearsvmtest, {}),
         ("logreg", p.logregtest, {}),
+        # The matrix-free Newton-CG x-prox (the batched default) —
+        # on-device f32 evidence for the round-5 performance mode.
+        ("logreg_cg", p.logregtest, {"inner": "newton_cg"}),
     ):
         errtol = _F32_ERRTOL.get(name.split("_")[0], 1e-3)
         t0 = time.perf_counter()

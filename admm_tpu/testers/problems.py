@@ -415,7 +415,7 @@ def linearsvmtest(seed=0, mpos=128, mneg=128, sep=0.5, errtol=0.05, quiet=True,
 
 
 def logregtest(seed=0, rows=256, cols=24, errtol=1e-3, quiet=True,
-               config=ADMMConfig(), lam=None, **overrides):
+               config=ADMMConfig(), lam=None, inner="newton", **overrides):
     """Sparse logistic regression oracle (beyond reference — no MATLAB
     counterpart; construction mirrors the library's randomized style):
     labels drawn from a planted logistic model, solved at l1 weight
@@ -441,7 +441,7 @@ def logregtest(seed=0, rows=256, cols=24, errtol=1e-3, quiet=True,
         g0 = -Y.T @ np.full(rows, 0.5)  # smooth gradient at x = 0
         lam = 0.1 * float(np.max(np.abs(g0)))
 
-    results = logreg(D, ell, lam, cfg)
+    results = logreg(D, ell, lam, cfg, inner=inner)
     z = np.asarray(results.zopt, np.float64)
     sig = 1.0 / (1.0 + np.exp(Y @ z))   # sigmoid(-Yz)
     g = -Y.T @ sig
