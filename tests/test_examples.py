@@ -268,3 +268,14 @@ def test_maxcut_sdp_relaxation_and_rounding():
         assert cut <= sdp_val + 1e-6
         assert ratio >= 0.878
         assert steps > 0
+
+
+def test_distributed_matrix_example():
+    """Round-5 example: sharded SDP + consensus covsel on the virtual
+    mesh, both matching their serial solves."""
+    from examples.distributed_matrix import demo
+
+    out = demo(n=9, m=9, p=10, samples=120, quiet=True)
+    assert out["sdp"]["max_dev_vs_serial"] <= 1e-8
+    assert out["sdp"]["max_dev_vs_opt"] <= 1e-3
+    assert out["covsel"]["obj_gap"] <= 1e-5 * (1 + abs(out["covsel"]["obj_serial"]))
