@@ -555,9 +555,11 @@ def timing_matrix(smoke=False):
     ell8 = np.stack([np.where(y8 == k, 1.0, -1.0)
                      for k in range(8)]).astype(f32)
     # Default = matrix-free Newton-CG (round 5): the CG matvecs batch
-    # into (B, m) x (m, n) GEMMs — measured 7.3x serial inst-iters/s vs
-    # the dense path's 1.2x (experiments/logreg_cg_probe.py; the dense
-    # (B, n, n) factorizations serialize on TPU).
+    # into (B, m) x (m, n) GEMMs — at the tuned default (4 Newton x 12
+    # PCG) measured ~14x serial inst-iters/s vs the dense path's 1.2x
+    # (experiments/logreg_cg_probe.py + the knob sweep: 3x12..5x20 all
+    # give identical trajectories; the dense (B, n, n) factorizations
+    # serialize on TPU).
     res = _run_twice(lambda: logreg_batch(Dlr, ell8, 0.1, cfg(iters)))
     rows.append(_row("logreg_batch_B8_cg", f"{m}x{n}", iters, res,
                      extra={"inst_iters_per_sec":

@@ -105,7 +105,11 @@ def test_logreg_batch_matches_solo_lanes():
     for inner in ("newton_cg", "newton"):
         batch = logreg_batch(D, ells, lam, cfg, inner=inner)
         for k in range(K):
-            solo = logreg(D, ells[k], lam, cfg, inner=inner)
+            # Match the batch default's inner-solver knobs so the lane
+            # comparison is like-for-like (batch defaults to the tuned
+            # 4x12 recipe; solo to the conservative 5x20).
+            solo = logreg(D, ells[k], lam, cfg, inner=inner,
+                          newton_steps=4, cg_steps=12)
             if inner == "newton":
                 # Dense path: bit-for-bit (same prox, mapped labels).
                 assert int(np.asarray(batch.steps)[k]) == int(solo.steps)
