@@ -22,6 +22,7 @@ Three distributed forms, matching SURVEY.md section 2.7:
 
 from .mesh import make_mesh, make_mesh2d, pad_rows, shard_rows
 from .consensus import (consensus_admm, consensus_covsel,
+                        consensus_covsel_batch,
                         consensus_elasticnet, consensus_elasticnet_batch,
                         consensus_lasso, consensus_lasso_batch,
                         consensus_logreg)
@@ -41,6 +42,7 @@ __all__ = [
     "shard_rows",
     "consensus_admm",
     "consensus_covsel",
+    "consensus_covsel_batch",
     "sdp_sharded",
     "exchange_admm",
     "exchange_quadratic",

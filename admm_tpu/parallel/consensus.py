@@ -893,6 +893,132 @@ def _cached_covsel_setup(shard_spec):
     return jax.jit(body, out_shardings=shard_spec)
 
 
+def consensus_covsel_batch(
+    Ds,
+    lams,
+    config: ADMMConfig = ADMMConfig(),
+    *,
+    mesh: Optional[Mesh] = None,
+    nshards: Optional[int] = None,
+    prox_method: str = "eigh",
+    ns_iters: int = 20,
+    ns_coarse: int = 0,
+    ns_correct: int = 0,
+    xi0=None,
+    ui0=None,
+    z0=None,
+):
+    """B independent covariance-selection instances — a COHORT of
+    subjects, each with its own (m, p) sample matrix ``Ds[b]`` and
+    penalty ``lams[b]`` — each solved by sample-sharded consensus ADMM,
+    as ONE GSPMD program over a 2-D (lanes x shards) mesh: the
+    matrix-iterate tier of the library's 2-D composition
+    (consensus_lasso_batch's pattern with (p, p) spectral local
+    proxes).  Per-lane per-shard covariance contributions are
+    lane+shard sharded; converged lanes freeze via the vmapped
+    while_loop rule.  Returns models.batch.BatchResults with matrix
+    iterates reshaped to (B, p, p) (``extra['xi']``/``['ui']`` as
+    (B, W, p, p) for resume)."""
+    from jax.sharding import PartitionSpec
+
+    if prox_method not in ("eigh", "ns", "ns_fast"):
+        raise ValueError(
+            f"prox_method must be 'eigh', 'ns' or 'ns_fast', got {prox_method!r}")
+    if prox_method == "ns_fast":
+        ns_coarse, ns_correct = ns_iters, max(int(ns_correct), 2)
+    if mesh is None:
+        mesh = make_mesh2d(1, jax.device_count())
+    if len(mesh.axis_names) != 2:
+        raise ValueError(
+            f"consensus_covsel_batch needs a 2-D (lanes, shards) mesh; got "
+            f"axes {mesh.axis_names}")
+    lane_ax, shard_ax = mesh.axis_names
+    L, Wdev = mesh.devices.shape
+    W = nshards if nshards is not None else Wdev
+    if W % Wdev:
+        raise ValueError(f"nshards={W} must be a multiple of the mesh "
+                         f"shard-axis size {Wdev}")
+
+    Ds = np.asarray(Ds)
+    if Ds.ndim != 3:
+        raise ValueError(f"Ds must be (B, m, p) sample stacks, got {Ds.shape}")
+    Bn, m, p = Ds.shape
+    if Bn % L:
+        raise ValueError(
+            f"batch size {Bn} must divide over the {L}-device lane axis")
+    # Per-lane global centering + normalization, then row-shard each lane.
+    Dc = Ds - Ds.mean(axis=1, keepdims=True)
+    Dc = Dc / np.sqrt(m - 1)
+    mw = -(-m // W)
+    Dp = np.zeros((Bn, mw * W, p), Dc.dtype)
+    Dp[:, :m] = Dc
+    Dib = Dp.reshape(Bn, W, mw, p)
+
+    lane_spec = NamedSharding(mesh, PartitionSpec(lane_ax, shard_ax))
+    Dib_dev = jax.device_put(jnp.asarray(Dib), lane_spec)
+    Sib = _cached_covsel_batch_setup(lane_spec)(Dib_dev)  # (B, W, p, p)
+    dt = Sib.dtype
+    lam_spec = NamedSharding(mesh, PartitionSpec(lane_ax))
+    data = {
+        "Si": Sib,
+        "lam": jax.device_put(
+            jnp.broadcast_to(jnp.asarray(lams, dt), (Bn,)), lam_spec),
+        "wgt": jnp.asarray(1.0 / W, dt),
+    }
+    local = (_covsel_local_prox if prox_method == "eigh"
+             else _covsel_local_prox_ns_fn(int(ns_iters), int(ns_coarse),
+                                           int(ns_correct)))
+
+    nn = p * p
+    xi0 = (jnp.zeros((Bn, W, nn), dt) if xi0 is None
+           else jnp.asarray(xi0, dt).reshape(Bn, W, nn))
+    ui0 = (jnp.zeros((Bn, W, nn), dt) if ui0 is None
+           else jnp.asarray(ui0, dt).reshape(Bn, W, nn))
+    z0 = (jnp.zeros((Bn, nn), dt) if z0 is None
+          else jnp.asarray(z0, dt).reshape(Bn, nn))
+    xi0 = jax.device_put(xi0, lane_spec)
+    ui0 = jax.device_put(ui0, lane_spec)
+    z0 = jax.device_put(z0, NamedSharding(mesh, PartitionSpec(lane_ax)))
+
+    config = resolve_unroll(config, "heavy")
+    runner = _cached_consensus_batch_runner(
+        local, _lasso_global_prox, config, W, nn,
+        frozenset({"Si", "lam"}), frozenset(data))
+
+    from ..models.batch import BatchResults
+
+    data, xi0, ui0, z0 = jax.block_until_ready((data, xi0, ui0, z0))
+    t0 = time.perf_counter()  # loop-only wall clock
+    out = jax.block_until_ready(runner(data, xi0, ui0, z0))
+    runtime = time.perf_counter() - t0
+    return BatchResults(
+        xopt=out["xopt"].reshape(Bn, p, p),
+        zopt=out["zopt"].reshape(Bn, p, p),
+        uopt=out["uopt"].reshape(Bn, p, p),
+        steps=out["steps"], rho_final=out.get("rho_final"),
+        runtime=runtime,
+        hist={k: v for k, v in out["hist"].items()
+              if not isinstance(v, tuple)},
+        extra={"xi": out["xi"].reshape(Bn, W, p, p),
+               "ui": out["ui"].reshape(Bn, W, p, p),
+               "nshards": W, "mesh": mesh,
+               "stalled": out["stalled"]},
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_covsel_batch_setup(lane_spec):
+    """Per-lane per-shard covariance contributions, jitted once per
+    sharding."""
+
+    def body(Dib):
+        with jax.default_matmul_precision("highest"):
+            G = jnp.einsum("bwmi,bwmj->bwij", Dib, Dib)
+            return 0.5 * (G + jnp.swapaxes(G, -1, -2))
+
+    return jax.jit(body, out_shardings=lane_spec)
+
+
 # ---- 2-D mesh: instance lanes x consensus shards --------------------------
 
 

@@ -152,3 +152,63 @@ class TestConsensusCovsel:
             fasttype="weak"), nshards=4)
         f_con = _graphical_lasso_obj(D, lam, con)
         assert abs(f_con - f_ser) <= 1e-5 * (1.0 + abs(f_ser))
+
+
+class TestConsensusCovselBatch:
+    def test_lanes_match_solo_consensus(self, rng):
+        """2-D (lanes x shards) cohort graphical lasso: every lane must
+        match the 1-D consensus solve bit-for-bit (the matrix-iterate
+        tier of the consensus_lasso_batch composition)."""
+        from admm_tpu.parallel import (consensus_covsel_batch, make_mesh,
+                                       make_mesh2d)
+
+        B, m, p, W = 4, 160, 10, 4
+        Ds = np.stack([
+            _covsel_instance(rng, p=p, m=m) for _ in range(B)])
+        lams = np.geomspace(0.05, 0.2, B)
+        cfg = ADMMConfig(maxiters=20000, abstol=1e-9, reltol=1e-9)
+        batch = consensus_covsel_batch(Ds, lams, cfg, mesh=make_mesh2d(2, 4),
+                                       nshards=W)
+        sub = make_mesh(W)
+        for b in range(B):
+            solo = consensus_covsel(Ds[b], float(lams[b]), cfg, mesh=sub,
+                                    nshards=W)
+            assert int(np.asarray(batch.steps)[b]) == int(solo.steps)
+            np.testing.assert_allclose(np.asarray(batch.zopt[b]),
+                                       np.asarray(solo.zopt),
+                                       rtol=1e-12, atol=1e-14)
+        assert batch.extra["xi"].shape == (B, W, p, p)
+
+    def test_ns_mode_and_warm_start(self, rng):
+        from admm_tpu.parallel import consensus_covsel_batch, make_mesh2d
+
+        B, m, p, W = 2, 120, 8, 4
+        Ds = np.stack([_covsel_instance(rng, p=p, m=m) for _ in range(B)])
+        cfg = ADMMConfig(maxiters=20000, abstol=1e-9, reltol=1e-9)
+        mesh2 = make_mesh2d(2, 4)
+        eigh = consensus_covsel_batch(Ds, 0.1, cfg, mesh=mesh2, nshards=W)
+        ns = consensus_covsel_batch(Ds, 0.1, cfg, mesh=mesh2, nshards=W,
+                                    prox_method="ns", ns_iters=30)
+        np.testing.assert_allclose(np.asarray(ns.zopt),
+                                   np.asarray(eigh.zopt), atol=1e-8)
+        warm = consensus_covsel_batch(Ds, 0.1, cfg, mesh=mesh2, nshards=W,
+                                      xi0=eigh.extra["xi"],
+                                      ui0=eigh.extra["ui"], z0=eigh.zopt)
+        assert int(np.asarray(warm.steps).max()) <= max(
+            3, int(np.asarray(eigh.steps).max()) // 5)
+
+    def test_validation(self, rng):
+        from admm_tpu.parallel import consensus_covsel_batch, make_mesh2d
+
+        Ds = np.zeros((3, 20, 4))
+        with pytest.raises(ValueError, match="divide"):
+            consensus_covsel_batch(Ds, 0.1, mesh=make_mesh2d(2, 4))
+        with pytest.raises(ValueError, match="2-D"):
+            from admm_tpu.parallel import make_mesh
+
+            consensus_covsel_batch(np.zeros((2, 20, 4)), 0.1,
+                                   mesh=make_mesh())
+        with pytest.raises(ValueError, match="prox_method"):
+            consensus_covsel_batch(np.zeros((2, 20, 4)), 0.1,
+                                   mesh=make_mesh2d(2, 4),
+                                   prox_method="qr")
