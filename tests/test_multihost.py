@@ -249,3 +249,46 @@ def test_consensus_batch_2d_mesh_across_two_processes():
             assert abs(f_b - f_s) <= 1e-2 * (1.0 + abs(f_s)), (b, f_b, f_s)
     ''')
     _check(*_run_workers(code))
+
+
+def test_matrix_iterate_runners_across_two_processes():
+    """Round-5 matrix-iterate tier over a REAL process boundary: the
+    sharded SDP (constraint-stack einsums + cross-process all-gather +
+    psum through the core engine) and consensus covariance selection
+    (flattened (p,p) consensus state, cross-process means), both
+    matching their serial solves."""
+    code = textwrap.dedent('''
+        import os, sys
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=2")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        pid = int(sys.argv[1])
+        jax.distributed.initialize("127.0.0.1:47231", 2, pid)
+        print("DIST_INIT_OK", flush=True)
+        jax.config.update("jax_enable_x64", True)
+        import numpy as np
+        from admm_tpu import ADMMConfig, sdp
+        from admm_tpu.models.sdp import random_sdp_instance
+        from admm_tpu.models.covarianceselection import covarianceselection
+        from admm_tpu.parallel import (consensus_covsel, make_mesh,
+                                       sdp_sharded)
+        cfg = ADMMConfig(maxiters=2000, abstol=1e-8, reltol=1e-8)
+        rng = np.random.default_rng(0)
+
+        C, A, b, Xstar, _, _ = random_sdp_instance(8, 8, 3, rng)
+        sh = sdp_sharded(C, A, b, config=cfg, mesh=make_mesh())
+        ser = sdp(C, A, b, config=cfg)
+        Z = np.asarray(jax.device_get(sh.zopt))
+        assert np.isfinite(Z).all()
+        assert np.abs(Z - np.asarray(jax.device_get(ser.zopt))).max() < 1e-8
+        assert int(sh.steps) == int(ser.steps)
+
+        D = rng.standard_normal((64, 8))
+        con = consensus_covsel(D, 0.1, cfg, mesh=make_mesh())
+        ser_cv = covarianceselection(D, 0.1, cfg)
+        Zc = np.asarray(jax.device_get(con.zopt))
+        assert np.isfinite(Zc).all()
+        assert np.abs(Zc - np.asarray(jax.device_get(ser_cv.zopt))).max() < 1e-2
+    ''')
+    _check(*_run_workers(code))
