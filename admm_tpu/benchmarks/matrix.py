@@ -421,11 +421,11 @@ def timing_matrix(smoke=False):
     res = _run_twice(lambda: lad(D4, s4, cfg(iters)))
     rows.append(_row("lad_f32", f"{m}x{n}", iters, res,
                      bytes_per_iter=(n * n + 2 * m * n) * 4,
-                     floor_chain=[(n, m), (n, n), (m, n)]))
+                     floor_chain=[(n, m), (m, n)]))
     res = _run_twice(lambda: huberfit(D4, s4, cfg(iters)))
     rows.append(_row("huberfit_f32", f"{m}x{n}", iters, res,
                      bytes_per_iter=(n * n + 2 * m * n) * 4,
-                     floor_chain=[(n, m), (n, n), (m, n)]))
+                     floor_chain=[(n, m), (m, n)]))
 
     # --- LP / QP: folded static-KKT paths -------------------------------
     n = 1024 // sc
@@ -523,7 +523,7 @@ def timing_matrix(smoke=False):
     res = _run_twice(lambda: quantile(Dq5, s5, 0.8, cfg(iters)))
     rows.append(_row("quantile_f32", f"{m}x{n}", iters, res,
                      bytes_per_iter=(n * n + 2 * m * n) * 4,
-                     floor_chain=[(n, m), (n, n), (m, n)]))
+                     floor_chain=[(n, m), (m, n)]))
 
     # --- robust PCA: one batched svd per iteration ('heavy' body) -------
     from admm_tpu.models.rpca import rpca

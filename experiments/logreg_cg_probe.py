@@ -10,6 +10,12 @@ Interleaved A/B in one process (the lp_tail_probe3 pattern): serial
 dense, serial cg, batch dense B=8, batch cg B=8, several alternating
 reps each, on the round-4 matrix row shape 4096x256.  Success bar
 (VERDICT next-round #2): batch-cg >= 4x serial inst-iters/s at B=8.
+
+MEASURED (round 5): 7,016 inst-iters/s = 7.27x at the then-default
+5 Newton x 20 PCG; the follow-up knob sweep (3x12..5x20 all give
+IDENTICAL trajectories — warm-started prox) moved the logreg_batch
+default to 4x12 = 13.7k inst-iters/s = 14.2x serial.  Note this
+script now measures the tuned default on re-run.
 """
 
 import time
