@@ -694,6 +694,72 @@ def _logreg_local_prox_fn(newton_steps: int):
     return prox
 
 
+@functools.lru_cache(maxsize=None)
+def _logreg_local_prox_cg_fn(newton_steps: int, cg_steps: int):
+    """Matrix-free per-shard Newton-PCG local prox: the round-5 logreg
+    CG recipe (models/logreg._newton_cg_xprox) batched over the shard
+    axis — each CG matvec is two (W, mw, n) einsums (sharded GEMM
+    work), no (W, n, n) Hessian stack.  UNLIKE the engine's serial
+    path, the consensus iteration restarts the prox from z - u_i every
+    iteration (no warm start), so the prox must be solved accurately
+    (round-4 stall lesson: a fixed coarse prox error floors the
+    consensus residual) — hence the conservative default knobs on
+    consensus_logreg (20 Newton x 25 PCG; this is an opt-in perf mode,
+    'newton' dense solves stay the accuracy default)."""
+
+    def prox(z, ui, rho, d):
+        Yi, Yi2 = d["Yi"], d["Yi2"]           # (W, mw, n)
+        v = z[None, :] - ui                    # (W, n)
+        tiny = jnp.finfo(v.dtype).tiny
+
+        def fobj(x):
+            t = jnp.einsum("wmn,wn->wm", Yi, x)
+            return (jnp.sum(jnp.logaddexp(0.0, -t), axis=-1)
+                    + 0.5 * rho * jnp.sum((x - v) ** 2, axis=-1))
+
+        x = v
+        for _ in range(newton_steps):
+            t = jnp.einsum("wmn,wn->wm", Yi, x)
+            sig = jax.nn.sigmoid(-t)
+            grad = -jnp.einsum("wmn,wm->wn", Yi, sig) + rho * (x - v)
+            w = sig * (1.0 - sig)
+            diag = jnp.einsum("wmn,wm->wn", Yi2, w) + rho
+
+            def hv(s, w=w):
+                return (jnp.einsum("wmn,wm->wn", Yi,
+                                   w * jnp.einsum("wmn,wn->wm", Yi, s))
+                        + rho * s)
+
+            # Per-shard Jacobi-PCG (reductions over the trailing axis).
+            s = jnp.zeros_like(grad)
+            r = grad
+            zp = r / diag
+            p = zp
+            rz = jnp.sum(r * zp, axis=-1, keepdims=True)
+            for _ in range(cg_steps):
+                hp = hv(p)
+                alpha = rz / jnp.maximum(
+                    jnp.sum(p * hp, axis=-1, keepdims=True), tiny)
+                s = s + alpha * p
+                r = r - alpha * hp
+                zp = r / diag
+                rz_new = jnp.sum(r * zp, axis=-1, keepdims=True)
+                beta = rz_new / jnp.maximum(rz, tiny)
+                p = zp + beta * p
+                rz = rz_new
+
+            f0 = fobj(x)
+            x1 = x - s
+            x2 = x - 0.5 * s
+            f1, f2 = fobj(x1), fobj(x2)
+            x = jnp.where((f1 <= f0)[:, None], x1,
+                          jnp.where((f2 <= f0)[:, None], x2,
+                                    x - 0.25 * s))
+        return x
+
+    return prox
+
+
 def consensus_logreg(
     D,
     ell,
@@ -702,7 +768,9 @@ def consensus_logreg(
     *,
     mesh: Optional[Mesh] = None,
     nshards: Optional[int] = None,
+    inner: str = "newton",
     newton_steps: int = 20,
+    cg_steps: int = 25,
     xi0=None,
     ui0=None,
     z0=None,
@@ -733,11 +801,19 @@ def consensus_logreg(
     Y = D * ell[:, None]
     Yp, _ = pad_rows(Y, W)                 # zero rows: exact no-ops
     Yi = shard_rows(Yp, W)                 # (W, m/W, n)
+    if inner not in ("newton", "newton_cg"):
+        raise ValueError(
+            f"inner must be 'newton' or 'newton_cg', got {inner!r}")
     spec = NamedSharding(mesh, P(axis))
     Yi_dev = jax.device_put(jnp.asarray(Yi), spec)
     data = {"Yi": Yi_dev, "lam": jnp.asarray(lam, Yi_dev.dtype)}
+    if inner == "newton_cg":
+        data["Yi2"] = jax.device_put(jnp.asarray(Yi * Yi), spec)
+        local = _logreg_local_prox_cg_fn(int(newton_steps), int(cg_steps))
+    else:
+        local = _logreg_local_prox_fn(int(newton_steps))
     return consensus_admm(
-        _logreg_local_prox_fn(int(newton_steps)), _lasso_global_prox,
+        local, _lasso_global_prox,
         data, n, config, mesh=mesh, nshards=W, xi0=xi0, ui0=ui0, z0=z0,
     )
 

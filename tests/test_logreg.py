@@ -88,6 +88,20 @@ def test_consensus_logreg_matches_serial():
     f_ser, f_par = obj(np.asarray(ser.zopt)), obj(np.asarray(par.zopt))
     assert abs(f_par - f_ser) <= 1e-4 * (1.0 + abs(f_ser)), (f_par, f_ser)
 
+    # The matrix-free Newton-PCG local prox (round-5 perf mode) must
+    # track the dense-Newton consensus run — at the conservative knobs
+    # it solves the prox to the same tolerance, so the trajectories
+    # agree to solver precision.
+    cg = consensus_logreg(D, ell, lam, tight, nshards=8,
+                          inner="newton_cg")
+    assert int(cg.steps) == int(par.steps)
+    np.testing.assert_allclose(np.asarray(cg.zopt), np.asarray(par.zopt),
+                               atol=1e-9)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner"):
+        consensus_logreg(D, ell, lam, tight, nshards=8, inner="lbfgs")
+
 
 def test_logreg_batch_matches_solo_lanes():
     """One-vs-all multiclass logistic via logreg_batch: each lane must
