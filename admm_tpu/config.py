@@ -73,6 +73,23 @@ class ADMMConfig:
       once the best-seen pnorm has not improved by a relative
       ``stalltol`` for k consecutive iterations.  Disabled by default
       and under ``domaxiters`` (which demands all N iterations).
+    - ``anderson`` / ``aa_reg`` / ``aa_restart`` / ``aa_gmax``:
+      safeguarded type-II Anderson acceleration on the ADMM fixed-point
+      map (the SCS / A2DR convergence lever; no reference analog).
+      ``anderson = m > 0`` keeps a window of the last m iterate/residual
+      differences of the full state s = (x, z, u) and replaces the next
+      iterate with the regularized least-squares extrapolation
+      ``T(s_k) - dT @ gamma``, ``gamma = (dF dFᵀ + reg)⁻¹ dF f_k`` —
+      an (m, m) solve plus a few extra vector streams per iteration,
+      negligible next to a GEMV body.  Safeguards: the candidate is
+      dropped when non-finite or when ``sum|gamma| > aa_gmax`` (ill-
+      conditioned window), and the history restarts when the residual
+      norm grows past ``aa_restart`` times the best seen since the last
+      restart.  Applies to the standard iteration only (the map must be
+      fixed): incompatible with ``fast``, adaptive rho modes,
+      ``convtest`` (AA breaks H-norm monotonicity), and non-standard
+      ``stopcond``.  Stopping/residual records are those of the plain
+      sweep, so a converged run reports the un-extrapolated iterate.
     """
 
     rho: float = 1.0
@@ -97,6 +114,10 @@ class ADMMConfig:
     nanguard: bool = True
     stallwindow: int = 0
     stalltol: float = 1e-3
+    anderson: int = 0
+    aa_reg: float = 1e-8
+    aa_restart: float = 5.0
+    aa_gmax: float = 1e3
     objevals: bool = False
     quiet: bool = True
     record_iterates: bool = False
@@ -146,6 +167,24 @@ class ADMMConfig:
             raise ValueError("rbadaptive applies to the standard iteration only")
         if self.stallwindow < 0:
             raise ValueError(f"stallwindow must be >= 0, got {self.stallwindow}")
+        if self.anderson < 0:
+            raise ValueError(f"anderson must be >= 0, got {self.anderson}")
+        if self.anderson:
+            # AA extrapolates the fixed-point map of the STANDARD
+            # iteration; momentum or a runtime-varying rho changes the
+            # map mid-flight, and the H-norm machinery (convtest /
+            # hnorm stops) assumes the monotone plain sweep.
+            if self.fast:
+                raise ValueError("anderson applies to the standard "
+                                 "iteration only (fast=False)")
+            if self.adaptive or self.rbadaptive:
+                raise ValueError("anderson requires a fixed rho (no "
+                                 "adaptive/rbadaptive)")
+            if self.convtest or self.stopcond != "standard":
+                raise ValueError("anderson breaks H-norm monotonicity: "
+                                 "use stopcond='standard', convtest=False")
+        if self.aa_reg < 0 or self.aa_restart <= 1.0 or self.aa_gmax <= 0:
+            raise ValueError("need aa_reg >= 0, aa_restart > 1, aa_gmax > 0")
         if not 0.0 <= self.stalltol < 1.0:
             raise ValueError(f"stalltol must be in [0, 1), got {self.stalltol}")
         if self.matmul_precision not in ("default", "high", "highest"):

@@ -103,6 +103,14 @@ class _Carry(NamedTuple):
     # of consecutive iterations without relative progress
     best_p: Any
     since: Any
+    # Anderson acceleration (ADMMConfig.anderson): ring buffers of the
+    # last m+1 fixed-point residuals / map outputs over the flattened
+    # state s = (x, z, u), entries written since the last restart, and
+    # the best residual norm² since the last restart
+    aF: Any
+    aT: Any
+    acnt: Any
+    abest: Any
     # flags
     done: Any
     diverged: Any
@@ -481,6 +489,10 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
     std_stop = cfg.stopcond in ("standard", "both")
     h_stop = cfg.stopcond in ("hnorm", "both")
     use_stall = cfg.use_stall
+    # Anderson acceleration (ADMMConfig.anderson); config validation
+    # already restricts it to alg == 0 / fixed rho / standard stop.
+    use_aa = cfg.anderson > 0
+    m_aa = int(cfg.anderson)
 
     def run(x0, z0, u0, c, A, B, data):
         if has_data:
@@ -546,6 +558,12 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
             Hprev=sc(jnp.inf) if needs_h else (),
             best_p=sc(jnp.inf) if use_stall else (),
             since=jnp.asarray(0, jnp.int32) if use_stall else (),
+            aF=jnp.zeros((m_aa + 1, x0.size + z0.size + u0.size), rdtype)
+            if use_aa else (),
+            aT=jnp.zeros((m_aa + 1, x0.size + z0.size + u0.size), rdtype)
+            if use_aa else (),
+            acnt=jnp.asarray(0, jnp.int32) if use_aa else (),
+            abest=sc(jnp.inf) if use_aa else (),
             done=jnp.asarray(False), diverged=jnp.asarray(False),
             stalled=jnp.asarray(False),
             hist=hist,
@@ -707,6 +725,65 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
                 rho_new = rho * factor
                 u = u / factor
 
+            # ---- Anderson acceleration (ADMMConfig.anderson) --------------
+            # Type-II AA on the flattened state s = (x, z, u): the plain
+            # sweep above IS the fixed-point map evaluation t = T(s_k);
+            # extrapolate the next iterate from the last m residual /
+            # output differences.  Residuals, stopping, and history all
+            # use the plain sweep (computed above), so a converged run
+            # reports the un-extrapolated iterate; the candidate only
+            # replaces the NEXT iteration's starting state.  (Runs after
+            # the adaptive-rho block, whose rbadaptive branch rescales u
+            # — AA excludes the adaptive modes, but the plain path must
+            # carry that rescaled u.)
+            x_next, z_next, u_next = x, z, u
+            if use_aa:
+                R = m_aa + 1
+                s_in = jnp.concatenate(
+                    [carry.x.ravel(), carry.z.ravel(), carry.u.ravel()])
+                t_out = jnp.concatenate([x.ravel(), z.ravel(), u.ravel()])
+                f_k = t_out - s_in
+                fn2 = jnp.sum(f_k * f_k)
+                # Restart (stale window) when the residual grew past
+                # aa_restart x the best seen since the last restart.
+                grew = fn2 > (cfg.aa_restart ** 2) * carry.abest
+                cnt = jnp.where(grew, 0, carry.acnt)
+                abest_new = jnp.where(grew, fn2,
+                                      jnp.minimum(carry.abest, fn2))
+                slot = (cnt % R).astype(jnp.int32)
+                aF_new = sel_slot(carry.aF, slot, f_k)
+                aT_new = sel_slot(carry.aT, slot, t_out)
+                # Chronological gather of the window; differences older
+                # than the restart are masked to zero columns, whose
+                # gammas the regularized solve pins to zero.
+                js = (cnt - m_aa + jnp.arange(R, dtype=jnp.int32)) % R
+                Fw = aF_new[js]
+                Tw = aT_new[js]
+                dF = Fw[1:] - Fw[:-1]
+                dT = Tw[1:] - Tw[:-1]
+                mk = jnp.minimum(cnt, m_aa)
+                vmask = jnp.arange(m_aa) >= (m_aa - mk)
+                dF = jnp.where(vmask[:, None], dF, 0.0)
+                dT = jnp.where(vmask[:, None], dT, 0.0)
+                G = dF @ dF.T
+                lam = cfg.aa_reg * jnp.trace(G) + eps
+                gamma = jnp.linalg.solve(
+                    G + lam * jnp.eye(m_aa, dtype=rdtype), dF @ f_k)
+                cand = t_out - gamma @ dT
+                ok = (
+                    jnp.all(jnp.isfinite(cand))
+                    & (jnp.sum(jnp.abs(gamma)) <= cfg.aa_gmax)
+                    & (mk >= 1) & jnp.logical_not(done)
+                )
+                s_next = jnp.where(ok, cand, t_out)
+                nx_, nz_ = x.size, z.size
+                x_next = s_next[:nx_].reshape(x.shape)
+                z_next = s_next[nx_:nx_ + nz_].reshape(z.shape)
+                u_next = s_next[nx_ + nz_:].reshape(u.shape)
+                acnt_new = cnt + 1
+            else:
+                aF_new = aT_new = acnt_new = abest_new = ()
+
             # ---- history (admm.m:596-610) ---------------------------------
             h = carry.hist
             h = h._replace(
@@ -767,7 +844,8 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
 
             new = _Carry(
                 k=sel(k, k + 1),
-                x=sel(carry.x, x), z=sel(carry.z, z), u=sel(carry.u, u),
+                x=sel(carry.x, x_next), z=sel(carry.z, z_next),
+                u=sel(carry.u, u_next),
                 rho=sel(carry.rho, rho_new),
                 v=sel(carry.v, v_new) if alg else (),
                 uhat=sel(carry.uhat, uhat_new) if alg else (),
@@ -778,6 +856,10 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
                 Hprev=sel(carry.Hprev, Hsq) if needs_h else (),
                 best_p=sel(carry.best_p, best_new) if use_stall else (),
                 since=sel(carry.since, since_new) if use_stall else (),
+                aF=aF_new if use_aa else (),
+                aT=aT_new if use_aa else (),
+                acnt=sel(carry.acnt, acnt_new) if use_aa else (),
+                abest=sel(carry.abest, abest_new) if use_aa else (),
                 done=sel(carry.done, done),
                 diverged=sel(carry.diverged, carry.diverged | diverged_i),
                 stalled=sel(carry.stalled, carry.stalled | stall_i),

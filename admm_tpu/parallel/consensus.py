@@ -111,6 +111,11 @@ def _make_consensus_run(local_prox, global_prox, config: ADMMConfig,
     ``run(data, xi0, ui0, z0) -> raw dict``.  Jitted directly by
     ``_cached_consensus_runner``; vmapped over an instance-lane axis by
     ``_cached_consensus_batch_runner`` (the 2-D lanes x shards mesh)."""
+    if config.anderson:
+        raise NotImplementedError(
+            "ADMMConfig.anderson is a core-engine variant; the consensus "
+            "runner does not carry AA state (sdp_sharded, which rides the "
+            "core engine, does support it)")
     N = int(config.maxiters)
     relax = float(config.relax)
     use_relax = relax != 1.0

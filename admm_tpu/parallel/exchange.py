@@ -87,6 +87,10 @@ def _make_exchange_run(local_prox, config: ADMMConfig, W: int, n: int):
     (tests/test_exchange.py).  The lean alg-0/relax-1 path keeps its
     measured-floor body: z = x_i - x̄ stays implicit (never carried) and
     the residual norms collapse to the x̄-only forms."""
+    if config.anderson:
+        raise NotImplementedError(
+            "ADMMConfig.anderson is a core-engine variant; the exchange "
+            "runner does not carry AA state")
     N = int(config.maxiters)
     relax = float(config.relax)
     use_relax = relax != 1.0

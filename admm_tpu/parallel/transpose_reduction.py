@@ -178,6 +178,10 @@ def _make_unwrapped_run(prox_g_shard, obj_shard, obj_global,
     engine._build_runner with A = D, B = -I, c = 0 specialized per shard
     (B.mv(z) = -z, so Axhat = relax*Dx + (1-relax)*zprev and the dual
     update is base + Axr - z)."""
+    if config.anderson:
+        raise NotImplementedError(
+            "ADMMConfig.anderson is a core-engine variant; the "
+            "transpose-reduction runner does not carry AA state")
     N = int(config.maxiters)
     rho0 = float(config.rho)
     needs_h = config.needs_hnorm

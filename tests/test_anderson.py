@@ -1,0 +1,204 @@
+"""Anderson acceleration (ADMMConfig.anderson).
+
+Safeguarded type-II AA on the ADMM fixed-point map — a TPU-era
+convergence lever with no reference analog (the reference's only
+acceleration is the fast/accelerated momentum, admm.m:563-600).  The
+oracles below pin: (a) AA reaches the same optimum in strictly fewer
+iterations on the soft-threshold and projection families, (b) the
+safeguard's fallback reproduces the plain trajectory bit-for-bit,
+(c) unroll freeze-masking and vmapped lanes stay exact under AA.
+"""
+
+import numpy as np
+import pytest
+
+from admm_tpu import ADMMConfig, lasso, linearprogram, model
+from admm_tpu.models.batch import lasso_batch
+
+TOL = dict(abstol=1e-8, reltol=1e-8, maxiters=20000)
+
+
+def _lasso_instance(rng, m=200, n=400):
+    D = rng.standard_normal((m, n))
+    s = rng.standard_normal(m)
+    lam = 0.1 * np.max(np.abs(D.T @ s))
+    return D, s, lam
+
+
+def _lasso_obj(D, s, lam, x):
+    x = np.asarray(x)
+    return 0.5 * np.sum((D @ x - s) ** 2) + lam * np.sum(np.abs(x))
+
+
+def test_lasso_fewer_steps_same_optimum(rng):
+    D, s, lam = _lasso_instance(rng)
+    r_plain = lasso(D, s, lam, ADMMConfig(**TOL))
+    r_aa = lasso(D, s, lam, ADMMConfig(anderson=10, **TOL))
+    assert int(r_aa.steps) < int(r_plain.steps) * 0.6
+    f0 = _lasso_obj(D, s, lam, r_plain.zopt)
+    f1 = _lasso_obj(D, s, lam, r_aa.zopt)
+    assert abs(f1 - f0) <= 1e-9 * (1.0 + abs(f0))
+    np.testing.assert_allclose(np.asarray(r_aa.zopt),
+                               np.asarray(r_plain.zopt), atol=1e-5)
+
+
+def test_model_reaches_closed_form(rng):
+    # Closed-form oracle (reference modeltest.m:122-124): the AA run
+    # must hit the exact solution, not just a nearby fixed point.
+    m = n = 64
+    P = rng.standard_normal((m, n))
+    Q = rng.standard_normal((m, n))
+    r = rng.standard_normal(m)
+    s = rng.standard_normal(m)
+    xstar = np.linalg.solve(P.T @ P + Q.T @ Q, P.T @ r + Q.T @ s)
+    res = model(P, Q, r, s, ADMMConfig(anderson=8, **TOL))
+    assert not res.diverged
+    np.testing.assert_allclose(np.asarray(res.xopt), xstar, atol=1e-6)
+
+
+def test_linearprogram_accelerates(rng):
+    # Projection-family oracle: plant a feasible optimum
+    # (linearprogramtest.m:108-138 construction).
+    m, n = 60, 200
+    D = rng.standard_normal((m, n))
+    xt = np.abs(rng.standard_normal(n))
+    s = D @ xt
+    b = np.abs(rng.standard_normal(n))
+    cfgs = {"plain": ADMMConfig(**TOL),
+            "aa": ADMMConfig(anderson=10, **TOL)}
+    res = {k: linearprogram(b, D, s, c) for k, c in cfgs.items()}
+    assert int(res["aa"].steps) < int(res["plain"].steps)
+    fa = float(b @ np.asarray(res["aa"].xopt))
+    fp = float(b @ np.asarray(res["plain"].xopt))
+    assert abs(fa - fp) <= 1e-3 * (1.0 + abs(fp))
+
+
+def test_safeguard_fallback_is_exact_plain(rng):
+    # aa_gmax below any attainable ||gamma||_1 rejects every candidate:
+    # the safeguarded fallback must reproduce the PLAIN trajectory
+    # bit-for-bit (same step count, same iterates).
+    D, s, lam = _lasso_instance(rng, 80, 160)
+    cfg = ADMMConfig(abstol=1e-6, reltol=1e-6, maxiters=3000)
+    r_plain = lasso(D, s, lam, cfg)
+    r_gated = lasso(D, s, lam,
+                    ADMMConfig(abstol=1e-6, reltol=1e-6, maxiters=3000,
+                               anderson=5, aa_gmax=1e-300))
+    assert int(r_gated.steps) == int(r_plain.steps)
+    np.testing.assert_array_equal(np.asarray(r_gated.zopt),
+                                  np.asarray(r_plain.zopt))
+    np.testing.assert_array_equal(np.asarray(r_gated.uopt),
+                                  np.asarray(r_plain.uopt))
+
+
+def test_unroll_bit_exact(rng):
+    D, s, lam = _lasso_instance(rng, 120, 240)
+    base = dict(abstol=1e-7, reltol=1e-7, maxiters=4000, anderson=6)
+    r1 = lasso(D, s, lam, ADMMConfig(unroll=1, **base))
+    r4 = lasso(D, s, lam, ADMMConfig(unroll=4, **base))
+    assert int(r1.steps) == int(r4.steps)
+    np.testing.assert_array_equal(np.asarray(r1.zopt), np.asarray(r4.zopt))
+    np.testing.assert_array_equal(np.asarray(r1.uopt), np.asarray(r4.uopt))
+
+
+def test_vmap_lanes_match_serial(rng):
+    # AA state is lane-local: batched lanes under vmap must agree with
+    # per-instance serial AA solves lane-for-lane, including when lanes
+    # converge at different steps (per-lane freeze).
+    D, _, _ = _lasso_instance(rng, 100, 150)
+    B = 3
+    S = rng.standard_normal((B, 100))
+    lams = np.geomspace(0.5, 2.0, B)
+    cfg = ADMMConfig(abstol=1e-7, reltol=1e-7, maxiters=3000, anderson=5)
+    batch = lasso_batch(D, S, lams, cfg)
+    steps = np.asarray(batch.steps)
+    assert len(set(steps.tolist())) > 1  # different lanes, different steps
+    for b in range(B):
+        solo = lasso(D, S[b], float(lams[b]), cfg)
+        # Batched linalg rounds differently from serial and AA amplifies
+        # the drift, so step counts agree approximately (observed within
+        # ~2%), not exactly (plain ADMM's exact-steps batching invariant
+        # does not survive extrapolation).
+        assert abs(int(steps[b]) - int(solo.steps)) <= 0.05 * int(solo.steps)
+        # Batched vs serial kernels differ in reduction order, and the
+        # AA window solve amplifies the ULP drift near the
+        # soft-threshold boundary — iterates agree loosely (~1e-7
+        # observed), objectives to solver precision.
+        np.testing.assert_allclose(np.asarray(batch.zopt)[b],
+                                   np.asarray(solo.zopt),
+                                   rtol=1e-3, atol=1e-5)
+        fb = _lasso_obj(D, S[b], float(lams[b]), np.asarray(batch.zopt)[b])
+        fs = _lasso_obj(D, S[b], float(lams[b]), solo.zopt)
+        assert abs(fb - fs) <= 1e-9 * (1.0 + abs(fs))
+
+
+def test_relax_composes(rng):
+    D, s, lam = _lasso_instance(rng, 100, 200)
+    r = lasso(D, s, lam,
+              ADMMConfig(relax=1.5, anderson=8, abstol=1e-7, reltol=1e-7,
+                         maxiters=5000))
+    r_ref = lasso(D, s, lam, ADMMConfig(abstol=1e-7, reltol=1e-7,
+                                        maxiters=20000))
+    f0 = _lasso_obj(D, s, lam, r_ref.zopt)
+    f1 = _lasso_obj(D, s, lam, r.zopt)
+    assert not r.diverged
+    assert abs(f1 - f0) <= 1e-7 * (1.0 + abs(f0))
+
+
+def test_sdp_sharded_supports_aa(rng):
+    # sdp_sharded rides the CORE engine (GSPMD from data shardings), so
+    # AA composes for free: the sharded AA run must agree with the
+    # serial AA run and not be slower in steps than plain.
+    from admm_tpu import sdp
+    from admm_tpu.models.sdp import random_sdp_instance
+    from admm_tpu.parallel import sdp_sharded
+    from admm_tpu.parallel.mesh import make_mesh
+
+    C, A, b, _X, _y, _S = random_sdp_instance(8, 8, 3, rng,
+                                              dtype=np.float64)
+    cfg = ADMMConfig(maxiters=2000, abstol=1e-7, reltol=1e-7, anderson=5)
+    r_ser = sdp(C, A, b, config=cfg)
+    r_sh = sdp_sharded(C, A, b, config=cfg, mesh=make_mesh(4))
+    assert int(r_sh.steps) == int(r_ser.steps)
+    np.testing.assert_allclose(np.asarray(r_sh.zopt),
+                               np.asarray(r_ser.zopt),
+                               rtol=1e-6, atol=1e-8)
+    r_plain = sdp(C, A, b, config=ADMMConfig(maxiters=2000, abstol=1e-7,
+                                             reltol=1e-7))
+    assert int(r_ser.steps) <= int(r_plain.steps)
+
+
+def test_sharded_runners_reject_aa(rng):
+    from admm_tpu.parallel import consensus_lasso, exchange_quadratic
+    from admm_tpu.parallel import linearsvm_sharded
+    from admm_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(2)
+    D = rng.standard_normal((16, 6)).astype(np.float32)
+    s = rng.standard_normal(16).astype(np.float32)
+    cfg = ADMMConfig(maxiters=10, anderson=3)
+    with pytest.raises(NotImplementedError):
+        consensus_lasso(D, s, 0.1, cfg, mesh=mesh, nshards=2)
+    # linearsvm_sharded forces stopcond='both' (unwrappedadmm.m:88
+    # parity), so the config re-validation rejects AA before the
+    # runner's own guard can — either error surface is correct.
+    with pytest.raises((NotImplementedError, ValueError)):
+        linearsvm_sharded(D[:, :2], np.sign(s).astype(np.float32), 1.0,
+                          cfg, mesh=mesh, nshards=2)
+    As = rng.standard_normal((2, 8, 4)).astype(np.float32)
+    bs = rng.standard_normal((2, 8)).astype(np.float32)
+    with pytest.raises(NotImplementedError):
+        exchange_quadratic(As, bs, cfg, mesh=mesh)
+
+
+@pytest.mark.parametrize("bad", [
+    dict(anderson=5, fast=True),
+    dict(anderson=5, adaptive=True),
+    dict(anderson=5, rbadaptive=True),
+    dict(anderson=5, convtest=True),
+    dict(anderson=5, stopcond="hnorm"),
+    dict(anderson=-1),
+    dict(anderson=5, aa_restart=1.0),
+])
+def test_config_validation(bad):
+    with pytest.raises(ValueError):
+        ADMMConfig(**bad)

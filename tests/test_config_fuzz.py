@@ -13,7 +13,7 @@ from admm_tpu import ADMMConfig, lasso
 from admm_tpu.models.model import model
 
 
-def _random_config(rng):
+def _random_config(rng, aa_ok=True):
     cfg = dict(
         rho=float(rng.choice([0.5, 1.0, 2.0])),
         maxiters=int(rng.choice([60, 150])),
@@ -26,7 +26,10 @@ def _random_config(rng):
         stallwindow=int(rng.choice([0, 0, 0, 30])),
         quiet=True,
     )
-    mode = rng.choice(["plain", "fast_w", "fast_s", "adaptive", "rb"])
+    modes = ["plain", "fast_w", "fast_s", "adaptive", "rb"]
+    if aa_ok:  # AA is a core-engine variant (sharded runners reject it)
+        modes.append("aa")
+    mode = rng.choice(modes)
     if mode == "fast_w":
         cfg.update(fast=True, fasttype="weak")
     elif mode == "fast_s":
@@ -36,8 +39,14 @@ def _random_config(rng):
     elif mode == "rb":
         # rbadaptive excludes fast/adaptive/nodualerror (config rules).
         cfg.update(rbadaptive=True)
+    elif mode == "aa":
+        # Anderson acceleration: standard iteration + standard stop only
+        # (config rules); sweep window sizes incl. one larger than the
+        # tiny maxiters would ever fill.
+        cfg.update(anderson=int(rng.choice([2, 5, 12])))
     cfg["stopcond"] = str(rng.choice(
-        ["standard", "both"] + (["hnorm"] if mode != "fast_w" else [])))
+        ["standard", "both"] + (["hnorm"] if mode != "fast_w" else []))
+    ) if mode != "aa" else "standard"
     if mode in ("adaptive",):
         cfg["stopcond"] = "both"  # adaptive needs the H machinery anyway
     return ADMMConfig(**cfg)
@@ -112,7 +121,7 @@ def test_random_config_consensus_never_crashes_or_lies(trial):
     from admm_tpu.parallel import consensus_lasso
 
     rng = np.random.default_rng(2000 + trial)
-    cfg = _random_config(rng)
+    cfg = _random_config(rng, aa_ok=False)
     D = rng.standard_normal((64, 12))
     s = rng.standard_normal(64)
     res = consensus_lasso(D, s, 0.1, cfg, nshards=4)
@@ -133,7 +142,8 @@ def test_random_config_round4_families_never_crash(trial):
     from admm_tpu.parallel import exchange_quadratic
 
     rng = np.random.default_rng(4000 + trial)
-    cfg = _random_config(rng)
+    # sdp rides the full engine (AA composes); exchange rejects AA.
+    cfg = _random_config(rng, aa_ok=(trial % 2 == 0))
     if trial % 2 == 0:
         C, A, b, *_ = random_sdp_instance(8, 5, 3,
                                           np.random.default_rng(trial))
