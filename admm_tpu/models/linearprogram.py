@@ -82,6 +82,7 @@ def _registry_entry(b, D, s, config=ADMMConfig(), kkt_mode="affine", **_):
 @timed_solver
 def linearprogram(b=None, D=None, s=None, config: ADMMConfig = ADMMConfig(),
                   altproxg=None, kkt_mode: str = "affine", *,
+                  precondition: bool = False, ruiz_iters: int = 15,
                   x0=None, z0=None, u0=None, **overrides) -> ADMMResults:
     """Solve the standard-form LP (reference solvers/linearprogram.m:81).
 
@@ -89,6 +90,14 @@ def linearprogram(b=None, D=None, s=None, config: ADMMConfig = ADMMConfig(),
     replaces the z-prox (reference linearprogram.m:162-171).
     ``kkt_mode``: 'affine' (default — fully-folded one-GEMV x-prox) or
     'chol' (factored apply; see make_prox_ops).
+
+    ``precondition=True`` Ruiz-equilibrates the constraint matrix first
+    (ops/scaling.py; no reference analog) and solves the equivalent
+    scaled LP — same optimum and objective value, far fewer iterations
+    on badly scaled data.  Returned xopt/zopt/uopt are unscaled back;
+    residual traces and the Boyd stop act in the SCALED space (the OSQP
+    convention); ``results.extra`` carries the scales.  ``altproxg``
+    and warm starts then also live in the scaled space (x̃ = x / e).
     """
     if b is None:
         # Zero-arg demo mode (reference solvers, e.g. lasso.m:122-129).
@@ -97,6 +106,29 @@ def linearprogram(b=None, D=None, s=None, config: ADMMConfig = ADMMConfig(),
         res, _test = linearprogramtest(quiet=False)
         return res
     check_data_vector(D, s)
+    if precondition:
+        import numpy as np
+
+        from ..ops.scaling import ruiz_equilibrate
+
+        D_np = np.asarray(D)
+        dtype = D_np.dtype
+        e, rr = ruiz_equilibrate(D_np, iters=ruiz_iters)
+        Ds = ((rr[:, None] * np.asarray(D, np.float64)) * e[None, :]).astype(dtype)
+        bs = (e * np.asarray(b, np.float64)).astype(dtype)
+        ss = (rr * np.asarray(s, np.float64)).astype(dtype)
+        res = linearprogram(
+            bs, Ds, ss, config, altproxg, kkt_mode,
+            x0=None if x0 is None else np.asarray(x0, np.float64) / e,
+            z0=None if z0 is None else np.asarray(z0, np.float64) / e,
+            u0=None if u0 is None else np.asarray(u0, np.float64) / e,
+            **overrides)
+        ev = jnp.asarray(e, dtype)
+        res.xopt = ev * res.xopt
+        res.zopt = ev * res.zopt
+        res.uopt = ev * res.uopt
+        res.extra = {**(res.extra or {}), "ruiz_col": e, "ruiz_row": rr}
+        return res
     # affine mode is a one-GEMV body ('gemv'); the factored chol apply is
     # triangular-sweep dominated and measured SLOWER unrolled ('heavy').
     config = merge_config(config, overrides,

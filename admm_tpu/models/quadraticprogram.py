@@ -124,7 +124,8 @@ def _registry_entry(P, q, D=None, s=None, lb=None, ub=None, config=ADMMConfig(),
 def quadraticprogram(
     P=None, q=None, r=None, cons1=None, cons2=None,
     config: ADMMConfig = ADMMConfig(), altproxg: Optional[Callable] = None,
-    kkt_mode: str = "affine", *, x0=None, z0=None, u0=None, **overrides
+    kkt_mode: str = "affine", *, precondition: bool = False,
+    ruiz_iters: int = 15, x0=None, z0=None, u0=None, **overrides
 ) -> ADMMResults:
     """Solve a QP (reference solvers/quadraticprogram.m:99).
 
@@ -134,12 +135,56 @@ def quadraticprogram(
     normalized so lb <= ub elementwise, quadraticprogram.m:340-350).
     ``altproxg`` replaces the z-prox in either form (getProxOps.m:664-666).
     ``kkt_mode`` ('affine' default / 'chol') applies to the standard form.
+
+    ``precondition=True`` Ruiz-equilibrates the KKT structure
+    [[P, Dᵀ], [D, 0]] (ops/scaling.py; bounded form: P alone, with the
+    box bounds scaled along) and solves the equivalent scaled QP —
+    identical optimum and objective value, far fewer iterations on
+    badly scaled data.  xopt/zopt/uopt are unscaled back; residual
+    traces and the Boyd stop act in the SCALED space (OSQP convention);
+    ``results.extra`` carries the scales; altproxg/warm starts then
+    live in the scaled space (x̃ = x / e).
     """
     if P is None:
         # Zero-arg demo mode (reference solvers, e.g. lasso.m:122-129).
         from ..testers.problems import quadraticprogramtest
 
         res, _test = quadraticprogramtest(quiet=False)
+        return res
+    if precondition:
+        import numpy as np
+
+        from ..ops.scaling import ruiz_equilibrate
+
+        P_np = np.asarray(P)
+        dtype = P_np.dtype
+        P64 = np.asarray(P, np.float64)
+        c1 = np.asarray(cons1)
+        standard = c1.ndim == 2
+        e, rr = ruiz_equilibrate(c1 if standard else None, P64,
+                                 iters=ruiz_iters)
+        Ps = ((e[:, None] * P64) * e[None, :]).astype(dtype)
+        qs = (e * np.asarray(q, np.float64)).astype(dtype)
+        if standard:
+            c1s = ((rr[:, None] * np.asarray(c1, np.float64))
+                   * e[None, :]).astype(dtype)
+            c2s = (rr * np.asarray(cons2, np.float64)).astype(dtype)
+        else:
+            # Box bounds transform as x̃ = x / e (e > 0 keeps order).
+            c1s = (np.asarray(cons1, np.float64) / e).astype(dtype)
+            c2s = (np.asarray(cons2, np.float64) / e).astype(dtype)
+        res = quadraticprogram(
+            Ps, qs, r, c1s, c2s, config, altproxg, kkt_mode,
+            x0=None if x0 is None else np.asarray(x0, np.float64) / e,
+            z0=None if z0 is None else np.asarray(z0, np.float64) / e,
+            u0=None if u0 is None else np.asarray(u0, np.float64) / e,
+            **overrides)
+        ev = jnp.asarray(e, dtype)
+        res.xopt = ev * res.xopt
+        res.zopt = ev * res.zopt
+        res.uopt = ev * res.uopt
+        res.extra = {**(res.extra or {}), "ruiz_col": e,
+                     "ruiz_row": rr if standard else None}
         return res
     # affine KKT fold = one-GEMV body ('gemv'); chol mode's triangular
     # sweeps measured slower unrolled ('heavy').
