@@ -1079,6 +1079,58 @@ def _beyond_reference_accuracy():
            / np.linalg.norm(L0))
     emit("rpca_recovery", 1e-3, err, res)
 
+    # Anderson acceleration on the SDP (round-5 engine variant,
+    # ADMMConfig.anderson): KKT-gap oracle on a dedicated n=64 m=128
+    # instance at tolerances f32 MEETS (1e-5 Boyd), so both runs
+    # converge cleanly and the step counts compare two converged
+    # trajectories (at the f32-floor tolerances of the sdp_gap rows
+    # both runs plateau-stop and the comparison is stall noise).
+    # CPU f32 calibration, seeds 7/8/9: plain 63-68 steps, aa10 38-39
+    # (1.7x), gaps 1e-4..2e-3.
+    rng_aa = np.random.default_rng(7)
+    Caa, Aaa, baa, Xaa, _, _ = random_sdp_instance(64, 128, 8, rng_aa,
+                                                   dtype=f32)
+    paa = float(np.sum(Caa.astype(np.float64) * Xaa.astype(np.float64)))
+    cfg_aa = dict(maxiters=8000, abstol=1e-5, reltol=1e-5, stallwindow=200)
+    res_pl = _sdp(Caa, Aaa, baa, config=ADMMConfig(**cfg_aa),
+                  prox_method="eigh")
+    res = _sdp(Caa, Aaa, baa, config=ADMMConfig(anderson=10, **cfg_aa),
+               prox_method="eigh")
+    obj = float(np.sum(Caa.astype(np.float64)
+                       * np.asarray(res.zopt, np.float64)))
+    err = abs(obj - paa) / max(1.0, abs(paa))
+    emit("sdp_gap_eigh_aa10", 5e-3, err, res,
+         extra={"steps_plain": int(res_pl.steps)})
+
+    # Ruiz preconditioning (round 5, linearprogram precondition=True):
+    # a badly row/column-scaled LP (scales 10^±2) against the host-side
+    # f64 HiGHS optimum; the unpreconditioned step count is stamped for
+    # contrast.  CPU f32 calibration: rel 5.2e-4 at 319 steps vs 763
+    # unpreconditioned.
+    from scipy.optimize import linprog as _linprog
+
+    from admm_tpu import linearprogram as _lp
+
+    mlp, nlp = 48, 144
+    Dlp = rng.standard_normal((mlp, nlp))
+    slp = Dlp @ np.abs(rng.standard_normal(nlp))
+    blp = np.abs(rng.standard_normal(nlp)) + 0.1
+    Glp = 10.0 ** rng.uniform(-2, 2, mlp)
+    Flp = 10.0 ** rng.uniform(-2, 2, nlp)
+    Dbad = (Glp[:, None] * Dlp * Flp[None, :]).astype(f32)
+    sbad = (Glp * slp).astype(f32)
+    bbad = (Flp * blp).astype(f32)
+    out = _linprog(bbad.astype(np.float64), A_eq=Dbad.astype(np.float64),
+                   b_eq=sbad.astype(np.float64), bounds=[(0, None)] * nlp,
+                   method="highs")
+    res = _lp(bbad, Dbad, sbad, cfg, precondition=True)
+    res_npc = _lp(bbad, Dbad, sbad, cfg)
+    f_pre = float(bbad.astype(np.float64) @ np.asarray(res.xopt, np.float64))
+    err = abs(f_pre - out.fun) / (1.0 + abs(out.fun))
+    emit("lp_precond_badscale", 2e-3, err, res,
+         extra={"f_highs": round(float(out.fun), 6),
+                "steps_unpreconditioned": int(res_npc.steps)})
+
     return rows
 
 
