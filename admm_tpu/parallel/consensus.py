@@ -111,11 +111,16 @@ def _make_consensus_run(local_prox, global_prox, config: ADMMConfig,
     ``run(data, xi0, ui0, z0) -> raw dict``.  Jitted directly by
     ``_cached_consensus_runner``; vmapped over an instance-lane axis by
     ``_cached_consensus_batch_runner`` (the 2-D lanes x shards mesh)."""
-    if config.anderson:
-        raise NotImplementedError(
-            "ADMMConfig.anderson is a core-engine variant; the consensus "
-            "runner does not carry AA state (sdp_sharded, which rides the "
-            "core engine, does support it)")
+    # Anderson acceleration (ADMMConfig.anderson) on the consensus map:
+    # the fixed-point state is s = (z, {u_i}) — xi is DERIVED each sweep
+    # (local proxes restart from z - u_i, consensus.py docstring), so
+    # the window tracks the replicated z plus the sharded dual stack.
+    # Window dot products contract over the sharded axis (GSPMD inserts
+    # the all-reduce); the (m, m) solve is replicated.  Config
+    # validation already restricts AA to the plain iteration with a
+    # fixed rho and the standard stop.
+    use_aa = config.anderson > 0
+    m_aa = int(config.anderson)
     N = int(config.maxiters)
     relax = float(config.relax)
     use_relax = relax != 1.0
@@ -178,6 +183,12 @@ def _make_consensus_run(local_prox, global_prox, config: ADMMConfig,
             "stalled": jnp.asarray(False),
             "best_p": sc(jnp.inf) if use_stall else (),
             "since": jnp.asarray(0, jnp.int32) if use_stall else (),
+            "aFz": jnp.zeros((m_aa + 1, n), rdtype) if use_aa else (),
+            "aTz": jnp.zeros((m_aa + 1, n), rdtype) if use_aa else (),
+            "aFu": jnp.zeros((m_aa + 1, W, n), rdtype) if use_aa else (),
+            "aTu": jnp.zeros((m_aa + 1, W, n), rdtype) if use_aa else (),
+            "acnt": jnp.asarray(0, jnp.int32) if use_aa else (),
+            "abest": sc(jnp.inf) if use_aa else (),
             "Hprev": sc(jnp.inf),
             "hist": hist0,
         }
@@ -336,6 +347,53 @@ def _make_consensus_run(local_prox, global_prox, config: ADMMConfig,
                 # this rescale, engine.py history block).
                 ubar = ubar / factor
 
+            # ---- Anderson acceleration (see use_aa note above).  The
+            # plain sweep is the map evaluation T(z, ui); the candidate
+            # replaces the NEXT iteration's starting state only —
+            # residuals/stopping/history stay those of the plain sweep
+            # (engine parity, engine.py AA block).
+            z_next, ui_next = z, ui
+            if use_aa:
+                R = m_aa + 1
+                fz = z - zprev
+                fu = ui - c["ui"]
+                fn2 = jnp.sum(fz * fz) + jnp.sum(fu * fu)
+                grew = fn2 > (config.aa_restart ** 2) * c["abest"]
+                cnt = jnp.where(grew, 0, c["acnt"])
+                abest_new = jnp.where(grew, fn2,
+                                      jnp.minimum(c["abest"], fn2))
+                slot = (cnt % R).astype(jnp.int32)
+                aFz = sel_slot(c["aFz"], slot, fz)
+                aTz = sel_slot(c["aTz"], slot, z)
+                aFu = sel_slot(c["aFu"], slot, fu)
+                aTu = sel_slot(c["aTu"], slot, ui)
+                js = (cnt - m_aa + jnp.arange(R, dtype=jnp.int32)) % R
+                dFz = aFz[js][1:] - aFz[js][:-1]
+                dTz = aTz[js][1:] - aTz[js][:-1]
+                dFu = aFu[js][1:] - aFu[js][:-1]
+                dTu = aTu[js][1:] - aTu[js][:-1]
+                mk = jnp.minimum(cnt, m_aa)
+                vmask = jnp.arange(m_aa) >= (m_aa - mk)
+                dFz = jnp.where(vmask[:, None], dFz, 0.0)
+                dTz = jnp.where(vmask[:, None], dTz, 0.0)
+                dFu = jnp.where(vmask[:, None, None], dFu, 0.0)
+                dTu = jnp.where(vmask[:, None, None], dTu, 0.0)
+                G = dFz @ dFz.T + jnp.einsum("awn,bwn->ab", dFu, dFu)
+                lam = config.aa_reg * jnp.trace(G) + eps
+                gamma = jnp.linalg.solve(
+                    G + lam * jnp.eye(m_aa, dtype=rdtype),
+                    dFz @ fz + jnp.einsum("awn,wn->a", dFu, fu))
+                cz = z - gamma @ dTz
+                cu = ui - jnp.einsum("a,awn->wn", gamma, dTu)
+                ok = (jnp.all(jnp.isfinite(cz)) & jnp.all(jnp.isfinite(cu))
+                      & (jnp.sum(jnp.abs(gamma)) <= config.aa_gmax)
+                      & (mk >= 1) & jnp.logical_not(done))
+                z_next = jnp.where(ok, cz, z)
+                ui_next = jnp.where(ok, cu, ui)
+                acnt_new = cnt + 1
+            else:
+                aFz = aTz = aFu = aTu = acnt_new = abest_new = ()
+
             h = dict(c["hist"])
             h["pnorm"] = sel_slot(h["pnorm"], k, pnorm)
             h["dnorm"] = sel_slot(h["dnorm"], k, dnorm)
@@ -364,8 +422,8 @@ def _make_consensus_run(local_prox, global_prox, config: ADMMConfig,
 
             return {
                 "k": sel(k, k + 1),
-                "xi": sel(c["xi"], xi), "z": sel(c["z"], z),
-                "ui": sel(c["ui"], ui),
+                "xi": sel(c["xi"], xi), "z": sel(c["z"], z_next),
+                "ui": sel(c["ui"], ui_next),
                 "xbar_prev": sel(c["xbar_prev"], xbar),
                 "v": sel(c["v"], v_new) if alg else (),
                 "uhat": sel(c["uhat"], uhat_new) if alg else (),
@@ -378,6 +436,12 @@ def _make_consensus_run(local_prox, global_prox, config: ADMMConfig,
                 "stalled": sel(c["stalled"], c["stalled"] | stall_i),
                 "best_p": sel(c["best_p"], best_new) if use_stall else (),
                 "since": sel(c["since"], since_new) if use_stall else (),
+                "aFz": aFz if use_aa else (),
+                "aTz": aTz if use_aa else (),
+                "aFu": aFu if use_aa else (),
+                "aTu": aTu if use_aa else (),
+                "acnt": sel(c["acnt"], acnt_new) if use_aa else (),
+                "abest": sel(c["abest"], abest_new) if use_aa else (),
                 "Hprev": sel(c["Hprev"], Hsq) if needs_h else c["Hprev"],
                 "hist": h,
             }

@@ -89,8 +89,8 @@ def _make_exchange_run(local_prox, config: ADMMConfig, W: int, n: int):
     the residual norms collapse to the x̄-only forms."""
     if config.anderson:
         raise NotImplementedError(
-            "ADMMConfig.anderson is a core-engine variant; the exchange "
-            "runner does not carry AA state")
+            "ADMMConfig.anderson is supported by the core engine and the "
+            "consensus runner; the exchange runner does not carry AA state")
     N = int(config.maxiters)
     relax = float(config.relax)
     use_relax = relax != 1.0

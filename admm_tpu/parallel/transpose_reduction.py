@@ -180,8 +180,9 @@ def _make_unwrapped_run(prox_g_shard, obj_shard, obj_global,
     update is base + Axr - z)."""
     if config.anderson:
         raise NotImplementedError(
-            "ADMMConfig.anderson is a core-engine variant; the "
-            "transpose-reduction runner does not carry AA state")
+            "ADMMConfig.anderson is supported by the core engine and the "
+            "consensus runner; the transpose-reduction runner does not "
+            "carry AA state")
     N = int(config.maxiters)
     rho0 = float(config.rho)
     needs_h = config.needs_hnorm

@@ -167,17 +167,62 @@ def test_sdp_sharded_supports_aa(rng):
     assert int(r_ser.steps) <= int(r_plain.steps)
 
 
-def test_sharded_runners_reject_aa(rng):
-    from admm_tpu.parallel import consensus_lasso, exchange_quadratic
-    from admm_tpu.parallel import linearsvm_sharded
+def test_consensus_aa_accelerates_and_gates(rng):
+    # AA on the consensus map (state = (z, dual stack); window dots
+    # all-reduce over the shard axis): fewer steps, same optimum, and
+    # the rejected-candidate fallback reproduces plain bit-for-bit.
+    from admm_tpu.parallel import consensus_lasso
+
+    D = rng.standard_normal((128, 48))
+    s = rng.standard_normal(128)
+    lam = 0.1 * np.max(np.abs(D.T @ s))
+    tol = dict(abstol=1e-8, reltol=1e-8, maxiters=20000)
+    rp = consensus_lasso(D, s, lam, ADMMConfig(**tol), nshards=8)
+    ra = consensus_lasso(D, s, lam, ADMMConfig(anderson=10, **tol),
+                         nshards=8)
+    assert int(ra.steps) < int(rp.steps) * 0.5
+    fp = _lasso_obj(D, s, lam, rp.zopt)
+    fa = _lasso_obj(D, s, lam, ra.zopt)
+    assert abs(fa - fp) <= 1e-7 * (1.0 + abs(fp))
+    rg = consensus_lasso(D, s, lam,
+                         ADMMConfig(anderson=5, aa_gmax=1e-300, **tol),
+                         nshards=8)
+    assert int(rg.steps) == int(rp.steps)
+    np.testing.assert_array_equal(np.asarray(rg.zopt), np.asarray(rp.zopt))
+
+
+def test_consensus_covsel_aa(rng):
+    # Matrix-iterate tier: AA rides the flattened consensus state.
+    import jax.numpy as jnp
+
+    from admm_tpu.models.covarianceselection import (_obj,
+                                                     covarianceselection,
+                                                     empirical_covariance)
+    from admm_tpu.parallel import consensus_covsel
+
+    Dcv = rng.standard_normal((160, 16))
+    cfgc = dict(abstol=1e-7, reltol=1e-7, maxiters=5000)
+    rc = consensus_covsel(Dcv, 0.1, ADMMConfig(**cfgc), nshards=8)
+    rca = consensus_covsel(Dcv, 0.1, ADMMConfig(anderson=10, **cfgc),
+                           nshards=8)
+    assert int(rca.steps) < int(rc.steps)
+    ser = covarianceselection(Dcv, 0.1, ADMMConfig(abstol=1e-9,
+                                                   reltol=1e-9,
+                                                   maxiters=20000))
+    dS = {"S": jnp.asarray(empirical_covariance(Dcv)),
+          "lam": jnp.asarray(0.1)}
+    f = lambda r: float(_obj(jnp.asarray(r.xopt), jnp.asarray(r.zopt), dS))
+    assert abs(f(rca) - f(ser)) <= 1e-4 * (1.0 + abs(f(ser)))
+
+
+def test_nonconsensus_sharded_runners_reject_aa(rng):
+    from admm_tpu.parallel import exchange_quadratic, linearsvm_sharded
     from admm_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh(2)
     D = rng.standard_normal((16, 6)).astype(np.float32)
     s = rng.standard_normal(16).astype(np.float32)
     cfg = ADMMConfig(maxiters=10, anderson=3)
-    with pytest.raises(NotImplementedError):
-        consensus_lasso(D, s, 0.1, cfg, mesh=mesh, nshards=2)
     # linearsvm_sharded forces stopcond='both' (unwrappedadmm.m:88
     # parity), so the config re-validation rejects AA before the
     # runner's own guard can — either error surface is correct.

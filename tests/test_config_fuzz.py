@@ -27,7 +27,7 @@ def _random_config(rng, aa_ok=True):
         quiet=True,
     )
     modes = ["plain", "fast_w", "fast_s", "adaptive", "rb"]
-    if aa_ok:  # AA is a core-engine variant (sharded runners reject it)
+    if aa_ok:  # AA: core engine + consensus runner (exchange/TR reject it)
         modes.append("aa")
     mode = rng.choice(modes)
     if mode == "fast_w":
@@ -121,7 +121,7 @@ def test_random_config_consensus_never_crashes_or_lies(trial):
     from admm_tpu.parallel import consensus_lasso
 
     rng = np.random.default_rng(2000 + trial)
-    cfg = _random_config(rng, aa_ok=False)
+    cfg = _random_config(rng)
     D = rng.standard_normal((64, 12))
     s = rng.standard_normal(64)
     res = consensus_lasso(D, s, 0.1, cfg, nshards=4)
