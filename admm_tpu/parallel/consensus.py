@@ -69,6 +69,13 @@ them there — here each is wired into the consensus iteration itself):
     predictors would bypass altuLASSOs averaging), so like relax this
     is a strict feature extension; its exactness oracle is the core
     engine run on the stacked formulation (test_parallel.py).
+  * Anderson acceleration (config.anderson, round 5 late): the AA
+    window tracks the map state (z, {u_i}) — the replicated global
+    plus the SHARDED dual stack; window dot products contract over the
+    shard axis (one extra all-reduce class per iteration) and the
+    (m, m) solve is replicated.  Same safeguards and plain-sweep
+    stopping as the engine's AA; measured 3-4x fewer iterations on
+    consensus lasso/covsel at tight tolerances (test_anderson.py).
 
 TPU design: the reference pays a client->worker broadcast + gather per
 prox per iteration (parfor); here the ENTIRE solve is one jitted program
