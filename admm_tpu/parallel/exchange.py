@@ -43,6 +43,14 @@ Variants (engine parity; the other two paradigms already carry them):
     agent-independent), uhat is ONE price vector.  The accelerated
     d-value tiles the price W ways:
     d = (W/rho)||u - uhat||^2 + rho||z - v||_F^2.
+  * Anderson acceleration (config.anderson, round 5 late): AA window
+    on the map state (mean-free z stack, price u) — the stack sharded
+    over agents, the price replicated; window dot products contract
+    over the agent axis and the (m, m) solve is replicated.  The
+    extrapolation is a linear combination of mean-free stacks, so the
+    z-subspace invariant survives.  Measured: the quadratic market
+    equilibrium in 33 vs 344 plain iterations at 1e-8 tolerances
+    (tests/test_anderson.py).
   * exactness oracle: the core engine on the stacked formulation
     (shape_x = (W, n), prox_g = mean-removal projection) reproduces
     every variant trajectory bit-for-bit up to reduction order
@@ -87,17 +95,24 @@ def _make_exchange_run(local_prox, config: ADMMConfig, W: int, n: int):
     (tests/test_exchange.py).  The lean alg-0/relax-1 path keeps its
     measured-floor body: z = x_i - x̄ stays implicit (never carried) and
     the residual norms collapse to the x̄-only forms."""
-    if config.anderson:
-        raise NotImplementedError(
-            "ADMMConfig.anderson is supported by the core engine and the "
-            "consensus runner; the exchange runner does not carry AA state")
+    # Anderson acceleration (ADMMConfig.anderson) on the exchange map:
+    # the fixed-point state is (z stack, price u) — the mean-free z
+    # stack is sharded over agents, the price replicated; window dot
+    # products contract over the agent axis (GSPMD all-reduce) and the
+    # (m, m) solve is replicated.  AA extrapolation is a linear
+    # combination of mean-free stacks, so the z-subspace invariant
+    # survives.  Config validation restricts AA to the plain iteration.
+    use_aa = config.anderson > 0
+    m_aa = int(config.anderson)
     N = int(config.maxiters)
     relax = float(config.relax)
     use_relax = relax != 1.0
     alg = config.alg
     # Variants carry the mean-free z stack explicitly; the lean path
     # derives it (z_i = x_i - xbar) and skips the extra state/selects.
-    needs_z = use_relax or bool(alg)
+    # AA needs the carried z too (the extrapolated stack must feed the
+    # next sweep).
+    needs_z = use_relax or bool(alg) or use_aa
     std_stop = config.stopcond in ("standard", "both")
     use_stall = config.use_stall
 
@@ -135,6 +150,12 @@ def _make_exchange_run(local_prox, config: ADMMConfig, W: int, n: int):
             "stalled": jnp.asarray(False),
             "best_p": sc(jnp.inf) if use_stall else (),
             "since": jnp.asarray(0, jnp.int32) if use_stall else (),
+            "aFs": jnp.zeros((m_aa + 1, W, n), rdtype) if use_aa else (),
+            "aTs": jnp.zeros((m_aa + 1, W, n), rdtype) if use_aa else (),
+            "aFp": jnp.zeros((m_aa + 1, n), rdtype) if use_aa else (),
+            "aTp": jnp.zeros((m_aa + 1, n), rdtype) if use_aa else (),
+            "acnt": jnp.asarray(0, jnp.int32) if use_aa else (),
+            "abest": sc(jnp.inf) if use_aa else (),
             "hist": hist0,
         }
 
@@ -255,6 +276,53 @@ def _make_exchange_run(local_prox, config: ADMMConfig, W: int, n: int):
                 rho_new = rho * factor
                 u_new = u_new / factor
 
+            # ---- Anderson acceleration (see use_aa note above): the
+            # plain sweep is the map evaluation T(z, u); the candidate
+            # only replaces the NEXT iteration's starting state, and
+            # residuals/stopping/history stay plain-sweep (engine and
+            # consensus parity).
+            z_next, u_next = z_new, u_new
+            if use_aa:
+                R = m_aa + 1
+                fs = z_new - zprev
+                fp = u_new - c["u"]
+                fn2 = jnp.sum(fs * fs) + jnp.sum(fp * fp)
+                grew = fn2 > (config.aa_restart ** 2) * c["abest"]
+                cnt = jnp.where(grew, 0, c["acnt"])
+                abest_new = jnp.where(grew, fn2,
+                                      jnp.minimum(c["abest"], fn2))
+                slot = (cnt % R).astype(jnp.int32)
+                aFs = sel_slot(c["aFs"], slot, fs)
+                aTs = sel_slot(c["aTs"], slot, z_new)
+                aFp = sel_slot(c["aFp"], slot, fp)
+                aTp = sel_slot(c["aTp"], slot, u_new)
+                js = (cnt - m_aa + jnp.arange(R, dtype=jnp.int32)) % R
+                dFs = aFs[js][1:] - aFs[js][:-1]
+                dTs = aTs[js][1:] - aTs[js][:-1]
+                dFp = aFp[js][1:] - aFp[js][:-1]
+                dTp = aTp[js][1:] - aTp[js][:-1]
+                mk = jnp.minimum(cnt, m_aa)
+                vmask = jnp.arange(m_aa) >= (m_aa - mk)
+                dFs = jnp.where(vmask[:, None, None], dFs, 0.0)
+                dTs = jnp.where(vmask[:, None, None], dTs, 0.0)
+                dFp = jnp.where(vmask[:, None], dFp, 0.0)
+                dTp = jnp.where(vmask[:, None], dTp, 0.0)
+                G = jnp.einsum("awn,bwn->ab", dFs, dFs) + dFp @ dFp.T
+                lam = config.aa_reg * jnp.trace(G) + jnp.finfo(rdtype).eps
+                gamma = jnp.linalg.solve(
+                    G + lam * jnp.eye(m_aa, dtype=rdtype),
+                    jnp.einsum("awn,wn->a", dFs, fs) + dFp @ fp)
+                cs = z_new - jnp.einsum("a,awn->wn", gamma, dTs)
+                cp = u_new - gamma @ dTp
+                ok = (jnp.all(jnp.isfinite(cs)) & jnp.all(jnp.isfinite(cp))
+                      & (jnp.sum(jnp.abs(gamma)) <= config.aa_gmax)
+                      & (mk >= 1) & jnp.logical_not(done))
+                z_next = jnp.where(ok, cs, z_new)
+                u_next = jnp.where(ok, cp, u_new)
+                acnt_new = cnt + 1
+            else:
+                aFs = aTs = aFp = aTp = acnt_new = abest_new = ()
+
             h = dict(c["hist"])
             h["pnorm"] = sel_slot(h["pnorm"], k, pnorm)
             h["dnorm"] = sel_slot(h["dnorm"], k, dnorm)
@@ -271,9 +339,9 @@ def _make_exchange_run(local_prox, config: ADMMConfig, W: int, n: int):
 
             return {
                 "k": sel(k, k + 1),
-                "xi": sel(c["xi"], xi_new), "u": sel(c["u"], u_new),
+                "xi": sel(c["xi"], xi_new), "u": sel(c["u"], u_next),
                 "xbar": sel(c["xbar"], xbar_new),
-                "z": sel(c["z"], z_new) if needs_z else (),
+                "z": sel(c["z"], z_next) if needs_z else (),
                 "v": sel(c["v"], v_new) if alg else (),
                 "uhat": sel(c["uhat"], uhat_new) if alg else (),
                 "a": sel(c["a"], a_new) if alg else (),
@@ -284,6 +352,12 @@ def _make_exchange_run(local_prox, config: ADMMConfig, W: int, n: int):
                 "stalled": sel(c["stalled"], c["stalled"] | stall_i),
                 "best_p": sel(c["best_p"], best_new) if use_stall else (),
                 "since": sel(c["since"], since_new) if use_stall else (),
+                "aFs": aFs if use_aa else (),
+                "aTs": aTs if use_aa else (),
+                "aFp": aFp if use_aa else (),
+                "aTp": aTp if use_aa else (),
+                "acnt": sel(c["acnt"], acnt_new) if use_aa else (),
+                "abest": sel(c["abest"], abest_new) if use_aa else (),
                 "hist": h,
             }
 

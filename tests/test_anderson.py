@@ -215,8 +215,34 @@ def test_consensus_covsel_aa(rng):
     assert abs(f(rca) - f(ser)) <= 1e-4 * (1.0 + abs(f(ser)))
 
 
-def test_nonconsensus_sharded_runners_reject_aa(rng):
-    from admm_tpu.parallel import exchange_quadratic, linearsvm_sharded
+def test_exchange_aa_accelerates_and_gates(rng):
+    # AA on the exchange map (state = (mean-free z stack, price u)):
+    # the closed-form market equilibrium in an order of magnitude fewer
+    # iterations, with the gated fallback reproducing plain exactly.
+    from admm_tpu.parallel import exchange_quadratic
+
+    W, m, n = 8, 24, 12
+    As = rng.standard_normal((W, m, n))
+    bs = rng.standard_normal((W, m))
+    Ginv = np.stack([np.linalg.inv(A.T @ A) for A in As])
+    Atb = np.einsum("wmi,wm->wi", As, bs)
+    nu = np.linalg.solve(Ginv.sum(0), np.einsum("wij,wj->i", Ginv, Atb))
+    xeq = np.einsum("wij,wj->wi", Ginv, Atb - nu[None, :])
+    tol = dict(abstol=1e-8, reltol=1e-8, maxiters=20000)
+    rp = exchange_quadratic(As, bs, ADMMConfig(**tol))
+    ra = exchange_quadratic(As, bs, ADMMConfig(anderson=10, **tol))
+    rg = exchange_quadratic(As, bs,
+                            ADMMConfig(anderson=5, aa_gmax=1e-300, **tol))
+    for r in (rp, ra):
+        err = np.linalg.norm(np.asarray(r.xopt) - xeq) / np.linalg.norm(xeq)
+        assert err < 1e-6
+    assert int(ra.steps) < int(rp.steps) * 0.3
+    assert int(rg.steps) == int(rp.steps)
+    np.testing.assert_array_equal(np.asarray(rg.xopt), np.asarray(rp.xopt))
+
+
+def test_tr_runner_rejects_aa(rng):
+    from admm_tpu.parallel import linearsvm_sharded
     from admm_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh(2)
@@ -225,14 +251,12 @@ def test_nonconsensus_sharded_runners_reject_aa(rng):
     cfg = ADMMConfig(maxiters=10, anderson=3)
     # linearsvm_sharded forces stopcond='both' (unwrappedadmm.m:88
     # parity), so the config re-validation rejects AA before the
-    # runner's own guard can — either error surface is correct.
+    # runner's own guard can — either error surface is correct.  The
+    # TR runner keeps its guard because its reference-parity stop
+    # includes the H-norm, which AA invalidates.
     with pytest.raises((NotImplementedError, ValueError)):
         linearsvm_sharded(D[:, :2], np.sign(s).astype(np.float32), 1.0,
                           cfg, mesh=mesh, nshards=2)
-    As = rng.standard_normal((2, 8, 4)).astype(np.float32)
-    bs = rng.standard_normal((2, 8)).astype(np.float32)
-    with pytest.raises(NotImplementedError):
-        exchange_quadratic(As, bs, cfg, mesh=mesh)
 
 
 @pytest.mark.parametrize("bad", [

@@ -142,8 +142,9 @@ def test_random_config_round4_families_never_crash(trial):
     from admm_tpu.parallel import exchange_quadratic
 
     rng = np.random.default_rng(4000 + trial)
-    # sdp rides the full engine (AA composes); exchange rejects AA.
-    cfg = _random_config(rng, aa_ok=(trial % 2 == 0))
+    # sdp rides the full engine and exchange carries its own AA state
+    # (round-5 late), so the aa mode sweeps both.
+    cfg = _random_config(rng)
     if trial % 2 == 0:
         C, A, b, *_ = random_sdp_instance(8, 5, 3,
                                           np.random.default_rng(trial))
