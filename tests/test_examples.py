@@ -51,6 +51,22 @@ def test_hnormdemo_runs():
         assert steps > 0 and np.isfinite(hfinal)
 
 
+def test_acceleration_example():
+    from examples.acceleration import acceleration_ladder, badly_scaled_lp
+
+    out = acceleration_ladder(rows=100, cols=200, quiet=True)
+    objs = [f for _, f in out.values()]
+    assert max(objs) - min(objs) <= 1e-6 * (1.0 + abs(objs[0]))
+    assert out["anderson m=10"][0] < out["plain"][0]
+
+    lp = badly_scaled_lp(m=24, n=72, quiet=True)
+    # Preconditioned runs satisfy BOTH constraint families; AA stacks.
+    for name in ("precondition", "precondition + AA"):
+        steps, fobj, eq_viol, cone_viol = lp[name]
+        assert eq_viol < 1e-6 and cone_viol < 1e-3
+    assert lp["precondition + AA"][0] <= lp["precondition"][0]
+
+
 def test_mnist_synthetic_pipeline():
     rows = mnistsvm(n_train=300, n_test=100, digits=[0, 1], maxiters=100,
                     quiet=True)
