@@ -131,6 +131,27 @@ def test_vmap_lanes_match_serial(rng):
         assert abs(fb - fs) <= 1e-9 * (1.0 + abs(fs))
 
 
+def test_path_composes(rng):
+    # AA through the vmapped regularization path: per-lane windows,
+    # per-lam optima matching solo AA solves.
+    from admm_tpu.models.paths import lasso_path
+
+    D = rng.standard_normal((100, 150))
+    s = rng.standard_normal(100)
+    lams = np.geomspace(0.2, 2.0, 4)
+    cfg = ADMMConfig(abstol=1e-7, reltol=1e-7, maxiters=5000, anderson=8)
+    path = lasso_path(D, s, lams, cfg)
+    for i, lam in enumerate(lams):
+        solo = lasso(D, s, float(lam), cfg)
+        fb = _lasso_obj(D, s, float(lam), np.asarray(path.zopt)[i])
+        fs = _lasso_obj(D, s, float(lam), solo.zopt)
+        assert abs(fb - fs) <= 1e-8 * (1.0 + abs(fs))
+        # lane-local windows: step counts agree to the batched-rounding
+        # drift (observed <= 3 steps of ~400)
+        assert abs(int(np.asarray(path.steps)[i]) - int(solo.steps)) <= \
+            0.05 * int(solo.steps)
+
+
 def test_relax_composes(rng):
     D, s, lam = _lasso_instance(rng, 100, 200)
     r = lasso(D, s, lam,
