@@ -178,11 +178,18 @@ def _make_unwrapped_run(prox_g_shard, obj_shard, obj_global,
     engine._build_runner with A = D, B = -I, c = 0 specialized per shard
     (B.mv(z) = -z, so Axhat = relax*Dx + (1-relax)*zprev and the dual
     update is base + Axr - z)."""
-    if config.anderson:
-        raise NotImplementedError(
-            "ADMMConfig.anderson is supported by the core engine and the "
-            "consensus runner; the transpose-reduction runner does not "
-            "carry AA state")
+    # Anderson acceleration (ADMMConfig.anderson) on the TR map: the
+    # fixed-point state is the sharded row-space pair (z, u) — x is
+    # DERIVED each sweep (x = Winv @ psum(Diᵀ(z - u))).  Window dot
+    # products contract over the sharded rows (GSPMD all-reduce); the
+    # (m, m) solve is replicated.  The padded-row mask survives AA
+    # (linear combinations of masked vectors stay masked).  Note the
+    # reference-parity SVM wrapper forces stopcond='both'
+    # (unwrappedadmm.m:88), which config validation rejects under AA —
+    # AA reaches this runner only through standard-stop configs on the
+    # generic unwrapped_admm_sharded path.
+    use_aa = config.anderson > 0
+    m_aa = int(config.anderson)
     N = int(config.maxiters)
     rho0 = float(config.rho)
     needs_h = config.needs_hnorm
@@ -235,6 +242,16 @@ def _make_unwrapped_run(prox_g_shard, obj_shard, obj_global,
             "stalled": jnp.asarray(False),
             "best_p": sc(jnp.inf) if use_stall else (),
             "since": jnp.asarray(0, jnp.int32) if use_stall else (),
+            "aFz": jnp.zeros((m_aa + 1,) + z0.shape, rdtype)
+            if use_aa else (),
+            "aTz": jnp.zeros((m_aa + 1,) + z0.shape, rdtype)
+            if use_aa else (),
+            "aFu": jnp.zeros((m_aa + 1,) + u0.shape, rdtype)
+            if use_aa else (),
+            "aTu": jnp.zeros((m_aa + 1,) + u0.shape, rdtype)
+            if use_aa else (),
+            "acnt": jnp.asarray(0, jnp.int32) if use_aa else (),
+            "abest": sc(jnp.inf) if use_aa else (),
             "hist": hist0,
         }
 
@@ -370,6 +387,55 @@ def _make_unwrapped_run(prox_g_shard, obj_shard, obj_global,
                 rho_new = rho * factor
                 ui = ui / factor
 
+            # ---- Anderson acceleration (see use_aa note above): the
+            # plain sweep is the map evaluation T(z, u); the candidate
+            # only replaces the NEXT iteration's starting state —
+            # residuals/stopping/history stay plain-sweep (engine,
+            # consensus, and exchange parity).
+            z_next, u_next = zi, ui
+            if use_aa:
+                R = m_aa + 1
+                fz = zi - zprev
+                fu = ui - c["u"]
+                fn2 = jnp.sum(fz * fz) + jnp.sum(fu * fu)
+                grew = fn2 > (config.aa_restart ** 2) * c["abest"]
+                cnt = jnp.where(grew, 0, c["acnt"])
+                abest_new = jnp.where(grew, fn2,
+                                      jnp.minimum(c["abest"], fn2))
+                slot = (cnt % R).astype(jnp.int32)
+                aFz = sel_slot(c["aFz"], slot, fz)
+                aTz = sel_slot(c["aTz"], slot, zi)
+                aFu = sel_slot(c["aFu"], slot, fu)
+                aTu = sel_slot(c["aTu"], slot, ui)
+                js = (cnt - m_aa + jnp.arange(R, dtype=jnp.int32)) % R
+                dFz = aFz[js][1:] - aFz[js][:-1]
+                dTz = aTz[js][1:] - aTz[js][:-1]
+                dFu = aFu[js][1:] - aFu[js][:-1]
+                dTu = aTu[js][1:] - aTu[js][:-1]
+                mk = jnp.minimum(cnt, m_aa)
+                vmask = jnp.arange(m_aa) >= (m_aa - mk)
+                dFz = jnp.where(vmask[:, None, None], dFz, 0.0)
+                dTz = jnp.where(vmask[:, None, None], dTz, 0.0)
+                dFu = jnp.where(vmask[:, None, None], dFu, 0.0)
+                dTu = jnp.where(vmask[:, None, None], dTu, 0.0)
+                G = (jnp.einsum("awi,bwi->ab", dFz, dFz)
+                     + jnp.einsum("awi,bwi->ab", dFu, dFu))
+                lam = config.aa_reg * jnp.trace(G) + eps
+                gamma = jnp.linalg.solve(
+                    G + lam * jnp.eye(m_aa, dtype=rdtype),
+                    jnp.einsum("awi,wi->a", dFz, fz)
+                    + jnp.einsum("awi,wi->a", dFu, fu))
+                cz = zi - jnp.einsum("a,awi->wi", gamma, dTz)
+                cu = ui - jnp.einsum("a,awi->wi", gamma, dTu)
+                ok = (jnp.all(jnp.isfinite(cz)) & jnp.all(jnp.isfinite(cu))
+                      & (jnp.sum(jnp.abs(gamma)) <= config.aa_gmax)
+                      & (mk >= 1) & jnp.logical_not(done))
+                z_next = jnp.where(ok, cz, zi)
+                u_next = jnp.where(ok, cu, ui)
+                acnt_new = cnt + 1
+            else:
+                aFz = aTz = aFu = aTu = acnt_new = abest_new = ()
+
             # ---- history ---------------------------------------------------
             h = dict(c["hist"])
             h["pnorm"] = sel_slot(h["pnorm"], k, pnorm)
@@ -389,8 +455,8 @@ def _make_unwrapped_run(prox_g_shard, obj_shard, obj_global,
 
             return {
                 "k": sel(k, k + 1),
-                "x": sel(c["x"], x), "z": sel(c["z"], zi),
-                "u": sel(c["u"], ui), "rho": sel(c["rho"], rho_new),
+                "x": sel(c["x"], x), "z": sel(c["z"], z_next),
+                "u": sel(c["u"], u_next), "rho": sel(c["rho"], rho_new),
                 "v": sel(c["v"], v_new) if alg else (),
                 "uhat": sel(c["uhat"], uhat_new) if alg else (),
                 "a": sel(c["a"], a_new) if alg else (),
@@ -403,6 +469,12 @@ def _make_unwrapped_run(prox_g_shard, obj_shard, obj_global,
                 "stalled": sel(c["stalled"], c["stalled"] | stall_i),
                 "best_p": sel(c["best_p"], best_new) if use_stall else (),
                 "since": sel(c["since"], since_new) if use_stall else (),
+                "aFz": aFz if use_aa else (),
+                "aTz": aTz if use_aa else (),
+                "aFu": aFu if use_aa else (),
+                "aTu": aTu if use_aa else (),
+                "acnt": sel(c["acnt"], acnt_new) if use_aa else (),
+                "abest": sel(c["abest"], abest_new) if use_aa else (),
                 "hist": h,
             }
 

@@ -262,7 +262,45 @@ def test_exchange_aa_accelerates_and_gates(rng):
     np.testing.assert_array_equal(np.asarray(rg.xopt), np.asarray(rp.xopt))
 
 
-def test_tr_runner_rejects_aa(rng):
+def _lad_proxg_shard(Dx, z, u, rho, aux):
+    # Unwrapped-LAD z-prox: s + soft-threshold(Dx + u - s, 1/rho).
+    import jax.numpy as jnp
+
+    v = Dx + u - aux
+    return aux + jnp.sign(v) * jnp.maximum(jnp.abs(v) - 1.0 / rho, 0.0)
+
+
+def test_tr_runner_aa_standard_stop(rng):
+    # The generic TR path accepts AA under the standard stop: fewer
+    # steps to the same fixed point, gated fallback bit-exact.  (The
+    # reference-parity SVM wrapper still rejects AA because it forces
+    # stopcond='both', whose H-norm stop AA invalidates — next test.)
+    from admm_tpu.parallel import unwrapped_admm_sharded
+
+    m, n = 96, 10
+    D = rng.standard_normal((m, n))
+    xt = rng.standard_normal(n)
+    s = D @ xt
+    s[rng.choice(m, 5, replace=False)] += 30.0  # sparse outliers
+    base = dict(stopcond="standard", nodualerror=True,
+                abstol=1e-8, reltol=1e-8, maxiters=20000)
+    kw = dict(aux=s, nshards=4, x0=np.zeros(n), z0=np.zeros(m),
+              u0=np.zeros(m))
+    rp = unwrapped_admm_sharded(_lad_proxg_shard, D, ADMMConfig(**base),
+                                **kw)
+    ra = unwrapped_admm_sharded(_lad_proxg_shard, D,
+                                ADMMConfig(anderson=10, **base), **kw)
+    rg = unwrapped_admm_sharded(_lad_proxg_shard, D,
+                                ADMMConfig(anderson=5, aa_gmax=1e-300,
+                                           **base), **kw)
+    assert int(ra.steps) < int(rp.steps)
+    np.testing.assert_allclose(np.asarray(ra.xopt), np.asarray(rp.xopt),
+                               rtol=1e-5, atol=1e-7)
+    assert int(rg.steps) == int(rp.steps)
+    np.testing.assert_array_equal(np.asarray(rg.xopt), np.asarray(rp.xopt))
+
+
+def test_svm_wrapper_rejects_aa(rng):
     from admm_tpu.parallel import linearsvm_sharded
     from admm_tpu.parallel.mesh import make_mesh
 
@@ -271,11 +309,8 @@ def test_tr_runner_rejects_aa(rng):
     s = rng.standard_normal(16).astype(np.float32)
     cfg = ADMMConfig(maxiters=10, anderson=3)
     # linearsvm_sharded forces stopcond='both' (unwrappedadmm.m:88
-    # parity), so the config re-validation rejects AA before the
-    # runner's own guard can — either error surface is correct.  The
-    # TR runner keeps its guard because its reference-parity stop
-    # includes the H-norm, which AA invalidates.
-    with pytest.raises((NotImplementedError, ValueError)):
+    # parity), so the config re-validation rejects AA there.
+    with pytest.raises(ValueError):
         linearsvm_sharded(D[:, :2], np.sign(s).astype(np.float32), 1.0,
                           cfg, mesh=mesh, nshards=2)
 
