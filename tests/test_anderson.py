@@ -262,6 +262,31 @@ def test_exchange_aa_accelerates_and_gates(rng):
     np.testing.assert_array_equal(np.asarray(rg.xopt), np.asarray(rp.xopt))
 
 
+def test_consensus_batch_2d_aa_lane_exact(rng):
+    # AA through the 2-D lanes x shards composed program: per-lane AA
+    # windows, lane-for-lane step counts matching the 1-D consensus AA
+    # solve on the shard sub-mesh.
+    from admm_tpu.parallel import (consensus_lasso, consensus_lasso_batch,
+                                   make_mesh, make_mesh2d)
+
+    D = rng.standard_normal((64, 16)).astype(np.float32)
+    S = (rng.standard_normal((4, 64)) * 0.5).astype(np.float32)
+    lams = np.geomspace(0.05, 0.3, 4).astype(np.float32)
+    cfg = ADMMConfig(maxiters=2000, abstol=1e-6, reltol=1e-6, anderson=5)
+    batch = consensus_lasso_batch(D, S, lams, cfg,
+                                  mesh=make_mesh2d(2, 4), nshards=4)
+    sub = make_mesh(4)
+    for b in range(4):
+        solo = consensus_lasso(D, S[b], float(lams[b]), cfg, mesh=sub,
+                               nshards=4)
+        assert int(np.asarray(batch.steps)[b]) == int(solo.steps)
+        fb = _lasso_obj(D, S[b], float(lams[b]),
+                        np.asarray(batch.zopt, np.float64)[b])
+        fs = _lasso_obj(D, S[b], float(lams[b]),
+                        np.asarray(solo.zopt, np.float64))
+        assert abs(fb - fs) <= 1e-5 * (1.0 + abs(fs))
+
+
 def _lad_proxg_shard(Dx, z, u, rho, aux):
     # Unwrapped-LAD z-prox: s + soft-threshold(Dx + u - s, 1/rho).
     import jax.numpy as jnp
