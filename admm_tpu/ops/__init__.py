@@ -20,6 +20,7 @@ from .prox import (
 )
 from .solve import SymShiftSolver, WoodburySolver, kkt_eq_solver
 from .matfun import ns_sqrtm, covsel_ns_prox
+from .scaling import ruiz_equilibrate, kkt_scale_quality
 
 __all__ = [
     "soft_threshold",
@@ -28,6 +29,8 @@ __all__ = [
     "huber_prox",
     "project_nonneg",
     "project_box",
+    "ruiz_equilibrate",
+    "kkt_scale_quality",
     "covsel_eig_prox",
     "SymShiftSolver",
     "WoodburySolver",
