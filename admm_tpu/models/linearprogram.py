@@ -73,6 +73,26 @@ def make_prox_ops(b, D, s, config: ADMMConfig = ADMMConfig(), altproxg=None,
     return _prox_f, prox_g, _obj, data
 
 
+def _warn_if_badly_scaled(D, P, bar: float = 1e5):
+    """One-line steer toward precondition=True when the KKT row-norm
+    spread says plain ADMM will struggle (no reference analog — its
+    testers only generate well-scaled data).  Cheap host-side abs/max
+    pass; silent for well-scaled data."""
+    import warnings
+
+    import numpy as np
+
+    from ..ops.scaling import kkt_scale_quality
+
+    q = kkt_scale_quality(np.asarray(D), P)
+    if q > bar:
+        warnings.warn(
+            f"constraint data is badly scaled (KKT row-norm spread "
+            f"{q:.1e}); plain ADMM may converge slowly or stall — "
+            f"consider precondition=True (Ruiz equilibration)",
+            RuntimeWarning, stacklevel=3)
+
+
 @register("linearprogram")
 def _registry_entry(b, D, s, config=ADMMConfig(), kkt_mode="affine", **_):
     pf, pg, obj, data = make_prox_ops(b, D, s, config, kkt_mode=kkt_mode)
@@ -106,6 +126,8 @@ def linearprogram(b=None, D=None, s=None, config: ADMMConfig = ADMMConfig(),
         res, _test = linearprogramtest(quiet=False)
         return res
     check_data_vector(D, s)
+    if not precondition:
+        _warn_if_badly_scaled(D, None)
     if precondition:
         import numpy as np
 

@@ -151,6 +151,14 @@ def quadraticprogram(
 
         res, _test = quadraticprogramtest(quiet=False)
         return res
+    if not precondition:
+        import numpy as _np
+
+        from .linearprogram import _warn_if_badly_scaled
+
+        _c1 = _np.asarray(cons1)
+        _warn_if_badly_scaled(_c1 if _c1.ndim == 2 else _np.zeros((0, len(_np.asarray(q)))),
+                              _np.asarray(P, _np.float64))
     if precondition:
         import numpy as np
 

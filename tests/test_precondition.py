@@ -149,6 +149,26 @@ def test_precondition_composes_with_anderson(rng):
     assert abs(f1 - f0) <= 1e-5 * (1.0 + abs(f0))
 
 
+def test_bad_scaling_warning(rng):
+    # Badly scaled data without precondition=True warns once; well
+    # scaled data and preconditioned solves stay silent.
+    import warnings
+
+    b, D, s = _lp_instance(rng, 20, 60)
+    G, F = _bad_scales(rng, 20, 60, 3.0)
+    cfg = ADMMConfig(maxiters=50)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        linearprogram(F * b, G[:, None] * D * F, G * s, cfg)
+        assert any("badly scaled" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        linearprogram(b, D, s, cfg)
+        linearprogram(F * b, G[:, None] * D * F, G * s, cfg,
+                      precondition=True)
+        assert not any("badly scaled" in str(x.message) for x in w)
+
+
 def test_well_scaled_noop_quality(rng):
     # Preconditioning a well-scaled problem must not hurt the answer.
     b, D, s = _lp_instance(rng, 20, 60)
