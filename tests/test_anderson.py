@@ -152,6 +152,26 @@ def test_path_composes(rng):
             0.05 * int(solo.steps)
 
 
+def test_sdp_batch_composes(rng):
+    # Matrix-iterate batched lanes (max-cut style diag-constrained
+    # SDPs): AA per lane, 5-6x fewer steps, same optima.
+    from admm_tpu.models.batch import sdp_batch
+
+    B, n = 3, 24
+    Ws = [rng.standard_normal((n, n)) for _ in range(B)]
+    Ls = np.stack([np.diag(np.abs(W).sum(1)) - np.abs(W) for W in Ws])
+    bs = np.ones(n)
+    cfg = dict(maxiters=5000, abstol=1e-7, reltol=1e-7)
+    rp = sdp_batch(-0.25 * Ls, "diag", bs, config=ADMMConfig(**cfg))
+    ra = sdp_batch(-0.25 * Ls, "diag", bs,
+                   config=ADMMConfig(anderson=8, **cfg))
+    for b in range(B):
+        assert int(np.asarray(ra.steps)[b]) < 0.5 * int(np.asarray(rp.steps)[b])
+        fp = float(np.sum(-0.25 * Ls[b] * np.asarray(rp.zopt)[b]))
+        fa = float(np.sum(-0.25 * Ls[b] * np.asarray(ra.zopt)[b]))
+        assert abs(fa - fp) <= 1e-4 * (1.0 + abs(fp))
+
+
 def test_relax_composes(rng):
     D, s, lam = _lasso_instance(rng, 100, 200)
     r = lasso(D, s, lam,
