@@ -360,6 +360,30 @@ def test_svm_wrapper_rejects_aa(rng):
                           cfg, mesh=mesh, nshards=2)
 
 
+def test_matrix_iterates_and_feature_combos(rng):
+    # (a) AA over matrix-valued iterates (covsel (p, p) state rides the
+    # flattened window); (b) AA composes with record_iterates /
+    # nodualerror / quiet=0 without trace errors.
+    from admm_tpu.models.covarianceselection import covarianceselection
+
+    Dcv = rng.standard_normal((200, 16))
+    rp = covarianceselection(Dcv, 0.1, ADMMConfig(abstol=1e-7, reltol=1e-7,
+                                                  maxiters=10000))
+    ra = covarianceselection(Dcv, 0.1, ADMMConfig(abstol=1e-7, reltol=1e-7,
+                                                  maxiters=10000,
+                                                  anderson=8))
+    assert int(ra.steps) <= int(rp.steps)
+    np.testing.assert_allclose(np.asarray(ra.zopt), np.asarray(rp.zopt),
+                               atol=1e-5)
+
+    D, s, lam = _lasso_instance(rng, 60, 120)
+    res = lasso(D, s, lam, ADMMConfig(maxiters=200, anderson=5,
+                                      record_iterates=True,
+                                      nodualerror=True, quiet=False))
+    assert np.all(np.isfinite(np.asarray(res.zopt)))
+    assert np.asarray(res.hist["zvals"]).shape[0] == 200
+
+
 @pytest.mark.parametrize("bad", [
     dict(anderson=5, fast=True),
     dict(anderson=5, adaptive=True),
