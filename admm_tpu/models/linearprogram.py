@@ -76,11 +76,20 @@ def make_prox_ops(b, D, s, config: ADMMConfig = ADMMConfig(), altproxg=None,
 def _warn_if_badly_scaled(D, P, bar: float = 1e5):
     """One-line steer toward precondition=True when the KKT row-norm
     spread says plain ADMM will struggle (no reference analog — its
-    testers only generate well-scaled data).  Cheap host-side abs/max
-    pass; silent for well-scaled data."""
+    testers only generate well-scaled data).  Runs only for
+    HOST-resident data of bounded size: device-resident operands would
+    pay a device->host transfer per solve, and repeat solves at
+    headline scales would bill an O(mn) f64 scan to solverruntime
+    every call just to stay silent (review finding)."""
     import warnings
 
     import numpy as np
+
+    if not isinstance(D, np.ndarray) or D.size > 4_000_000:
+        return
+    if P is not None and (not isinstance(P, np.ndarray)
+                          or P.size > 4_000_000):
+        return
 
     from ..ops.scaling import kkt_scale_quality
 
@@ -139,16 +148,21 @@ def linearprogram(b=None, D=None, s=None, config: ADMMConfig = ADMMConfig(),
         Ds = ((rr[:, None] * np.asarray(D, np.float64)) * e[None, :]).astype(dtype)
         bs = (e * np.asarray(b, np.float64)).astype(dtype)
         ss = (rr * np.asarray(s, np.float64)).astype(dtype)
+        # Iterates transform as x̃ = x / e; the SCALED DUAL transforms
+        # the other way: ∂g̃(x̃) = E ∂g(x), so rho·ũ = E·(rho·u) and
+        # ũ = e·u — warm-start duals scale UP by e and the returned
+        # dual scales DOWN (a review pass measured the inverted
+        # direction off by e² per coordinate).
         res = linearprogram(
             bs, Ds, ss, config, altproxg, kkt_mode,
             x0=None if x0 is None else np.asarray(x0, np.float64) / e,
             z0=None if z0 is None else np.asarray(z0, np.float64) / e,
-            u0=None if u0 is None else np.asarray(u0, np.float64) / e,
+            u0=None if u0 is None else np.asarray(u0, np.float64) * e,
             **overrides)
-        ev = jnp.asarray(e, dtype)
+        ev = jnp.asarray(e).astype(res.xopt.dtype)
         res.xopt = ev * res.xopt
         res.zopt = ev * res.zopt
-        res.uopt = ev * res.uopt
+        res.uopt = res.uopt / ev
         res.extra = {**(res.extra or {}), "ruiz_col": e, "ruiz_row": rr}
         return res
     # affine mode is a one-GEMV body ('gemv'); the factored chol apply is

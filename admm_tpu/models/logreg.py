@@ -49,7 +49,7 @@ def _prox_objective(x, v, rho, d):
             + 0.5 * rho * jnp.sum((x - v) ** 2))
 
 
-def _newton_xprox(x, v, rho, d):
+def _newton_xprox(x, v, rho, d, newton_steps: int = _NEWTON_STEPS):
     """Damped Newton for argmin_x sum softplus(-(Yx)_i) + rho/2 ||x-v||^2.
 
     The margins are ell_i * (D x) with ``D`` shared and ``ell`` a
@@ -60,7 +60,7 @@ def _newton_xprox(x, v, rho, d):
     """
     D, ell = d["D"], d["ell"]
     I = jnp.eye(D.shape[1], dtype=D.dtype)
-    for _ in range(_NEWTON_STEPS):
+    for _ in range(newton_steps):
         t = ell * (D @ x)
         sig = jax.nn.sigmoid(-t)           # = 1 - sigmoid(t)
         grad = -(D.T @ (ell * sig)) + rho * (x - v)
@@ -139,6 +139,23 @@ def _prox_f(x, z, u, rho, d):
     return _newton_xprox(x, z - u, rho, d)
 
 
+# maxsize=None: see _cg_prox_f_fn.  This factory exists so the dense
+# path HONORS newton_steps (a review pass found the knob silently
+# ignored: _prox_f hardwired the module default, so e.g.
+# newton_steps=30 for ill-conditioned data ran 5 steps — the inexact
+# prox can stall convergence exactly as documented for the 5-step
+# consensus case).
+@functools.lru_cache(maxsize=None)
+def _dense_prox_f_fn(newton_steps: int):
+    if newton_steps == _NEWTON_STEPS:
+        return _prox_f  # stable identity for the default (cache warm)
+
+    def prox_f(x, z, u, rho, d):
+        return _newton_xprox(x, z - u, rho, d, newton_steps)
+
+    return prox_f
+
+
 # maxsize=None: tiny bounded key space; an eviction would mint a new
 # function object and defeat the engine's function-identity runner cache.
 @functools.lru_cache(maxsize=None)
@@ -183,7 +200,7 @@ def make_prox_ops(D, ell, lam, config: ADMMConfig = ADMMConfig(), *,
         data["D2"] = D * D  # Jacobi diagonal stream (shared across lanes)
         return (_cg_prox_f_fn(int(newton_steps), int(cg_steps)),
                 _prox_g, _obj, data)
-    return _prox_f, _prox_g, _obj, data
+    return _dense_prox_f_fn(int(newton_steps)), _prox_g, _obj, data
 
 
 @register("logreg")

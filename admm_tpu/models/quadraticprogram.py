@@ -156,9 +156,14 @@ def quadraticprogram(
 
         from .linearprogram import _warn_if_badly_scaled
 
-        _c1 = _np.asarray(cons1)
-        _warn_if_badly_scaled(_c1 if _c1.ndim == 2 else _np.zeros((0, len(_np.asarray(q)))),
-                              _np.asarray(P, _np.float64))
+        # Gate on host-resident inputs (the helper also size-caps);
+        # device-resident P/cons1 skip the check rather than paying a
+        # transfer per solve.
+        if isinstance(P, _np.ndarray):
+            _c1 = cons1 if isinstance(cons1, _np.ndarray) else None
+            _warn_if_badly_scaled(
+                _c1 if (_c1 is not None and _c1.ndim == 2)
+                else _np.zeros((0, P.shape[0])), P)
     if precondition:
         import numpy as np
 
@@ -181,16 +186,18 @@ def quadraticprogram(
             # Box bounds transform as x̃ = x / e (e > 0 keeps order).
             c1s = (np.asarray(cons1, np.float64) / e).astype(dtype)
             c2s = (np.asarray(cons2, np.float64) / e).astype(dtype)
+        # Dual direction: ũ = e·u (see linearprogram's precondition
+        # note) — warm-start duals scale up, the returned dual down.
         res = quadraticprogram(
             Ps, qs, r, c1s, c2s, config, altproxg, kkt_mode,
             x0=None if x0 is None else np.asarray(x0, np.float64) / e,
             z0=None if z0 is None else np.asarray(z0, np.float64) / e,
-            u0=None if u0 is None else np.asarray(u0, np.float64) / e,
+            u0=None if u0 is None else np.asarray(u0, np.float64) * e,
             **overrides)
-        ev = jnp.asarray(e, dtype)
+        ev = jnp.asarray(e).astype(res.xopt.dtype)
         res.xopt = ev * res.xopt
         res.zopt = ev * res.zopt
-        res.uopt = ev * res.uopt
+        res.uopt = res.uopt / ev
         res.extra = {**(res.extra or {}), "ruiz_col": e,
                      "ruiz_row": rr if standard else None}
         return res

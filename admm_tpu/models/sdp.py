@@ -57,6 +57,26 @@ from . import register
 from ._common import bind_data, merge_config, timed_solver
 
 
+def check_gram_conditioning(L, bar_frac: float = 0.01):
+    """Reject (near-)linearly dependent constraint stacks at setup.
+
+    JAX's cho_factor fails SILENTLY on a singular Gram (NaNs, or a
+    rounding-noise pivot for exactly dependent rows) and the solve
+    would degrade to a garbage/diverged run.  The factor is concrete
+    at setup — estimate cond(G) from the Cholesky pivots
+    ((dmax/dmin)^2 bounds it below) and fail clearly.  Shared by the
+    serial sdp setup and parallel/sdp.sdp_sharded (one rule, one
+    threshold)."""
+    piv = jnp.abs(jnp.diagonal(L))
+    eps = float(jnp.finfo(L.dtype).eps)
+    cond_est = float(jnp.max(piv) / jnp.maximum(jnp.min(piv), 0.0)) ** 2
+    if not np.isfinite(cond_est) or cond_est > bar_frac / eps:
+        raise ValueError(
+            "constraint matrices A_i are (near-)linearly dependent: the "
+            f"Gram G = A A^T has condition estimate {cond_est:.2e}; "
+            "remove redundant constraints")
+
+
 def _sym(M):
     return 0.5 * (M + jnp.swapaxes(M, -1, -2))
 
@@ -142,19 +162,7 @@ def make_prox_ops(C, A, b, config: ADMMConfig = ADMMConfig(), *,
             raise ValueError(f"b must have shape {(m,)}, got {b.shape}")
         G = jnp.einsum("mij,kij->mk", A, A)
         L, _ = cho_factor(G, lower=True)
-        # Linearly dependent A_i make G singular; JAX's cho_factor fails
-        # SILENTLY (NaNs, or a rounding-noise pivot for exactly dependent
-        # rows) and the solve would degrade to a garbage/diverged run.
-        # G is concrete at setup — estimate cond(G) from the Cholesky
-        # pivots ((dmax/dmin)^2 bounds it below) and fail clearly.
-        piv = jnp.abs(jnp.diagonal(L))
-        eps = float(jnp.finfo(L.dtype).eps)
-        cond_est = float(jnp.max(piv) / jnp.maximum(jnp.min(piv), 0.0)) ** 2
-        if not np.isfinite(cond_est) or cond_est > 0.01 / eps:
-            raise ValueError(
-                "constraint matrices A_i are (near-)linearly dependent: the "
-                f"Gram G = A A^T has condition estimate {cond_est:.2e}; "
-                "remove redundant constraints")
+        check_gram_conditioning(L)
         data.update({"A": A, "L": L})
         pf = _prox_f_dense
     pg = (_prox_g if prox_method == "eigh"

@@ -164,15 +164,11 @@ def sdp_sharded(
     A4_dev = jax.device_put(jnp.asarray(A4), spec)
     L = _cached_gram_setup(spec)(A4_dev, jax.device_put(
         jnp.asarray(pad_diag), rep))
-    # Dependent-constraint guard (models/sdp.py setup rule) — pivots of
-    # the replicated factor are concrete at setup.
-    piv = jnp.abs(jnp.diagonal(L))
-    eps = float(jnp.finfo(L.dtype).eps)
-    cond_est = float(jnp.max(piv) / jnp.maximum(jnp.min(piv), 0.0)) ** 2
-    if not np.isfinite(cond_est) or cond_est > 0.01 / eps:
-        raise ValueError(
-            "constraint matrices A_i are (near-)linearly dependent: the "
-            f"Gram G = A A^T has condition estimate {cond_est:.2e}")
+    # Dependent-constraint guard — the pivots of the replicated factor
+    # are concrete at setup; same rule and threshold as the serial sdp.
+    from ..models.sdp import check_gram_conditioning
+
+    check_gram_conditioning(L)
 
     data = {
         "C": jax.device_put(C, rep),

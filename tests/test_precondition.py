@@ -149,6 +149,36 @@ def test_precondition_composes_with_anderson(rng):
     assert abs(f1 - f0) <= 1e-5 * (1.0 + abs(f0))
 
 
+def test_dual_unscaling_direction(rng):
+    # The scaled dual transforms as ũ = e·u (∂g̃(x̃) = E ∂g(x)), so the
+    # returned uopt must be ũ/e — a review pass caught the inverted
+    # direction (off by e² per coordinate).  Oracle: on a MODERATELY
+    # scaled instance both the plain and preconditioned solves
+    # converge, and their duals must agree.
+    b, D, s = _lp_instance(rng, 30, 90)
+    G, F = _bad_scales(rng, 30, 90, 1.0)  # mild: plain still converges
+    Db, sb, bb = G[:, None] * D * F, G * s, F * b
+    cfg = ADMMConfig(abstol=1e-9, reltol=1e-9, maxiters=60000)
+    rp = linearprogram(bb, Db, sb, cfg)
+    rpre = linearprogram(bb, Db, sb, cfg, precondition=True)
+    up = np.asarray(rp.uopt)
+    upre = np.asarray(rpre.uopt)
+    scale = np.max(np.abs(up))
+    # LP duals at active-set boundaries converge slower than primals,
+    # so agreement is convergence-noise loose (measured ~0.5% at
+    # 1e-10 tolerances; the INVERTED direction reads ~100%+ off and
+    # scales with the e² spread — that's what this test pins).
+    np.testing.assert_allclose(upre, up, rtol=5e-2, atol=1e-2 * scale)
+
+    # Warm-starting the preconditioned solve from its own solution must
+    # reconverge near-instantly (the round-trip exercises the u0
+    # scaling direction too).
+    rws = linearprogram(bb, Db, sb, cfg, precondition=True,
+                        x0=np.asarray(rpre.xopt), z0=np.asarray(rpre.zopt),
+                        u0=np.asarray(rpre.uopt))
+    assert int(rws.steps) <= max(5, 0.02 * int(rpre.steps))
+
+
 def test_bad_scaling_warning(rng):
     # Badly scaled data without precondition=True warns once; well
     # scaled data and preconditioned solves stay silent.
