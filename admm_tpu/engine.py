@@ -726,6 +726,11 @@ def _build_runner(prox_f, prox_g, cfg: ADMMConfig, hooks: Hooks, has_data: bool)
                 u = u / factor
 
             # ---- Anderson acceleration (ADMMConfig.anderson) --------------
+            # NOTE: the consensus/exchange/TR runners carry their own
+            # copies of this window algebra over their (differently
+            # sharded) state leaves — a safeguard change here must be
+            # mirrored there (each copy is pinned by a gated-fallback
+            # bit-exactness test in tests/test_anderson.py).
             # Type-II AA on the flattened state s = (x, z, u): the plain
             # sweep above IS the fixed-point map evaluation t = T(s_k);
             # extrapolate the next iterate from the last m residual /
